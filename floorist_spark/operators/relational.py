@@ -1,0 +1,759 @@
+"""Layer Q — the relational/SQL surface (SURVEY.md §2.2, Q1-Q11).
+
+The reference delegates this entire surface to PostgreSQL by passing the
+floorplan ``query`` string opaquely (`/root/reference/src/floorist/
+floorist.py:141-146`); here Catalyst owns it. Each entry has a Spark-first
+implementation (DataFrame API, falling back to ``spark.sql`` only where SQL
+is the natural surface, e.g. VALUES relations) and a DuckDB oracle string.
+
+Float determinism: the driver's correctness gate hashes result values, so
+every floating-point *aggregate* is computed with exact DECIMAL arithmetic
+and cast to DOUBLE at the end. Spark sums partitions in arbitrary order;
+DuckDB sums sequentially — with doubles the results differ in the last
+bits, with decimals they are bit-identical after the final cast. The
+DECIMAL widths are chosen so no intermediate exceeds precision 38 in either
+engine (no precision-loss rounding on the Spark side).
+
+Scale notes (100 TB):
+* every query is expressed declaratively, so Catalyst pushes filters into
+  the parquet scan and prunes columns (verify: .explain → PushedFilters /
+  ReadSchema);
+* dimension joins (nation, region, customer at TPC-H shape) are broadcast
+  (autoBroadcastJoinThreshold + explicit F.broadcast on known-small dims);
+* aggregations are partial (map-side combine) by construction — groupBy
+  over low-cardinality keys shuffles only the combined partials;
+* top-k uses sort+limit, which Spark executes as per-partition top-k and a
+  driver-side merge (TakeOrderedAndProject), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from floorist_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared exact-arithmetic fragments (identical text runs in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# quantities <= 50, prices < 1e6: decimal(12,4) holds them exactly enough;
+# rates (discount/tax) in [0, 0.2]: decimal(6,4) is lossless for 2-4dp data.
+QTY = "CAST(l_quantity AS DECIMAL(12,4))"
+PRICE = "CAST(l_extendedprice AS DECIMAL(12,4))"
+DISC = "CAST(l_discount AS DECIMAL(6,4))"
+TAX = "CAST(l_tax AS DECIMAL(6,4))"
+DISC_PRICE = f"{PRICE} * (CAST(1 AS DECIMAL(6,4)) - {DISC})"
+CHARGE = f"{DISC_PRICE} * (CAST(1 AS DECIMAL(6,4)) + {TAX})"
+
+
+def _dsum(expr: str, alias: str) -> str:
+    """Exact decimal SUM rendered back to DOUBLE — bit-identical between a
+    parallel Spark aggregation and DuckDB's sequential one."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+def _davg(expr: str, alias: str) -> str:
+    """Exact decimal mean: exact SUM cast to DOUBLE, divided by COUNT —
+    both engines then perform the identical double/bigint division."""
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2 — projection + aliasing
+# ---------------------------------------------------------------------------
+
+def q01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: plain projection (`SELECT *`-style narrow scan). Column pruning
+    reaches the parquet footer — ReadSchema lists only these 3 columns."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q01_SQL = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+def q02_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: column aliasing with AS (reference floorplan.example.yaml:6-7)."""
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+Q02_SQL = "SELECT p_name AS part_name, p_brand AS brand, p_retailprice AS price FROM part"
+
+
+# ---------------------------------------------------------------------------
+# Q3/Q4 — inline relations and series generation
+# ---------------------------------------------------------------------------
+
+VALUES_SQL = "SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(num, letter)"
+
+
+def q03_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: inline VALUES relation with column aliases
+    (reference tests/floorplan_valid.yaml:1) — parses verbatim in Spark SQL."""
+    return spark.sql(VALUES_SQL)
+
+
+def q04_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: table-generating series (reference GENERATE_SERIES(0,999)).
+    spark.range is a parallel, no-shuffle leaf — the idiomatic equivalent."""
+    return spark.range(0, 1000).select(F.col("id").alias("n"))
+
+
+Q04_SQL = "SELECT * FROM generate_series(0, 999) AS t(n)"
+
+
+# ---------------------------------------------------------------------------
+# Q5 — cross / theta join
+# ---------------------------------------------------------------------------
+
+def q05_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: cross join (reference JOIN ... ON 1=1). nation x region -> 125
+    rows; Catalyst plans BroadcastNestedLoopJoin with the small side
+    broadcast — no shuffle."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return nation.crossJoin(region)
+
+
+Q05_SQL = (
+    "SELECT n_nationkey, n_name, r_regionkey, r_name "
+    "FROM (SELECT n_nationkey, n_name FROM nation) CROSS JOIN "
+    "(SELECT r_regionkey, r_name FROM region)"
+)
+
+
+def q05b_cross_join_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 at the reference's tested scale: 1000x1000 series cross join ->
+    1,000,000 rows (tests/floorplan_with_large_result.yaml:1). Both sides
+    are range leaves; one side broadcasts."""
+    x = spark.range(0, 1000).select(F.col("id").alias("x"))
+    y = spark.range(0, 1000).select(F.col("id").alias("y"))
+    return x.crossJoin(y)
+
+
+Q05B_SQL = (
+    "SELECT x, y FROM generate_series(0, 999) AS tx(x) "
+    "CROSS JOIN generate_series(0, 999) AS ty(y)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q7 — empty relation, uuid generation
+# ---------------------------------------------------------------------------
+
+def q06_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: constant-false filter -> empty relation (reference SELECT WHERE
+    1=0). Catalyst folds the predicate to an empty LocalRelation — the scan
+    is eliminated entirely."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey").filter(F.lit(False))
+
+
+Q06_SQL = "SELECT l_orderkey FROM lineitem WHERE 1 = 0"
+
+
+def q07_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: uuid() scalar function (reference uuid_generate_v1()). Values are
+    non-deterministic -> rows-only check, no oracle (FIXTURES.md §C)."""
+    return spark.range(0, 3).select(F.expr("uuid()").alias("u"), F.col("id").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Q8/Q9/Q10 — distinct, IN-subquery, quoted identifiers
+# ---------------------------------------------------------------------------
+
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: SELECT DISTINCT (reference README.md:131-133). Shuffles on the
+    distinct key only after partial (map-side) dedup."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+Q08_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q09_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: IN (subquery) + OR predicate (reference README.md:126-128).
+    Expressed in SQL so Catalyst's RewritePredicateSubquery turns the IN
+    into a broadcast left-semi join inside the disjunction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+           OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+Q09_SQL = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' "
+    "OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+)
+
+
+def q10_quoted_idents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: case-exact quoted identifiers (reference "inventory"."hosts");
+    Spark uses backticks where ANSI uses double quotes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT `o_orderkey` AS `Order Key`, `o_totalprice` AS `Total Price` FROM `orders`"
+    )
+
+
+Q10_SQL = 'SELECT o_orderkey AS "Order Key", o_totalprice AS "Total Price" FROM orders'
+
+
+# ---------------------------------------------------------------------------
+# Q11 — the delegated "joins or aggregates" capability, exercised TPC-H-style
+# ---------------------------------------------------------------------------
+
+def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the flagship query.
+
+    Scan -> pushed filter -> 4-group hash aggregate -> sort. The aggregate
+    is partial+final (map-side combine); only 4 groups cross the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-02'")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_dsum(QTY, "sum_qty")),
+            F.expr(_dsum(PRICE, "sum_base_price")),
+            F.expr(_dsum(DISC_PRICE, "sum_disc_price")),
+            F.expr(_dsum(CHARGE, "sum_charge")),
+            F.expr(_davg(QTY, "avg_qty")),
+            F.expr(_davg(PRICE, "avg_price")),
+            F.expr(_davg(DISC, "avg_disc")),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q11_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum(QTY, "sum_qty")},
+       {_dsum(PRICE, "sum_base_price")},
+       {_dsum(DISC_PRICE, "sum_disc_price")},
+       {_dsum(CHARGE, "sum_charge")},
+       {_davg(QTY, "avg_qty")},
+       {_davg(PRICE, "avg_price")},
+       {_davg(DISC, "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, filter both sides of
+    the fact, top-10 revenue. customer is broadcast (dimension); lineitem ⋈
+    orders is the only shuffle. Sort+limit -> TakeOrderedAndProject."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP '1998-01-01'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP '1997-01-01'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_dsum(DISC_PRICE, "revenue")))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q12_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_dsum(DISC_PRICE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q13_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 5-way join with two broadcast dimension hops
+    (nation, region) and a same-nation theta condition. Only the
+    lineitem ⋈ orders ⋈ supplier chain shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("n_name")
+        .agg(F.expr(_dsum(DISC_PRICE, "revenue")), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q13_SQL = f"""
+SELECT n_name, {_dsum(DISC_PRICE, "revenue")}, COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND r_name IN ('AMERICA', 'ASIA')
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q14_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan+filter+single-row aggregate. All three
+    predicates push into the parquet scan; no shuffle beyond the final
+    1-row partial merge."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.agg(F.expr(_dsum(f"{PRICE} * {DISC}", "revenue")))
+
+
+Q14_SQL = f"""
+SELECT {_dsum(f"{PRICE} * {DISC}", "revenue")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (l_returnflag, l_linestatus): hierarchy subtotals +
+    grand total. Spark expands to a single expand+aggregate — one shuffle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.expr(_dsum(QTY, "sum_qty")), F.count("*").alias("n_rows"))
+    )
+
+
+Q15_SQL = f"""
+SELECT l_returnflag, l_linestatus, {_dsum(QTY, "sum_qty")}, COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all 4 grouping-set
+    combinations in one pass."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(_dsum("CAST(o_totalprice AS DECIMAL(14,4))", "sum_price")),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+Q16_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {_dsum("CAST(o_totalprice AS DECIMAL(14,4))", "sum_price")},
+       COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def q17_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price via row_number(). The window sort
+    runs inside each hash partition of o_custkey — a single shuffle, then
+    the rank filter cuts 3 rows per key before anything else moves."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+Q17_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag per customer over order history. The running sum
+    uses exact DECIMAL accumulation so the sequential-prefix result is
+    bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)"
+        ).alias("running_total"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
+Q18_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+         AS running_total,
+       LAG(o_totalprice, 1) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+def _custkeys_by_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr(f"o_orderdate >= TIMESTAMP '{year}-01-01' AND o_orderdate < TIMESTAMP '{year + 1}-01-01'"))
+        .select("o_custkey")
+    )
+
+
+def q19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of 1995/1996 buyer sets."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.union(b).distinct()
+
+
+def q20_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who bought in both years."""
+    return _custkeys_by_year(spark, sf_dir, 1995).intersect(
+        _custkeys_by_year(spark, sf_dir, 1996)
+    )
+
+
+def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): 1995 buyers who did not buy in 1996."""
+    return _custkeys_by_year(spark, sf_dir, 1995).subtract(
+        _custkeys_by_year(spark, sf_dir, 1996)
+    )
+
+
+def _year_custkeys_sql(year: int) -> str:
+    return (
+        f"SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{year}-01-01' "
+        f"AND o_orderdate < TIMESTAMP '{year + 1}-01-01'"
+    )
+
+
+Q19_SQL = f"{_year_custkeys_sql(1995)} UNION {_year_custkeys_sql(1996)}"
+Q20_SQL = f"{_year_custkeys_sql(1995)} INTERSECT {_year_custkeys_sql(1996)}"
+Q21_SQL = f"{_year_custkeys_sql(1995)} EXCEPT {_year_custkeys_sql(1996)}"
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / having / conditional aggregation / scalar functions
+# ---------------------------------------------------------------------------
+
+def q22_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 lineitems by extended price. Spark never performs a
+    full sort for this plan: TakeOrderedAndProject does per-partition heaps
+    + driver merge — the scale-safe top-k."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+Q22_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"
+)
+
+
+def q23_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING on an exact-decimal aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(_dsum("CAST(o_totalprice AS DECIMAL(14,4))", "total_spent")),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+Q23_SQL = f"""
+SELECT o_custkey, {_dsum("CAST(o_totalprice AS DECIMAL(14,4))", "total_spent")},
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+"""
+
+
+def q24_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: per-priority counts by status
+    via CASE inside COUNT/SUM — a single pass, no pivot shuffle."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q24_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q25_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (upper/substr/concat/length) — all JVM-side
+    whole-stage-codegen expressions, no UDF."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.col("p_type")).alias("type_upper"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+Q25_SQL = """
+SELECT p_partkey, UPPER(p_type) AS type_upper, SUBSTRING(p_name, 1, 8) AS name_prefix,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len
+FROM part
+"""
+
+
+def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date functions: extract + truncate + month arithmetic buckets."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .groupBy("order_year", "order_month", "month_start")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+Q26_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3 ORDER BY order_year, order_month
+"""
+
+
+def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global mean price. The subquery
+    aggregates to one row and broadcasts into the filter."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) FROM orders
+        )
+        """
+    )
+
+
+Q27_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) FROM orders
+)
+"""
+
+
+def q28_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no orders. The orders
+    key set is the broadcast side candidate under AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q28_SQL = (
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def q29_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-side aggregation: suppliers per nation
+    including supplier-less nations."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_nationkey")
+    )
+
+
+Q29_SQL = """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+"""
+
+
+def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q30_SQL)
+
+
+Q30_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+FLAGSHIP = q11_pricing_summary
+
+QUERIES = {
+    "q01_projection": q01_projection,
+    "q02_alias": q02_alias,
+    "q03_values": q03_values,
+    "q04_series": q04_series,
+    "q05_cross_join": q05_cross_join,
+    "q05b_cross_join_1m": q05b_cross_join_1m,
+    "q06_empty": q06_empty,
+    "q07_uuid": q07_uuid,
+    "q08_distinct": q08_distinct,
+    "q09_in_subquery": q09_in_subquery,
+    "q10_quoted_idents": q10_quoted_idents,
+    "q11_pricing_summary": q11_pricing_summary,
+    "q12_shipping_priority": q12_shipping_priority,
+    "q13_local_supplier_volume": q13_local_supplier_volume,
+    "q14_forecast_revenue": q14_forecast_revenue,
+    "q15_rollup": q15_rollup,
+    "q16_cube": q16_cube,
+    "q17_window_topk_per_group": q17_window_topk_per_group,
+    "q18_window_running": q18_window_running,
+    "q19_union": q19_union,
+    "q20_intersect": q20_intersect,
+    "q21_except": q21_except,
+    "q22_topk_global": q22_topk_global,
+    "q23_having": q23_having,
+    "q24_conditional_agg": q24_conditional_agg,
+    "q25_string_funcs": q25_string_funcs,
+    "q26_date_funcs": q26_date_funcs,
+    "q27_scalar_subquery": q27_scalar_subquery,
+    "q28_anti_join": q28_anti_join,
+    "q29_left_join": q29_left_join,
+    "q30_grouping_sets": q30_grouping_sets,
+}
+
+ORACLES = {
+    "q01_projection": Q01_SQL,
+    "q02_alias": Q02_SQL,
+    "q03_values": VALUES_SQL,
+    "q04_series": Q04_SQL,
+    "q05_cross_join": Q05_SQL,
+    "q05b_cross_join_1m": Q05B_SQL,
+    "q06_empty": Q06_SQL,
+    # q07_uuid: non-deterministic -> rows-only check
+    "q08_distinct": Q08_SQL,
+    "q09_in_subquery": Q09_SQL,
+    "q10_quoted_idents": Q10_SQL,
+    "q11_pricing_summary": Q11_SQL,
+    "q12_shipping_priority": Q12_SQL,
+    "q13_local_supplier_volume": Q13_SQL,
+    "q14_forecast_revenue": Q14_SQL,
+    "q15_rollup": Q15_SQL,
+    "q16_cube": Q16_SQL,
+    "q17_window_topk_per_group": Q17_SQL,
+    "q18_window_running": Q18_SQL,
+    "q19_union": Q19_SQL,
+    "q20_intersect": Q20_SQL,
+    "q21_except": Q21_SQL,
+    "q22_topk_global": Q22_SQL,
+    "q23_having": Q23_SQL,
+    "q24_conditional_agg": Q24_SQL,
+    "q25_string_funcs": Q25_SQL,
+    "q26_date_funcs": Q26_SQL,
+    "q27_scalar_subquery": Q27_SQL,
+    "q28_anti_join": Q28_SQL,
+    "q29_left_join": Q29_SQL,
+    "q30_grouping_sets": Q30_SQL,
+}

@@ -1,0 +1,100 @@
+"""SparkSession construction and view registration.
+
+The reference engine has no session concept — it opens one psycopg2
+connection (`/root/reference/src/floorist/floorist.py:123-128`). Here the
+SparkSession is the engine: Catalyst owns the query surface the reference
+delegated to PostgreSQL.
+
+Defaults are tuned for the test/bench environment (single JVM, local[N])
+but every knob matters identically on a real cluster:
+
+* AQE on — runtime re-planning, skew-join splitting, partition coalescing.
+* shuffle.partitions sized to cores locally; on a 1000-executor cluster
+  this would be set to ~2-3x total cores (AQE coalesces down).
+* Arrow enabled — every pandas UDF / toPandas crosses via Arrow batches.
+* maxPartitionBytes default 128m — at 100 TB that is ~800k input splits,
+  which is the right granularity for dynamic allocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver ships at /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "floorist_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the deployment (spark-submit / k8s operator) sets the master and
+    these conf defaults still apply.
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan — Catalyst pushes filters
+    and prunes columns into this scan (verify with .explain: PushedFilters /
+    ReadSchema)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> None:
+    """Register every testdata table as a temp view so floorplan SQL can
+    reference them by name (the reference's queries named live Postgres
+    tables; native mode names these views)."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
