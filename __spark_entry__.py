@@ -27,16 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _catalogs():
+    # Explicit registry — a broken import in any operator family fails
+    # loudly instead of silently dropping it from the correctness gate.
     from floorist_spark.operators import relational
 
-    modules = [relational]
-    for name in ("dedup", "similarity", "text", "events_analytics", "multimodal"):
-        try:
-            mod = __import__(f"floorist_spark.operators.{name}", fromlist=[name])
-        except ImportError:
-            continue
-        modules.append(mod)
-    return modules
+    return [relational]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -11,8 +11,10 @@ Reference behavior reproduced (citations into /root/reference):
 
 * the file is parsed with ``yaml.safe_load`` and iterated in order
   (`src/floorist/floorist.py:283-287`);
-* ``chunksize`` is optional; falsy values (0/None/missing) mean
-  "unchunked" — a single output file (`src/floorist/floorist.py:194`);
+* ``chunksize`` is optional; a MISSING key defaults to 1000 rows/file,
+  while an explicitly falsy value (0/None) means "unchunked" — a single
+  output file (`src/floorist/floorist.py:194`:
+  ``row.get('chunksize', 1000) or None``);
 * a row missing ``prefix`` or ``query`` is not a parse error: it surfaces
   when the dump executes, fails that dump only, and later dumps still run
   (`src/floorist/floorist.py:186-190`, `tests/test_floorist.py:190-198`).
@@ -41,8 +43,10 @@ class DumpSpec:
 
     @property
     def effective_chunksize(self) -> int | None:
-        """``None`` means unchunked (one file): 0/None are both falsy in the
-        reference (`src/floorist/floorist.py:194`)."""
+        """``None`` means unchunked (one file): explicit 0/None are both
+        falsy in the reference (`src/floorist/floorist.py:194`). The
+        missing-key→1000 default is applied at spec construction
+        (:func:`spec_from_row`), matching ``row.get('chunksize', 1000)``."""
         return self.chunksize if self.chunksize else None
 
 
@@ -71,7 +75,7 @@ def spec_from_row(row: dict[str, Any]) -> DumpSpec:
     return DumpSpec(
         prefix=row["prefix"],
         query=row["query"],
-        chunksize=row.get("chunksize"),
+        chunksize=row.get("chunksize", DEFAULT_CHUNKSIZE),
         raw=row,
     )
 

@@ -259,11 +259,13 @@ ORDER BY l_returnflag, l_linestatus
 
 def q12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, filter both sides of
-    the fact, top-10 revenue. customer is broadcast (dimension); lineitem ⋈
-    orders is the only shuffle. Sort+limit -> TakeOrderedAndProject."""
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    )
+    the fact, top-10 revenue. Sort+limit -> TakeOrderedAndProject.
+
+    Scale note: customer grows linearly with SF (~15B rows at the 100 TB
+    shape), so it must NOT be force-broadcast — AQE +
+    autoBroadcastJoinThreshold pick broadcast only when the filtered side
+    actually fits; at scale this is a shuffle join on o_custkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.expr("o_orderdate < TIMESTAMP '1998-01-01'")
     )
@@ -295,9 +297,13 @@ LIMIT 10
 
 
 def q13_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped: 5-way join with two broadcast dimension hops
-    (nation, region) and a same-nation theta condition. Only the
-    lineitem ⋈ orders ⋈ supplier chain shuffles."""
+    """TPC-H Q5-shaped: 5-way join with two broadcast dimension hops and a
+    same-nation theta condition.
+
+    Scale note: only nation (25 rows) and region (5 rows) are genuinely
+    fixed-size and safe to force-broadcast; supplier and customer grow with
+    SF, so their join strategy is left to AQE + autoBroadcastJoinThreshold
+    (shuffle join at 100 TB, broadcast at small SF)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.expr(
@@ -310,8 +316,8 @@ def q13_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name").isin("AMERICA", "ASIA"))

@@ -1,0 +1,98 @@
+"""Run driver: floorplan iteration + exit-code contract (SURVEY §2 F11, F14).
+
+Reference (`/root/reference/src/floorist/floorist.py:259-303`):
+
+* startup: verify storage, connect the query backend, log the two
+  "Successfully connected" lines;
+* run: iterate floorplan rows in order, count successes, log
+  ``"Dumped X from total of Y"``, and **exit(1) if any dump failed** —
+  partial results stay written (`floorist.py:279-292`,
+  `tests/test_floorist.py:190-198`);
+* logging surface: ``[%(asctime)s] [%(levelname)s]`` format, LOGLEVEL env
+  (`floorist.py:25,295-297`).
+"""
+
+from __future__ import annotations
+
+import logging
+from os import environ
+
+import yaml
+
+from floorist_spark.config import Config, base_output_uri, get_config, s3a_conf
+from floorist_spark.executor import DumpExecutor, RetryPolicy
+from floorist_spark.session import get_spark, register_views
+from floorist_spark.storage import StorageClient
+
+LOG_FMT = "[%(asctime)s] [%(levelname)s] %(message)s"
+
+
+class FlooristSpark:
+    """The engine driver. ``mode="native"`` executes floorplan queries on
+    Catalyst over the registered views; ``mode="jdbc"`` pushes them to live
+    PostgreSQL for reference parity (`sources/jdbc.py`)."""
+
+    def __init__(self, config: Config, spark=None, parity: bool = True):
+        self.config = config
+        self.spark = spark or get_spark("floorist_spark", extra_conf=s3a_conf(config))
+
+        self.storage = StorageClient(self.spark, base_output_uri(config))
+        self.storage.verify()
+        logging.info("Successfully connected to the S3 bucket")
+
+        if config.mode == "jdbc":
+            from floorist_spark.sources.jdbc import JdbcQueryRunner
+
+            runner = JdbcQueryRunner(self.spark, config, parity=parity)
+            commit, rollback = runner.commit, runner.rollback
+        else:
+            data_dir = environ.get("FLOORIST_DATA_DIR")
+            if data_dir:
+                register_views(self.spark, data_dir)
+            runner = self.spark.sql
+            commit = rollback = lambda: None
+        logging.info("Successfully connected to the database")
+
+        self.executor = DumpExecutor(
+            self.storage,
+            runner,
+            RetryPolicy(),
+            parity=parity,
+            commit=commit,
+            rollback=rollback,
+        )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        return None
+
+    def run(self) -> None:
+        """F11: per-dump isolation + partial-failure exit code
+        (`floorist.py:279-292`)."""
+        dump_count = 0
+        dumped_count = 0
+
+        with open(self.config.floorplan_filename) as stream:
+            for row in yaml.safe_load(stream):
+                dump_count += 1
+                if self.executor.execute(row, dump_count):
+                    dumped_count += 1
+
+        logging.info("Dumped %d from total of %d", dumped_count, dump_count)
+        if dumped_count != dump_count:
+            exit(1)
+
+
+def _configure_loglevel() -> None:
+    """F14 (`floorist.py:295-297`)."""
+    loglevel = environ.get("LOGLEVEL", "INFO").upper()
+    logging.basicConfig(level=loglevel, format=LOG_FMT)
+
+
+def main() -> None:
+    _configure_loglevel()
+    mode = environ.get("FLOORIST_MODE", "native")
+    with FlooristSpark(get_config(mode=mode)) as f:
+        f.run()

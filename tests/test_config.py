@@ -1,0 +1,105 @@
+"""F13 config validation surface (reference `src/floorist/config.py:25-105`,
+pinned by `tests/test_floorist.py:45-105`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from floorist_spark.config import base_output_uri, get_config, s3a_conf
+
+FULL_ENV = {
+    "AWS_BUCKET": "bucket",
+    "AWS_ENDPOINT": "http://localhost:9000",
+    "AWS_ACCESS_KEY_ID": "ak",
+    "AWS_SECRET_ACCESS_KEY": "sk",
+    "AWS_REGION": "us-east-1",
+    "POSTGRES_SERVICE_HOST": "db",
+    "POSTGRESQL_DATABASE": "insights",
+    "POSTGRESQL_USER": "user",
+    "POSTGRESQL_PASSWORD": "pw",
+}
+
+
+@pytest.fixture
+def env(monkeypatch, tmp_path):
+    plan = tmp_path / "floorplan.yaml"
+    plan.write_text("- prefix: p\n  query: SELECT 1\n")
+    for k, v in FULL_ENV.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("FLOORPLAN_FILE", str(plan))
+    monkeypatch.delenv("FLOORIST_OUTPUT_URI", raising=False)
+    return monkeypatch
+
+
+def test_full_env_resolves(env):
+    cfg = get_config()
+    assert cfg.bucket_name == "bucket"
+    assert cfg.bucket_url == "http://localhost:9000"
+    assert cfg.database_hostname == "db"
+    assert cfg.floorplan_filename.endswith("floorplan.yaml")
+
+
+def test_missing_floorplan_file_env(env):
+    env.delenv("FLOORPLAN_FILE")
+    with pytest.raises(ValueError, match="Floorplan filename not defined!"):
+        get_config()
+
+
+def test_unreadable_floorplan_file(env):
+    env.setenv("FLOORPLAN_FILE", "/nonexistent/plan.yaml")
+    with pytest.raises(IOError, match="does not exist or is not readable"):
+        get_config()
+
+
+def test_missing_bucket(env):
+    env.delenv("AWS_BUCKET")
+    with pytest.raises(ValueError, match="Bucket name not configured"):
+        get_config()
+
+
+@pytest.mark.parametrize(
+    ("var", "message"),
+    [
+        ("POSTGRES_SERVICE_HOST", "Database host not defined"),
+        ("POSTGRESQL_DATABASE", "Database name not defined"),
+        ("POSTGRESQL_USER", "Database user not defined"),
+        ("POSTGRESQL_PASSWORD", "Database password not defined"),
+        ("AWS_ENDPOINT", "Bucket endpoint not defined"),
+    ],
+)
+def test_jdbc_mode_requires_database_fields(env, var, message):
+    env.delenv(var)
+    with pytest.raises(ValueError, match=message):
+        get_config(mode="jdbc")
+
+
+def test_native_mode_does_not_require_database(env):
+    for var in ("POSTGRES_SERVICE_HOST", "POSTGRESQL_DATABASE", "POSTGRESQL_USER",
+                "POSTGRESQL_PASSWORD", "AWS_ENDPOINT"):
+        env.delenv(var)
+    cfg = get_config(mode="native")
+    assert cfg.mode == "native"
+
+
+def test_endpoint_scheme_defaulting(env):
+    # reference config.py:43-48: scheme-less endpoints get https://
+    env.setenv("AWS_ENDPOINT", "minio.example.com:9000")
+    assert get_config().bucket_url == "https://minio.example.com:9000"
+
+
+def test_output_uri_override(env):
+    env.setenv("FLOORIST_OUTPUT_URI", "file:///tmp/out/")
+    cfg = get_config(mode="native")
+    assert base_output_uri(cfg) == "file:///tmp/out"
+
+
+def test_base_output_uri_defaults_to_s3a_bucket(env):
+    assert base_output_uri(get_config()) == "s3a://bucket"
+
+
+def test_s3a_conf_mapping(env):
+    conf = s3a_conf(get_config())
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
