@@ -29,9 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def _catalogs():
     # Explicit registry — a broken import in any operator family fails
     # loudly instead of silently dropping it from the correctness gate.
-    from floorist_spark.operators import relational
+    from floorist_spark.operators import (
+        dedup,
+        events_analytics,
+        relational,
+        similarity,
+        text,
+    )
 
-    return [relational]
+    return [relational, dedup, similarity, text, events_analytics]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,260 @@
+"""Similarity search over the ``embeddings`` table (``embedding`` is
+``array<float>``, 64-dim) — brute-force cosine top-k, sign-LSH bucketed ANN,
+and an IVF (inverted-file) coarse-quantizer path.
+
+New surface beyond the reference (SURVEY §7.2.7). All vector math uses
+built-in higher-order functions (``zip_with``/``aggregate``) casting
+float32→float64 exactly and folding strictly left-to-right, so every query
+is bit-identical to its DuckDB oracle (``functions/textfrag.py``).
+
+Scale design (100 TB / billions of vectors):
+
+* s01 brute force is the CORRECTNESS baseline: O(Q·N) — valid only for a
+  bounded query set; it broadcasts the Q queries, never shuffles the corpus;
+* s02 buckets both sides with an 8-bit sign-LSH (axis-aligned random
+  hyperplanes — deterministic here so the oracle can replay it; production
+  would use seeded random planes) and joins within buckets only;
+* s03/s04 are IVF: assign every vector to its nearest coarse centroid
+  (broadcast the tiny centroid set), then search only the probed cluster.
+  The centroid set here is deterministic (first K vectors) — production
+  would train k-means (Spark MLlib KMeans fits; assignment plan identical);
+* top-k is always computed per-partition-then-merge via window row_number
+  over a bounded candidate set, never a global sort of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from floorist_spark.functions import textfrag as tf
+from floorist_spark.session import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 3
+N_CENTROIDS = 8  # vec_id < 8 double as deterministic coarse centroids
+
+_COS_S = tf.cosine_spark("q_emb", "c_emb")
+_COS_D = tf.cosine_duck("q.embedding", "c.embedding")
+
+
+def _sign_bucket_spark(col: str) -> str:
+    """8-bit bucket from the signs of the first 8 coordinates."""
+    return (
+        f"aggregate(sequence(0, 7), 0, (acc, j) -> "
+        f"acc + IF(element_at({col}, j + 1) > 0, shiftleft(1, j), 0))"
+    )
+
+
+def _sign_bucket_duck(col: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(0, 8), j -> "
+        f"CASE WHEN {col}[(j + 1)::INT] > 0 THEN (1 << j::INT) ELSE 0 END)) AS INTEGER)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+
+def s01_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for each query vector. The query side
+    (5 rows) broadcasts; the corpus streams through one narrow pass —
+    per-partition partial top-k, merged by the window. O(Q·N) compute but
+    zero corpus shuffle before the (Q·N)-row candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+S01_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# s02 — sign-LSH bucketed ANN
+# ---------------------------------------------------------------------------
+
+def s02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3: candidates restricted to the query's sign-LSH
+    bucket (expected N/256 of the corpus per bucket). The join keys on the
+    bucket — shuffle partitions by bucket, candidate count is
+    sum(|bucket|·|queries in bucket|), never Q·N."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_sign_bucket_spark("embedding")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+S02_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# s03 — IVF coarse assignment
+# ---------------------------------------------------------------------------
+
+def s03_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (max cosine, ties
+    to the lower centroid id). The centroid set is tiny and broadcast; the
+    corpus is scanned once — this is exactly the shape of an MLlib KMeans
+    transform at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    vecs = emb.select(F.col("vec_id"), F.col("embedding").alias("q_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("cosine").alias("cos_to_centroid"))
+        .orderBy("vec_id")
+    )
+
+
+S03_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id, c.vec_id AS centroid_id, {_COS_D} AS cosine
+  FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cosine AS cos_to_centroid
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# s04 — IVF probe search
+# ---------------------------------------------------------------------------
+
+def s04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=1: each query searches only its own coarse
+    cluster. Join on centroid_id co-locates query and candidates — the
+    candidate count per query is the cluster size (~N/K), not N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = s03_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    vecs = emb.join(assign, "vec_id")
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "centroid_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+S04_SQL = f"""
+WITH scored0 AS (
+  SELECT q.vec_id, c.vec_id AS centroid_id, {_COS_D} AS cosine
+  FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM scored0
+  ) WHERE rn = 1
+), vecs AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM vecs q JOIN vecs c USING (centroid_id)
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "s01_cosine_topk_brute": s01_cosine_topk_brute,
+    "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
+    "s03_ivf_assign": s03_ivf_assign,
+    "s04_ivf_search": s04_ivf_search,
+}
+
+ORACLES = {
+    "s01_cosine_topk_brute": S01_SQL,
+    "s02_lsh_bucketed_ann": S02_SQL,
+    "s03_ivf_assign": S03_SQL,
+    "s04_ivf_search": S04_SQL,
+}

@@ -1,0 +1,250 @@
+"""Text analysis over the ``documents`` table — token stats, quality
+scoring, language-ID, fingerprinting, n-gram frequencies.
+
+New surface beyond the reference (SURVEY §7.2.7). Every metric is built
+from built-in string/array functions (JVM-side, codegen) — the rule of
+this engine is that Python only enters via Arrow-batched pandas UDFs and
+only when built-ins genuinely cannot express the op (here they can). Float
+outputs are integer-ratio divisions, so they are bit-identical to the
+DuckDB oracles.
+
+Scale: every query is a single narrow scan + projection (no shuffle except
+final sorts / the n-gram aggregation, which partial-aggregates map-side).
+At 100 TB these are the cheapest possible shapes — embarrassingly parallel
+per-document transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from floorist_spark.functions import textfrag as tf
+from floorist_spark.session import load_table
+
+_NORM_S = tf.norm_spark("text")
+_NORM_D = tf.norm_duck("text")
+_TOK_S = tf.tokens_spark(_NORM_S)
+_TOK_D = tf.tokens_duck(_NORM_D)
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+#: Deliberately minimal — the operator demonstrates the scoring mechanics;
+#: production swaps in real lists (same plan shape).
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "los", "las", "y", "es", "un"),
+}
+#: languages in deterministic tie-break priority (argmax order)
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def _hits_spark(tokens: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"aggregate({tokens}, 0, (a, t) -> a + IF(t IN ({lst}), 1, 0))"
+
+
+def _hits_duck(tokens: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(list_sum(list_transform({tokens}, t -> "
+        f"CASE WHEN t IN ({lst}) THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t01 — token / length statistics
+# ---------------------------------------------------------------------------
+
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + a BPE-ish sub-token count (word chunks of
+    <=4 chars — the cheap proxy for byte-pair units; a real BPE vocab would
+    be a broadcast map lookup with the identical plan shape)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"size({_TOK_S})").alias("n_tokens"),
+            F.expr(f"length({_NORM_S})").alias("n_chars_norm"),
+            F.expr(
+                f"aggregate({_TOK_S}, 0, (a, t) -> a + CAST(ceil(length(t) / 4.0) AS INT))"
+            ).alias("n_subtokens"),
+            F.expr(
+                f"CAST(aggregate({_TOK_S}, 0, (a, t) -> a + length(t)) AS DOUBLE)"
+                f" / size({_TOK_S})"
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T01_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOK_D}) AS INTEGER) AS n_tokens,
+  CAST(length({_NORM_D}) AS INTEGER) AS n_chars_norm,
+  CAST(list_sum(list_transform({_TOK_D}, t -> CAST(ceil(length(t) / 4.0) AS INTEGER)))
+       AS INTEGER) AS n_subtokens,
+  CAST(list_sum(list_transform({_TOK_D}, t -> length(t))) AS DOUBLE)
+    / len({_TOK_D}) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t02 — quality scoring
+# ---------------------------------------------------------------------------
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, mean token length,
+    length band, and a blended score. All ratios are int/int divisions —
+    deterministic doubles."""
+    en = LANG_STOPWORDS["en"]
+    stop_ratio_s = f"CAST({_hits_spark(_TOK_S, en)} AS DOUBLE) / size({_TOK_S})"
+    len_score_s = f"least(CAST(length({_NORM_S}) AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE))"
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(stop_ratio_s).alias("stopword_ratio"),
+            F.expr(len_score_s).alias("length_score"),
+            F.expr(
+                f"CAST(0.5 AS DOUBLE) * ({len_score_s}) + CAST(0.5 AS DOUBLE) * ({stop_ratio_s})"
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_RATIO_D = f"({_hits_duck(_TOK_D, LANG_STOPWORDS['en'])})::DOUBLE / len({_TOK_D})"
+_LEN_SCORE_D = f"least(length({_NORM_D})::DOUBLE / 400.0, 1.0::DOUBLE)"
+
+T02_SQL = f"""
+SELECT doc_id,
+  {_STOP_RATIO_D} AS stopword_ratio,
+  {_LEN_SCORE_D} AS length_score,
+  0.5::DOUBLE * ({_LEN_SCORE_D}) + 0.5::DOUBLE * ({_STOP_RATIO_D}) AS quality_score
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t03 — language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword hits with deterministic argmax (priority
+    order breaks ties). The synthetic corpus is English-ish for all lang
+    labels, so the interesting output is the scores being exactly
+    reproducible — the mechanics, not the NLP."""
+    score_exprs = {
+        lang: _hits_spark(_TOK_S, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    cases = " ".join(
+        f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in LANG_PRIORITY)}) "
+        f"THEN '{lang}'"
+        for lang in LANG_PRIORITY
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            *[F.expr(e).alias(f"s_{lang}") for lang, e in score_exprs.items()],
+        )
+        .withColumn("predicted_lang", F.expr(f"CASE {cases} ELSE 'und' END"))
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_SCORES = {
+    lang: _hits_duck(_TOK_D, words) for lang, words in LANG_STOPWORDS.items()
+}
+_DUCK_CASES = " ".join(
+    f"WHEN ({_DUCK_SCORES[lang]}) >= greatest({', '.join(f'({_DUCK_SCORES[o]})' for o in LANG_PRIORITY)}) "
+    f"THEN '{lang}'"
+    for lang in LANG_PRIORITY
+)
+
+T03_SQL = f"""
+SELECT doc_id, lang,
+  {", ".join(f"({e}) AS s_{lang}" for lang, e in _DUCK_SCORES.items())},
+  CASE {_DUCK_CASES} ELSE 'und' END AS predicted_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprinting
+# ---------------------------------------------------------------------------
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of the normalized text (md5) plus a short prefix
+    for cheap equality partitioning — the join key a dedup pipeline ships
+    between stages instead of the document body."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"md5(CAST({_NORM_S} AS BINARY))").alias("fingerprint"),
+            F.expr(f"substring(md5(CAST({_NORM_S} AS BINARY)), 1, 8)").alias("fp_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T04_SQL = f"""
+SELECT doc_id, md5({_NORM_D}) AS fingerprint, substr(md5({_NORM_D}), 1, 8) AS fp_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t05 — corpus-level n-gram frequencies
+# ---------------------------------------------------------------------------
+
+def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus: explode per-doc bigrams, hash
+    aggregate (map-side partial — only distinct bigram partials shuffle),
+    top-k via sort+limit (TakeOrderedAndProject)."""
+    bigram_arr = (
+        f"transform(sequence(1, greatest(size({_TOK_S}) - 1, 0)), "
+        f"i -> concat(element_at({_TOK_S}, i), ' ', element_at({_TOK_S}, i + 1)))"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(bigram_arr)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+T05_SQL = f"""
+WITH toks AS (SELECT {_TOK_D} AS tk FROM documents),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n FROM bigrams
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+QUERIES = {
+    "t01_token_stats": t01_token_stats,
+    "t02_quality_score": t02_quality_score,
+    "t03_lang_id": t03_lang_id,
+    "t04_fingerprint": t04_fingerprint,
+    "t05_top_bigrams": t05_top_bigrams,
+}
+
+ORACLES = {
+    "t01_token_stats": T01_SQL,
+    "t02_quality_score": T02_SQL,
+    "t03_lang_id": T03_SQL,
+    "t04_fingerprint": T04_SQL,
+    "t05_top_bigrams": T05_SQL,
+}

@@ -1,0 +1,61 @@
+"""Oracle-parity regression tests for the LLM-data-pipeline operator
+families (dedup / similarity / text / events). Runs at sf0.001 for speed —
+the driver's gate re-runs the same pairs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare_results
+
+
+def _pairs():
+    from __spark_entry__ import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    return [
+        (name, qs[name], oracles.get(name))
+        for name in sorted(qs)
+        if name[0] in "dste" and name[1].isdigit()
+    ]
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    import duckdb
+
+    from floorist_spark.session import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()]
+)
+def test_llm_operator_parity(spark, duck_smoke, name, fn, sql):
+    sp = fn(spark, SF_SMOKE).toPandas()
+    if sql is None:
+        assert len(sp) >= 0
+        return
+    du = duck_smoke.execute(sql).fetchdf()
+    compare_results(sp, du, name)
+
+
+def test_catalog_covers_all_families():
+    from __spark_entry__ import queries
+
+    names = set(queries())
+    for prefix in ("d01", "s01", "t01", "e01"):
+        assert any(n.startswith(prefix) for n in names), f"missing family {prefix}"
