@@ -1,0 +1,85 @@
+"""Headline benchmark: times the engine's representative queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q11_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query executes fully via the no-op sink (``format("noop")``) so the
+timing covers scan → shuffle → result materialization without driver
+collect overhead. One warm-up scan of lineitem amortizes JVM/codegen
+startup so per-query numbers reflect steady-state plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Representative set: the reference-derived floor (1M cross-join dump),
+#: the TPC-H-shaped flagship + join/window workloads, and one headline per
+#: LLM-pipeline family (dedup / similarity / text / events).
+HEADLINE = (
+    "q05b_cross_join_1m",
+    "q11_pricing_summary",
+    "q12_shipping_priority",
+    "q13_local_supplier_volume",
+    "q17_window_topk_per_group",
+    "q18_window_running",
+    "d01_exact_dedup",
+    "d03_minhash_lsh_candidates",
+    "d06_simhash_near_pairs",
+    "s01_cosine_topk_brute",
+    "s02_lsh_bucketed_ann",
+    "t01_token_stats",
+    "t05_top_bigrams",
+    "e01_tumbling_hourly",
+    "e03_session_windows",
+)
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> int:
+    from __spark_entry__ import queries
+    from floorist_spark.session import get_spark, load_table
+
+    spark = get_spark("floorist_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # warm-up: touch the big table once so JVM startup isn't billed to q1
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,7 +40,11 @@ def norm_duck(col: str = "text") -> str:
 def shingles_spark(norm: str, k: int = 5) -> str:
     """All character k-grams of a normalized string (1-indexed substring in
     both engines). ``greatest(...,1)`` keeps short docs from producing an
-    empty set."""
+    empty set.
+
+    ``norm`` MUST be a materialized column, never an inline expression: the
+    lambda body re-evaluates its free references per element, so an inlined
+    regexp-normalization would run once per shingle (~2000× per doc)."""
     return (
         f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)), "
         f"i -> substring({norm}, i, {k}))"
@@ -62,28 +66,70 @@ def tokens_duck(norm: str) -> str:
     return f"string_split({norm}, ' ')"
 
 
-# -- MinHash (salted md5, B bands x R rows) ----------------------------------
+# -- MinHash (one md5 per shingle + affine family) ---------------------------
+#
+# The naive salted-md5 family (md5(salt || s) per hash function) costs
+# B*R md5 passes over every shingle — at sf0.1 that is ~170M digests and
+# dominated the whole bench. Instead: ONE md5 per shingle, folded to a
+# 28-bit integer, then each of the B*R MinHash functions is a cheap affine
+# transform h_i(x) = (a_i*x + b_i) mod (2^31-1) — the standard
+# universal-hash MinHash family. Products stay < 2^59, exact in plain
+# 64-bit integer math on both engines, so values are bit-identical and the
+# hot loop never touches DECIMAL/HUGEINT.
+
+MERSENNE31 = (1 << 31) - 1
 
 
-def minhash_spark(shingles: str, salt: str) -> str:
-    """One MinHash value: lexicographic min of salted md5 digests."""
-    return f"array_min(transform({shingles}, s -> md5(concat('{salt}:', s))))"
+def _affine_coef(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function i — powers of fixed primes
+    mod 2^31-1 (a != 0 since the modulus is prime)."""
+    return pow(1000003, i + 1, MERSENNE31), pow(998244353, i + 1, MERSENNE31)
 
 
-def minhash_duck(shingles: str, salt: str) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5('{salt}:' || s)))"
+def base_hash_spark(s: str) -> str:
+    """string → 28-bit integer: top 7 hex chars of md5. The only digest
+    pass in the MinHash pipeline."""
+    return f"CAST(conv(substring(md5({s}), 1, 7), 16, 10) AS BIGINT)"
 
 
-def band_signature_spark(shingles: str, band: int, rows: int) -> str:
+def base_hash_duck(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, 7)) AS BIGINT)"
+
+
+def affine_spark(h: str, i: int) -> str:
+    """Scalar hash function i over a pre-hashed value. Spark-side MinHash is
+    ``min(affine_spark('h', i))`` over exploded hashes — an aggregate, not a
+    lambda, because expressions inside higher-order-function lambdas are
+    re-evaluated per element (no codegen subexpression elimination), which
+    would re-run the md5 pass once per hash function."""
+    a, b = _affine_coef(i)
+    return f"pmod({a} * {h} + {b}, {MERSENNE31})"
+
+
+def hashes_duck(shingles: str) -> str:
+    """DuckDB oracle twin: md5 once per DISTINCT shingle (min is invariant
+    under duplicates, so distinct-vs-multiset doesn't matter)."""
+    return (
+        f"list_transform(list_distinct({shingles}), s -> {base_hash_duck('s')})"
+    )
+
+
+def minhash_duck(hashes: str, i: int) -> str:
+    a, b = _affine_coef(i)
+    return (
+        f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MERSENNE31}))"
+    )
+
+
+def band_signature_duck(hashes: str, band: int, rows: int) -> str:
     """Band signature = concat of R independent MinHashes. Two docs collide
     on a band with probability jaccard^R — R tunes precision, the band
-    count B tunes recall (1-(1-j^R)^B)."""
-    parts = ", ".join(minhash_spark(shingles, f"b{band}r{r}") for r in range(rows))
-    return f"concat_ws('|', {parts})"
-
-
-def band_signature_duck(shingles: str, band: int, rows: int) -> str:
-    parts = " || '|' || ".join(minhash_duck(shingles, f"b{band}r{r}") for r in range(rows))
+    count B tunes recall (1-(1-j^R)^B). (Spark builds the same signatures
+    from the ``min(affine_spark(...))`` aggregate columns — see
+    ``operators/dedup.py``.)"""
+    parts = " || '|' || ".join(
+        f"({minhash_duck(hashes, band * rows + r)})::VARCHAR" for r in range(rows)
+    )
     return f"({parts})"
 
 
@@ -106,27 +152,19 @@ def jaccard_duck(s1: str, s2: str) -> str:
 
 # -- SimHash (16-bit, word tokens, md5 bit source) ---------------------------
 
-_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+#: hex digits with low bit set — a token's md5 digit j votes +1 iff odd
+ODD_HEX = "('1','3','5','7','9','b','d','f')"
+_ODD_HEX = ODD_HEX
 
 
-def simhash16_spark(tokens: str) -> str:
-    """16-bit SimHash: bit j is the sign of the +/-1 vote sum over tokens,
-    where token t votes by the low bit of hex digit j of md5(t). All
-    integer math — bit-identical across engines."""
+def digests_duck(tokens: str) -> str:
+    return f"list_transform({tokens}, t -> md5(t))"
+
+
+def simhash16_duck(digests: str) -> str:
     vote = (
-        f"aggregate({tokens}, 0, (a, t) -> "
-        f"a + IF(substring(md5(t), j + 1, 1) IN {_ODD_HEX}, 1, -1))"
-    )
-    return (
-        f"aggregate(sequence(0, 15), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + IF({vote} > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
-    )
-
-
-def simhash16_duck(tokens: str) -> str:
-    vote = (
-        f"list_sum(list_transform({tokens}, t -> "
-        f"CASE WHEN substr(md5(t), (j + 1)::INT, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
+        f"list_sum(list_transform({digests}, d -> "
+        f"CASE WHEN substr(d, (j + 1)::INT, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
     )
     return (
         f"CAST(list_sum(list_transform(range(0, 16), j -> "

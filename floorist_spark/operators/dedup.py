@@ -15,7 +15,7 @@ Scale design (100 TB):
 * MinHash-LSH generates candidates by **banded bucket join only** (B=6
   bands, R=3 rows): docs pair up iff a band signature collides, so the
   candidate count is ~sum over buckets of |bucket|^2, never O(N^2). At
-  sf0.01 that is ~3.1k candidate pairs of 125k possible;
+  sf0.01 that is ~420 candidate pairs of 125k possible;
 * the Jaccard verify runs only on LSH candidates;
 * SimHash near-dup uses the pigeonhole trick: hamming<=3 over 16 bits
   implies at least one of 4 4-bit chunks matches exactly, so candidates
@@ -37,12 +37,23 @@ from floorist_spark.session import load_table
 
 NBANDS = 6
 NROWS = 3
+SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.8
 
 _NORM_S = tf.norm_spark("text")
 _NORM_D = tf.norm_duck("text")
-_SHINGLES_S = tf.shingles_spark(_NORM_S)
 _SHINGLES_D = tf.shingles_duck(_NORM_D)
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): per-doc char-5-gram arrays. The normalized text is
+    materialized as a column first — inlining the regexp normalization into
+    the shingle lambda would re-run it per shingle (see textfrag)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select("doc_id", F.expr(tf.shingles_spark("nrm", SHINGLE_K)).alias("sh"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -101,15 +112,46 @@ FROM documents GROUP BY 1 ORDER BY keep_doc_id
 # ---------------------------------------------------------------------------
 
 def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): one row per doc per band. The signature array is
-    computed once per doc (single scan), then posexploded."""
-    sigs = ", ".join(
-        tf.band_signature_spark("sh", b, NROWS) for b in range(NBANDS)
-    )
-    return (
+    """(doc_id, band, sig): one row per doc per band.
+
+    Shape matters here: materialize the normalized text, explode shingle
+    START POSITIONS, hash each shingle substring once (the only md5 pass),
+    then compute all B*R MinHashes as ``min`` aggregates over the affine
+    transforms in a single groupBy(doc_id). Aggregates evaluate each hash
+    exactly once; putting the transforms inside array lambdas instead would
+    re-run the digest pass once per hash function (higher-order-function
+    lambdas get no subexpression elimination). No array_distinct needed —
+    min is invariant under duplicate shingles. The shuffle carries only
+    (doc_id, 18 bigints) after map-side partial agg."""
+    ex = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.expr(_SHINGLES_S).alias("sh"))
-        .select("doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig"))
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select(
+            "doc_id",
+            "nrm",
+            F.explode(
+                F.expr(f"sequence(1, greatest(length(nrm) - {SHINGLE_K - 1}, 1))")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(tf.base_hash_spark(f"substring(nrm, i, {SHINGLE_K})")).alias("h"),
+        )
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+            for i in range(NBANDS * NROWS)
+        ]
+    )
+    sigs = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
+        + ")"
+        for b in range(NBANDS)
+    )
+    return mins.select(
+        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
     )
 
 
@@ -133,9 +175,9 @@ def d03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_bands() -> str:
-    sigs = ", ".join(tf.band_signature_duck("sh", b, NROWS) for b in range(NBANDS))
+    sigs = ", ".join(tf.band_signature_duck("hs", b, NROWS) for b in range(NBANDS))
     return f"""
-    WITH docs AS (SELECT doc_id, {_SHINGLES_D} AS sh FROM documents),
+    WITH docs AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents),
     bands AS (
       SELECT doc_id, band, sigarr[band + 1] AS sig FROM (
         SELECT doc_id, [{sigs}] AS sigarr FROM docs
@@ -159,11 +201,15 @@ ORDER BY doc_a, doc_b
 
 def d04_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: banded LSH candidates, then exact
-    character-5-gram Jaccard on candidates only, keep pairs >= 0.8. Output
-    is (keep, drop, jaccard) with keep = lower doc_id. The expensive
-    verify touches ~3k pairs, not 125k."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SHINGLES_S).alias("sh")
+    Jaccard over the HASHED distinct char-5-gram sets on candidates only,
+    keep pairs >= 0.8. Hashing the shingles first (same 28-bit base hash as
+    the MinHash pass) makes the set intersection integer-typed — far
+    cheaper than string-set math on both engines, identical across them,
+    and off by at most a negligible collision term. The expensive verify
+    touches ~1.4k candidate pairs, not 125k."""
+    docs = _shingled_docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})").alias("sh"),
     )
     cand = d03_minhash_lsh_candidates(spark, sf_dir)
     a = docs.alias("da")
@@ -188,10 +234,13 @@ cand AS (
   FROM bands a JOIN bands b USING (band, sig)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {_SHINGLES_D} AS sh FROM documents)
-SELECT doc_a, doc_b, {tf.jaccard_duck("da.sh", "db.sh")} AS jaccard
-FROM cand JOIN sh da ON doc_a = da.doc_id JOIN sh db ON doc_b = db.doc_id
-WHERE {tf.jaccard_duck("da.sh", "db.sh")} >= {JACCARD_THRESHOLD}
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+scored AS (
+  SELECT doc_a, doc_b, {tf.jaccard_duck("da.sh", "db.sh")} AS jaccard
+  FROM cand JOIN sh da ON doc_a = da.doc_id JOIN sh db ON doc_b = db.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -202,20 +251,35 @@ ORDER BY doc_a, doc_b
 
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from word tokens (md5 bit source, +/-1
-    votes). One scan, no shuffle except the final sort."""
-    return (
+    votes). Same explode-then-aggregate shape as MinHash: one md5 per
+    token, then the 16 bit-votes are conditional ``sum`` aggregates in a
+    single groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
+    (doc_id, 16 ints) after map-side combine."""
+    ex = (
         load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr(tf.simhash16_spark(tf.tokens_spark(_NORM_S))).alias("simhash"),
-        )
-        .orderBy("doc_id")
+        .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
+        .select("doc_id", F.md5("t").alias("d"))
     )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(IF(substring(d, {j + 1}, 1) IN {tf.ODD_HEX}, 1, -1))"
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    bits = " + ".join(
+        f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))" for j in range(16)
+    )
+    return votes.select("doc_id", F.expr(bits).alias("simhash")).orderBy("doc_id")
 
 
 D05_SQL = f"""
-SELECT doc_id, {tf.simhash16_duck(tf.tokens_duck(_NORM_D))} AS simhash
-FROM documents ORDER BY doc_id
+WITH digs AS (
+  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+)
+SELECT doc_id, {tf.simhash16_duck("digs")} AS simhash
+FROM digs ORDER BY doc_id
 """
 
 
@@ -255,8 +319,11 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D06_SQL = f"""
-WITH fp AS (
-  SELECT doc_id, {tf.simhash16_duck(tf.tokens_duck(_NORM_D))} AS simhash FROM documents
+WITH digs AS (
+  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+),
+fp AS (
+  SELECT doc_id, {tf.simhash16_duck("digs")} AS simhash FROM digs
 ),
 chunks AS (
   SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 4)::INT) & 15 AS chunk_val

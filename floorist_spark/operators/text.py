@@ -207,9 +207,14 @@ def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus: explode per-doc bigrams, hash
     aggregate (map-side partial — only distinct bigram partials shuffle),
     top-k via sort+limit (TakeOrderedAndProject)."""
+    # zip tokens with their tail instead of indexing inside a lambda —
+    # element_at({_TOK_S}, i) in a transform() re-splits the document per
+    # bigram (lambda bodies get no subexpression elimination); zip_with
+    # evaluates each argument once per row. The trailing (last, NULL) pair
+    # concats to NULL and is filtered.
     bigram_arr = (
-        f"transform(sequence(1, greatest(size({_TOK_S}) - 1, 0)), "
-        f"i -> concat(element_at({_TOK_S}, i), ' ', element_at({_TOK_S}, i + 1)))"
+        f"filter(zip_with({_TOK_S}, slice({_TOK_S}, 2, size({_TOK_S})), "
+        f"(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
     )
     return (
         load_table(spark, sf_dir, "documents")
