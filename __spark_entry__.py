@@ -32,12 +32,13 @@ def _catalogs():
     from floorist_spark.operators import (
         dedup,
         events_analytics,
+        multimodal,
         relational,
         similarity,
         text,
     )
 
-    return [relational, dedup, similarity, text, events_analytics]
+    return [relational, dedup, similarity, text, events_analytics, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,292 @@
+"""Multimodal binary-column operators — ingest, typed metadata, Arrow-batched
+feature extraction, decode, and frame sampling over opaque ``binary``
+payloads.
+
+New surface beyond the reference (SURVEY §7.2.7). The pattern for a
+100 TB media pipeline: media lives in parquet as an opaque ``binary``
+column plus typed metadata columns; per-item decode/feature work runs in
+**Arrow-batched pandas UDFs via ``mapInPandas``** (one Python worker per
+partition, zero shuffle — embarrassingly parallel), while catalog-style
+metadata stays in built-in JVM expressions.
+
+This container ships no image/audio codecs, so the decode step is gated:
+``_decode_image`` tries Pillow and otherwise falls back to a DETERMINISTIC
+fake decoder (dimensions derived from the payload's md5). The Spark-side
+plumbing — binary schema, ``mapInPandas`` signature, Arrow batch iteration,
+output schema — is real and oracle-checked: every fake is pure arithmetic
+on the content hash, so DuckDB reproduces it bit-for-bit.
+
+The binary payloads themselves are derived in-plan from the ``documents``
+table (utf-8 bytes of ``text``) — the driver's testdata has no media table,
+and deriving keeps every query oracle-comparable.
+
+Scale notes:
+
+* every operator here is a narrow per-row map — no shuffle, no skew risk;
+  partition sizing is governed by ``maxPartitionBytes`` on the scan;
+* ``mapInPandas`` streams Arrow batches (default 10k rows); payload bytes
+  cross to Python once, features come back columnar;
+* frame sampling explodes one row per sampled frame BEFORE any aggregation,
+  so downstream group-bys see (doc_id, frame) keys — partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from floorist_spark.session import load_table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: fake-video frame geometry: 256-char blocks, keep every 4th frame
+FRAME_CHARS = 256
+FRAME_STRIDE = 4
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload binary): utf-8 bytes of the document text — the
+    stand-in for an image/audio/video blob column."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m01 — binary ingest + integrity metadata (built-in JVM exprs)
+# ---------------------------------------------------------------------------
+
+def m01_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side metadata every media pipeline records next to the blob:
+    byte length, magic-prefix (format sniffing), content digest. All
+    built-in binary functions — JVM-side, no Python."""
+    return (
+        _payloads(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("octet_length(payload)").alias("n_bytes"),
+            F.expr("lower(hex(substring(payload, 1, 4)))").alias("magic_hex"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M01_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+  md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# m02 — typed media catalog (modality + fake intrinsic metadata)
+# ---------------------------------------------------------------------------
+
+def m02_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-metadata side of a media table: modality tag plus
+    per-modality intrinsics (image dims / audio duration / video frames).
+    Intrinsics here are deterministic functions of the content digest (a
+    real pipeline reads them from the container header in m04's decode
+    step); the catalog shape — one row per asset, nullable per-modality
+    columns — is the production schema."""
+    return (
+        _payloads(spark, sf_dir)
+        .select("doc_id", F.md5("payload").alias("dg"), F.expr("octet_length(payload)").alias("n_bytes"))
+        .select(
+            "doc_id",
+            F.expr("element_at(array('image','audio','video'), CAST(pmod(doc_id, 3) AS INT) + 1)").alias("media_type"),
+            "n_bytes",
+            F.expr("CASE WHEN pmod(doc_id, 3) = 0 THEN CAST(conv(substring(dg, 1, 4), 16, 10) % 1920 + 1 AS BIGINT) END").alias("width"),
+            F.expr("CASE WHEN pmod(doc_id, 3) = 0 THEN CAST(conv(substring(dg, 5, 4), 16, 10) % 1080 + 1 AS BIGINT) END").alias("height"),
+            F.expr("CASE WHEN pmod(doc_id, 3) = 1 THEN CAST(conv(substring(dg, 1, 4), 16, 10) % 3600 + 1 AS BIGINT) END").alias("duration_s"),
+            F.expr("CASE WHEN pmod(doc_id, 3) = 2 THEN CAST(ceil(n_bytes / 256.0) AS BIGINT) END").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M02_SQL = """
+SELECT doc_id,
+  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  octet_length(encode(text)) AS n_bytes,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 END AS height,
+  CASE WHEN doc_id % 3 = 1 THEN CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 3600 + 1 END AS duration_s,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) END AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# m03 — byte-level features via Arrow-batched mapInPandas
+# ---------------------------------------------------------------------------
+
+def m03_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset byte features computed IN PYTHON over Arrow batches — the
+    template for any numpy/librosa/PIL feature extractor. Output: hex-digit
+    histogram of the payload (16 counts) + byte length. The pandas UDF gets
+    the payload as ``bytes`` objects; everything stays columnar per batch."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hexes = [p.hex() for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"], "n_bytes": [len(p) for p in pdf["payload"]]}
+            for d in _HEX_DIGITS:
+                out[f"h_{d}"] = [h.count(d) for h in hexes]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id bigint, n_bytes bigint, " + ", ".join(
+        f"h_{d} bigint" for d in _HEX_DIGITS
+    )
+    return _payloads(spark, sf_dir).mapInPandas(extract, schema).orderBy("doc_id")
+
+
+_M03_COLS = ",\n  ".join(
+    f"CAST(length(hx) - length(replace(hx, '{d}', '')) AS BIGINT) AS h_{d}"
+    for d in _HEX_DIGITS
+)
+
+M03_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, lower(hex(encode(text))) AS hx
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+  {_M03_COLS}
+FROM hx ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# m04 — image decode (gated real decoder, deterministic fake fallback)
+# ---------------------------------------------------------------------------
+
+def _decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Decode one image payload → (width, height, mode).
+
+    Real path: Pillow, when installed. This container ships no codecs, so
+    the fallback is a DETERMINISTIC fake — dimensions from the content
+    digest — keeping the full mapInPandas plumbing testable and
+    oracle-comparable. A production build swaps only this function."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, img.mode
+    except ImportError:
+        import hashlib
+
+        dg = hashlib.md5(payload).hexdigest()
+        return int(dg[0:4], 16) % 1920 + 1, int(dg[4:8], 16) % 1080 + 1, "FAKE"
+
+
+def m04_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-step plumbing: mapInPandas over binary payloads, one decoded
+    metadata row per asset. ``_decode_image`` is the swap point for a real
+    codec; the surrounding batching/schema is production-shaped."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mode": [d[2] for d in decoded],
+                }
+            )
+
+    schema = "doc_id bigint, width bigint, height bigint, mode string"
+    return _payloads(spark, sf_dir).mapInPandas(decode, schema).orderBy("doc_id")
+
+
+M04_SQL = """
+SELECT doc_id,
+  CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS width,
+  CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS height,
+  'FAKE' AS mode
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# m05 — frame sampling (1 row per sampled frame)
+# ---------------------------------------------------------------------------
+
+def m05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: chunk each payload into fixed frames,
+    keep every ``FRAME_STRIDE``-th, emit (doc_id, frame_idx, frame_md5).
+    The fake "frame" is a 256-char block of the decoded text (a real
+    pipeline seeks the container's keyframe index instead); the fan-out
+    shape — mapInPandas emitting N rows per input row — is exactly how a
+    real sampler scales: no shuffle, output partitioning inherited."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                txt = payload.decode("utf-8")
+                for fi in range(0, -(-len(txt) // FRAME_CHARS), FRAME_STRIDE):
+                    frame = txt[fi * FRAME_CHARS : (fi + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    digests.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
+
+    schema = "doc_id bigint, frame_idx bigint, frame_md5 string"
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(sample, schema)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+M05_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT))) AS frame_idx,
+         text
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * {FRAME_CHARS} + 1 AS BIGINT), {FRAME_CHARS})) AS frame_md5
+FROM frames
+WHERE frame_idx % {FRAME_STRIDE} = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "m01_binary_ingest": m01_binary_ingest,
+    "m02_media_catalog": m02_media_catalog,
+    "m03_byte_histogram": m03_byte_histogram,
+    "m04_image_decode": m04_image_decode,
+    "m05_frame_sample": m05_frame_sample,
+}
+
+ORACLES = {
+    "m01_binary_ingest": M01_SQL,
+    "m02_media_catalog": M02_SQL,
+    "m03_byte_histogram": M03_SQL,
+    "m04_image_decode": M04_SQL,
+    "m05_frame_sample": M05_SQL,
+}

@@ -20,7 +20,7 @@ def _pairs():
     return [
         (name, qs[name], oracles.get(name))
         for name in sorted(qs)
-        if name[0] in "dste" and name[1].isdigit()
+        if name[0] in "dstem" and name[1].isdigit()
     ]
 
 
@@ -57,5 +57,5 @@ def test_catalog_covers_all_families():
     from __spark_entry__ import queries
 
     names = set(queries())
-    for prefix in ("d01", "s01", "t01", "e01"):
+    for prefix in ("d01", "s01", "t01", "e01", "m01"):
         assert any(n.startswith(prefix) for n in names), f"missing family {prefix}"
