@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from floorist_spark.session import load_table
+
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
 #: for the 2dp synthetic data; sum of 10k values fits DECIMAL(18,6))
 _VAL_S = "CAST(value AS DECIMAL(18,6))"
@@ -43,19 +45,16 @@ SESSION_GAP_MIN = 30
 
 
 def _convert_ts(df: DataFrame) -> DataFrame:
-    """Nanos-as-long → microsecond timestamp. Row-local projection (no
-    shuffle, codegen); DuckDB's ns→us normalization truncates identically."""
+    """Nanos-as-long → microsecond timestamp for the streaming reader (the
+    batch path gets this from ``session.load_table``)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
     return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan. The synthetic table stores ``ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's reader rejects outright — read nanos as
-    long (dynamic legacy conf) and truncate to microsecond timestamps."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _convert_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    """Events scan — nanos-timestamp handling lives in ``load_table``."""
+    return load_table(spark, sf_dir, "events")
 
 
 # ---------------------------------------------------------------------------

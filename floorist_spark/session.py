@@ -21,6 +21,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 #: Tables the driver ships at /root/testdata/sf*/ (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -82,8 +84,21 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan — Catalyst pushes filters
     and prunes columns into this scan (verify with .explain: PushedFilters /
-    ReadSchema)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ReadSchema).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects outright: read nanos as long (dynamic legacy
+    conf) and truncate to microsecond timestamps. Row-local projection — no
+    shuffle, stays in codegen; DuckDB's ns→us normalization truncates
+    identically on the oracle side."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return df
 
 
 def register_views(
