@@ -37,8 +37,9 @@ def _catalogs():
         similarity,
         text,
     )
+    from floorist_spark.streaming import stateful
 
-    return [relational, dedup, similarity, text, events_analytics, multimodal]
+    return [relational, dedup, similarity, text, events_analytics, multimodal, stateful]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -161,13 +161,16 @@ def digests_duck(tokens: str) -> str:
     return f"list_transform({tokens}, t -> md5(t))"
 
 
-def simhash16_duck(digests: str) -> str:
+def simhash_duck(digests: str, bits: int = 32) -> str:
+    """DuckDB oracle twin of the Spark conditional-sum SimHash: bit j is the
+    sign of the +/-1 vote sum, where a token votes by the low bit of hex
+    digit j of its md5 (md5's 32 hex digits support up to 32 bits)."""
     vote = (
         f"list_sum(list_transform({digests}, d -> "
         f"CASE WHEN substr(d, (j + 1)::INT, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
     )
     return (
-        f"CAST(list_sum(list_transform(range(0, 16), j -> "
+        f"CAST(list_sum(list_transform(range(0, {bits}), j -> "
         f"CASE WHEN {vote} > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)"
     )
 

@@ -38,6 +38,7 @@ from floorist_spark.session import load_table
 NBANDS = 6
 NROWS = 3
 SHINGLE_K = 5
+SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.8
 
 _NORM_S = tf.norm_spark("text")
@@ -250,11 +251,11 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from word tokens (md5 bit source, +/-1
-    votes). Same explode-then-aggregate shape as MinHash: one md5 per
-    token, then the 16 bit-votes are conditional ``sum`` aggregates in a
-    single groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
-    (doc_id, 16 ints) after map-side combine."""
+    """32-bit SimHash per document from word tokens (md5 bit source — one
+    hex digit per bit, +/-1 votes). Same explode-then-aggregate shape as
+    MinHash: one md5 per token, then the 32 bit-votes are conditional
+    ``sum`` aggregates in a single groupBy(doc_id) — no per-bit re-hashing,
+    shuffle carries only (doc_id, 32 ints) after map-side combine."""
     ex = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
@@ -265,11 +266,12 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"sum(IF(substring(d, {j + 1}, 1) IN {tf.ODD_HEX}, 1, -1))"
             ).alias(f"v{j}")
-            for j in range(16)
+            for j in range(SIMHASH_BITS)
         ]
     )
     bits = " + ".join(
-        f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))" for j in range(16)
+        f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(SIMHASH_BITS)
     )
     return votes.select("doc_id", F.expr(bits).alias("simhash")).orderBy("doc_id")
 
@@ -278,7 +280,7 @@ D05_SQL = f"""
 WITH digs AS (
   SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
 )
-SELECT doc_id, {tf.simhash16_duck("digs")} AS simhash
+SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash
 FROM digs ORDER BY doc_id
 """
 
@@ -289,16 +291,18 @@ FROM digs ORDER BY doc_id
 
 def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with hamming(simhash) <= 3: any such pair must agree exactly on
-    at least one of the 4 4-bit chunks (pigeonhole), so candidates come
+    at least one of the 4 8-bit chunks (pigeonhole), so candidates come
     from an equi-join on (chunk_id, chunk_value) — the scale-safe SimHash
-    dedup. bit_count(a XOR b) verifies the exact distance."""
+    dedup: 4*256 = 1024 buckets, so the candidate count is ~N^2/256 per
+    chunk id instead of all pairs, and shrinks further as the fingerprint
+    widens. bit_count(a XOR b) verifies the exact distance."""
     fp = d05_simhash(spark, sf_dir)
     chunks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), c -> (shiftright(simhash, c * 4) & 15))"
+                "transform(sequence(0, 3), c -> (shiftright(simhash, c * 8) & 255))"
             )
         ).alias("chunk_id", "chunk_val"),
     )
@@ -323,10 +327,10 @@ WITH digs AS (
   SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
 ),
 fp AS (
-  SELECT doc_id, {tf.simhash16_duck("digs")} AS simhash FROM digs
+  SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash FROM digs
 ),
 chunks AS (
-  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 4)::INT) & 15 AS chunk_val
+  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 8)::INT) & 255 AS chunk_val
   FROM fp, (SELECT unnest(range(0, 4)) AS c)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -337,6 +341,65 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# d07 — embedding-cosine near-dup (sign-LSH bucketed)
+# ---------------------------------------------------------------------------
+
+#: Production near-dup would use ~0.95+; the synthetic embeddings are
+#: near-random (max pairwise cosine ~0.51 at sf0.01), so the demo threshold
+#: is calibrated down to keep the verify path exercised with real pairs.
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def d07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, with candidates
+    restricted to vectors sharing an 8-bit coordinate-sign LSH bucket
+    (vectors at cosine ~1 almost surely agree on all coordinate signs).
+    The join keys on the bucket — candidate count is sum(|bucket|^2), never
+    O(N^2); the exact cosine verifies candidates only. Same bucket family
+    as similarity.s02; thresholded-pair output shape matches d04."""
+    from floorist_spark.operators.similarity import _sign_bucket_spark
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_sign_bucket_spark("embedding")).alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(tf.cosine_spark("q_emb", "c_emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _d07_sql() -> str:
+    from floorist_spark.operators.similarity import _sign_bucket_duck
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {tf.cosine_duck("a.embedding", "b.embedding")} AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -344,6 +407,7 @@ QUERIES = {
     "d04_lsh_jaccard_dedup": d04_lsh_jaccard_dedup,
     "d05_simhash": d05_simhash,
     "d06_simhash_near_pairs": d06_simhash_near_pairs,
+    "d07_embedding_neardup": d07_embedding_neardup,
 }
 
 ORACLES = {
@@ -353,4 +417,5 @@ ORACLES = {
     "d04_lsh_jaccard_dedup": D04_SQL,
     "d05_simhash": D05_SQL,
     "d06_simhash_near_pairs": D06_SQL,
+    "d07_embedding_neardup": _d07_sql(),
 }
