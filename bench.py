@@ -35,13 +35,19 @@ HEADLINE = (
     "q18_window_running",
     "d01_exact_dedup",
     "d03_minhash_lsh_candidates",
+    "d04_lsh_jaccard_dedup",
     "d06_simhash_near_pairs",
+    "d07_embedding_neardup",
     "s01_cosine_topk_brute",
     "s02_lsh_bucketed_ann",
+    "s04_ivf_search",
     "t01_token_stats",
     "t05_top_bigrams",
     "e01_tumbling_hourly",
     "e03_session_windows",
+    "m01_binary_ingest",
+    "m03_byte_histogram",
+    "m05_frame_sample",
 )
 
 
@@ -58,8 +64,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # warm-up: touch the big table once so JVM startup isn't billed to q1
+    # warm-up: touch the big table once so JVM startup isn't billed to q1,
+    # and spin up the Python worker pool (pandas import per worker) so the
+    # first mapInPandas query measures steady-state, not pool cold-start
     load_table(spark, SF_DIR, "lineitem").count()
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(n * 2).repartition(n).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

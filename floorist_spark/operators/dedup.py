@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table
 
-NBANDS = 6
-NROWS = 3
+#: B bands x R rows: candidate collision probability is 1-(1-j^R)^B —
+#: R=4 suppresses false candidates ~j^4 while recall at the 0.8 Jaccard
+#: threshold stays 1-(1-0.8^4)^8 ≈ 0.985.
+NBANDS = 8
+NROWS = 4
 SHINGLE_K = 5
 SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.8
@@ -46,12 +49,24 @@ _NORM_D = tf.norm_duck("text")
 _SHINGLES_D = tf.shingles_duck(_NORM_D)
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan fanned out to the session parallelism. The testdata
+    table is one small parquet file → one input split, which would leave
+    the CPU-heavy per-row hash/shingle work single-threaded; repartition
+    shuffles only the raw text (cheap) and buys full-core execution. On a
+    real cluster the input has many splits and this is a no-op-sized
+    rebalance."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): per-doc char-5-gram arrays. The normalized text is
     materialized as a column first — inlining the regexp normalization into
     the shingle lambda would re-run it per shingle (see textfrag)."""
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", F.expr(_NORM_S).alias("nrm"))
         .select("doc_id", F.expr(tf.shingles_spark("nrm", SHINGLE_K)).alias("sh"))
     )
@@ -125,7 +140,7 @@ def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     min is invariant under duplicate shingles. The shuffle carries only
     (doc_id, 18 bigints) after map-side partial agg."""
     ex = (
-        load_table(spark, sf_dir, "documents")
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", F.expr(_NORM_S).alias("nrm"))
         .select(
             "doc_id",
@@ -207,14 +222,57 @@ def d04_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash pass) makes the set intersection integer-typed — far
     cheaper than string-set math on both engines, identical across them,
     and off by at most a negligible collision term. The expensive verify
-    touches ~1.4k candidate pairs, not 125k."""
-    docs = _shingled_docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})").alias("sh"),
+    touches ~1.4k candidate pairs, not 125k.
+
+    The hashed-shingle table is computed ONCE, cached, and eagerly
+    materialized: the band signatures, both Jaccard join sides, and the
+    candidate self-join all derive from it, so the shingle+digest pass runs
+    a single time instead of three. Materializing before building the rest
+    of the DAG matters — consumers inside one job can start before a lazy
+    cache fills and would each recompute the subtree. (At cluster scale
+    this intermediate is what you'd checkpoint to a signature table.)"""
+    hashed = (
+        _shingled_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
+            ).alias("sh"),
+        )
+        .persist()
     )
-    cand = d03_minhash_lsh_candidates(spark, sf_dir)
-    a = docs.alias("da")
-    b = docs.alias("db")
+    hashed.count()
+
+    # band signatures from the cached hashes (same values as _band_rows:
+    # min over affine transforms, distinct-vs-multiset is irrelevant to min)
+    ex = hashed.select("doc_id", F.explode("sh").alias("h"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+            for i in range(NBANDS * NROWS)
+        ]
+    )
+    sigs = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
+        + ")"
+        for b in range(NBANDS)
+    )
+    bands = mins.select(
+        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    cand.count()
+
+    a = hashed.alias("da")
+    b = hashed.alias("db")
     return (
         cand.join(a, cand.doc_a == F.col("da.doc_id"))
         .join(b, cand.doc_b == F.col("db.doc_id"))
@@ -257,7 +315,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum`` aggregates in a single groupBy(doc_id) — no per-bit re-hashing,
     shuffle carries only (doc_id, 32 ints) after map-side combine."""
     ex = (
-        load_table(spark, sf_dir, "documents")
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
         .select("doc_id", F.md5("t").alias("d"))
     )

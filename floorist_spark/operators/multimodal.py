@@ -52,9 +52,13 @@ _HEX_DIGITS = "0123456789abcdef"
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload binary): utf-8 bytes of the document text — the
-    stand-in for an image/audio/video blob column."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    stand-in for an image/audio/video blob column. Repartitioned to session
+    parallelism: the single-file testdata scan would otherwise feed ONE
+    Python worker; with many partitions each runs its own Arrow pipe."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
 
 

@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan fanned out to session parallelism — the one-file
+    testdata scan would otherwise run every per-row transform on a single
+    core (no-op-sized rebalance on a real multi-split input)."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _NORM_S = tf.norm_spark("text")
 _NORM_D = tf.norm_duck("text")
 _TOK_S = tf.tokens_spark(_NORM_S)
@@ -62,7 +72,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=4 chars — the cheap proxy for byte-pair units; a real BPE vocab would
     be a broadcast map lookup with the identical plan shape)."""
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.expr(f"size({_TOK_S})").alias("n_tokens"),
@@ -103,7 +113,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio_s = f"CAST({_hits_spark(_TOK_S, en)} AS DOUBLE) / size({_TOK_S})"
     len_score_s = f"least(CAST(length({_NORM_S}) AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE))"
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.expr(stop_ratio_s).alias("stopword_ratio"),
@@ -146,7 +156,7 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang in LANG_PRIORITY
     )
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             "lang",
@@ -183,7 +193,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cheap equality partitioning — the join key a dedup pipeline ships
     between stages instead of the document body."""
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.expr(f"md5(CAST({_NORM_S} AS BINARY))").alias("fingerprint"),
@@ -217,7 +227,7 @@ def t05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
     )
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select(F.explode(F.expr(bigram_arr)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
