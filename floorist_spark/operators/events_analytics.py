@@ -211,11 +211,116 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("e04_stream_sink").orderBy("window_start", "event_type")
 
 
+# ---------------------------------------------------------------------------
+# e05 — as-of join (event-time point lookup)
+# ---------------------------------------------------------------------------
+
+def e05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``click`` event picks up the timestamp of the same
+    user's most recent ``purchase`` at-or-before it. Spark has no ASOF
+    JOIN operator; the scale-correct composition is union-the-sides + a
+    running ``last(..., ignorenulls)`` window — ONE shuffle on user_id,
+    no range self-join, no row explosion. The tag column orders purchases
+    before clicks at equal timestamps so the <= semantics match DuckDB's
+    native ASOF JOIN (the oracle). Output carries prior_purchase_ts (not
+    the row id) so exact-tie winners don't affect values."""
+    ev = _load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("p_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.lit(None).cast("timestamp").alias("p_ts"),
+        "event_id",
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("prior_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "prior_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
+E05_SQL = """
+SELECT a.event_id, a.user_id, a.ts, b.ts AS prior_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+ORDER BY a.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# e06 — range (interval) join
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_SECONDS = 300
+
+
+def e06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event pairs of the same user within a 5-minute window
+    (0 <= ts_b - ts_a <= 300s). A naive theta join is O(N^2) per user;
+    the scale-safe plan buckets time into window-sized cells and equi-joins
+    each left bucket to its own and the NEXT right bucket — every
+    qualifying pair lands in exactly one of those two cells, so the join
+    is hash-partitioned on (user_id, bucket) and the range predicate only
+    filters bucket-local candidates."""
+    ev = _load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.expr(f"CAST(floor(unix_micros(ts) / ({RANGE_JOIN_SECONDS} * 1e6)) AS BIGINT)").alias("bucket"),
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ts_a"),
+        F.explode(F.expr("array(bucket, bucket + 1)")).alias("jbucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"), "user_id", F.col("ts").alias("ts_b"),
+        F.col("bucket").alias("jbucket"),
+    )
+    return (
+        a.join(b, ["user_id", "jbucket"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.expr(f"ts_b <= ts_a + INTERVAL {RANGE_JOIN_SECONDS} SECOND"))
+            & ((F.col("ts_b") > F.col("ts_a")) | (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            "user_id", "id_a", "id_b",
+            F.expr("CAST(unix_micros(ts_b) - unix_micros(ts_a) AS DOUBLE) / 1e6").alias("gap_s"),
+        )
+        .distinct()
+        .orderBy("user_id", "id_a", "id_b")
+    )
+
+
+E06_SQL = f"""
+SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1e6 AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id != b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {RANGE_JOIN_SECONDS} SECOND
+ AND (b.ts > a.ts OR a.event_id < b.event_id)
+ORDER BY user_id, id_a, id_b
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
     "e03_session_windows": e03_session_windows,
     "e04_streaming_tumbling": e04_streaming_tumbling,
+    "e05_asof_join": e05_asof_join,
+    "e06_range_join": e06_range_join,
 }
 
 ORACLES = {
@@ -223,4 +328,6 @@ ORACLES = {
     "e02_sliding_counts": E02_SQL,
     "e03_session_windows": E03_SQL,
     "e04_streaming_tumbling": E01_SQL,  # stream/batch parity: same oracle
+    "e05_asof_join": E05_SQL,
+    "e06_range_join": E06_SQL,
 }
