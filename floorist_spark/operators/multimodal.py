@@ -279,12 +279,84 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# m06 — thumbnail / resize stub
+# ---------------------------------------------------------------------------
+
+THUMB_SCALE = 16
+
+
+def _resize_image(payload: bytes) -> tuple[int, int, str]:
+    """Resize one image payload → (thumb_w, thumb_h, thumb_md5).
+
+    Real path: Pillow ``Image.thumbnail``. Absent codecs, the deterministic
+    fake divides the fake-decoded dimensions by THUMB_SCALE (ceil) and
+    fingerprints a fixed 64-byte prefix as the 'thumbnail' content — pure
+    arithmetic on the content digest, so the oracle replays it exactly."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(payload))
+        img.thumbnail((img.width // THUMB_SCALE or 1, img.height // THUMB_SCALE or 1))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        import hashlib
+
+        return img.width, img.height, hashlib.md5(out.getvalue()).hexdigest()
+    except ImportError:
+        import hashlib
+
+        w, h, _ = _decode_image(payload)
+        tw = -(-w // THUMB_SCALE)
+        th = -(-h // THUMB_SCALE)
+        return tw, th, hashlib.md5(payload[:64]).hexdigest()
+
+
+def m06_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-step plumbing: mapInPandas, one thumbnail row per asset, the
+    swap point being ``_resize_image``. Same no-shuffle narrow-map shape as
+    every per-asset media transform."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rs = [_resize_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_w": [r[0] for r in rs],
+                    "thumb_h": [r[1] for r in rs],
+                    "thumb_md5": [r[2] for r in rs],
+                }
+            )
+
+    schema = "doc_id bigint, thumb_w bigint, thumb_h bigint, thumb_md5 string"
+    return _payloads(spark, sf_dir).mapInPandas(resize, schema).orderBy("doc_id")
+
+
+# fake thumb_md5 hashes the first 64 BYTES of the utf-8 payload; duck md5()
+# hashes a VARCHAR's utf-8 bytes, so slice 64 bytes in blob space via a
+# 64-char substr only when the prefix is pure ASCII — the synthetic corpus
+# is ASCII, and the ingest magic check (m01) pins that assumption.
+M06_SQL = f"""
+SELECT doc_id,
+  CAST(ceil((CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1) / {THUMB_SCALE}.0) AS BIGINT) AS thumb_w,
+  CAST(ceil((CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1) / {THUMB_SCALE}.0) AS BIGINT) AS thumb_h,
+  md5(substr(text, 1, 64)) AS thumb_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
     "m03_byte_histogram": m03_byte_histogram,
     "m04_image_decode": m04_image_decode,
     "m05_frame_sample": m05_frame_sample,
+    "m06_thumbnail": m06_thumbnail,
 }
 
 ORACLES = {
@@ -293,4 +365,5 @@ ORACLES = {
     "m03_byte_histogram": M03_SQL,
     "m04_image_decode": M04_SQL,
     "m05_frame_sample": M05_SQL,
+    "m06_thumbnail": M06_SQL,
 }

@@ -248,12 +248,58 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# t06 — BPE-ish regex tokenization
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer shape (contractions, letter runs, digit runs,
+#: punctuation runs, each with optional leading space) — restricted to
+#: syntax Java regex (Spark) and RE2 (DuckDB) treat identically.
+BPE_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
+def t06_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization (the stage before a BPE merge table): count
+    and distinct-count GPT-2-style pre-tokens per doc. regexp_extract_all
+    is a single JVM-side pass per row — the merge-table lookup a real BPE
+    adds is a broadcast map join over these tokens with the same plan
+    shape."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select(
+            "doc_id",
+            F.regexp_extract_all("nrm", F.lit(BPE_PATTERN), 0).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_pretokens"),
+            F.expr("size(array_distinct(toks))").alias("n_unique_pretokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_D = BPE_PATTERN.replace("'", "''")
+
+T06_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all({_NORM_D}, '{_BPE_D}') AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_pretokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_pretokens
+FROM toks ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
     "t03_lang_id": t03_lang_id,
     "t04_fingerprint": t04_fingerprint,
     "t05_top_bigrams": t05_top_bigrams,
+    "t06_regex_tokens": t06_regex_tokens,
 }
 
 ORACLES = {
@@ -262,4 +308,5 @@ ORACLES = {
     "t03_lang_id": T03_SQL,
     "t04_fingerprint": T04_SQL,
     "t05_top_bigrams": T05_SQL,
+    "t06_regex_tokens": T06_SQL,
 }
