@@ -694,6 +694,34 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linesta
 """
 
 
+def q31_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED distinct aggregation — the skew-survival pattern
+    for high-cardinality distinct counts on hot keys.
+
+    ``l_returnflag`` has only 3 values, so a naive
+    ``groupBy(flag).agg(countDistinct(suppkey))`` funnels a third of a
+    100 TB table through 3 reducers. Phase 1 deduplicates on
+    (flag, suppkey) — the shuffle key carries the high-cardinality column,
+    spreading each hot flag over the whole cluster (this IS the salt: a
+    deterministic, collision-free one). Phase 2 counts per flag over the
+    already-tiny distinct set. Result is identical to the naive plan
+    (oracle: plain COUNT(DISTINCT)); only the shuffle distribution
+    changes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    phase1 = li.select("l_returnflag", "l_suppkey").distinct()
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_distinct_suppliers"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q31_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_suppliers
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -728,6 +756,7 @@ QUERIES = {
     "q28_anti_join": q28_anti_join,
     "q29_left_join": q29_left_join,
     "q30_grouping_sets": q30_grouping_sets,
+    "q31_salted_distinct_agg": q31_salted_distinct_agg,
 }
 
 ORACLES = {
@@ -762,4 +791,5 @@ ORACLES = {
     "q28_anti_join": Q28_SQL,
     "q29_left_join": Q29_SQL,
     "q30_grouping_sets": Q30_SQL,
+    "q31_salted_distinct_agg": Q31_SQL,
 }
