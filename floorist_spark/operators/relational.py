@@ -722,6 +722,87 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q32_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — one sort-based aggregate
+    computing the full quantile array, then cheap element extracts (never
+    one sort per quantile). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)p linear-interpolation definition, so
+    the doubles are bit-identical. At scale an exact percentile is a heavy
+    per-group sort; the approx_percentile/t-digest variant trades that for
+    a mergeable sketch with the same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.expr("element_at(p, 1)").alias("p25"),
+            F.expr("element_at(p, 2)").alias("median"),
+            F.expr("element_at(p, 3)").alias("p75"),
+            F.expr("element_at(p, 4)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q32_SQL = """
+WITH q AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.99]) AS p
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, p[1] AS p25, p[2] AS median, p[3] AS p75, p[4] AS p99
+FROM q ORDER BY l_returnflag
+"""
+
+
+def q33_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, each order's trailing-30-day
+    spend (value-based frame over the order date, not a row count). The
+    frame key is integer days-since-epoch so both engines use the same
+    numeric RANGE semantics; the sum is exact DECIMAL rendered to DOUBLE.
+    One shuffle on o_custkey; frames evaluate in a single per-partition
+    sorted pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias("od"),
+            "o_totalprice",
+        )
+        .withColumn(
+            "trailing_30d_spend",
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+                "PARTITION BY o_custkey ORDER BY od "
+                "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "trailing_30d_spend")
+        .orderBy("o_orderkey")
+    )
+
+
+Q33_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch(CAST(o_orderdate AS DATE)) / 86400 AS BIGINT) AS od,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY od
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend
+FROM t ORDER BY o_orderkey
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -757,6 +838,8 @@ QUERIES = {
     "q29_left_join": q29_left_join,
     "q30_grouping_sets": q30_grouping_sets,
     "q31_salted_distinct_agg": q31_salted_distinct_agg,
+    "q32_percentiles": q32_percentiles,
+    "q33_range_window": q33_range_window,
 }
 
 ORACLES = {
@@ -792,4 +875,6 @@ ORACLES = {
     "q29_left_join": Q29_SQL,
     "q30_grouping_sets": Q30_SQL,
     "q31_salted_distinct_agg": Q31_SQL,
+    "q32_percentiles": Q32_SQL,
+    "q33_range_window": Q33_SQL,
 }
