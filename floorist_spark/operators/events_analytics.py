@@ -28,7 +28,6 @@ Scale (100 TB of events):
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +54,19 @@ def _convert_ts(df: DataFrame) -> DataFrame:
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events scan — nanos-timestamp handling lives in ``load_table``."""
     return load_table(spark, sf_dir, "events")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table. The streaming file source lists a
+    DIRECTORY; the testdata table is a single file, so expose it through a
+    symlink dir (what a real deployment's landing prefix is anyway)."""
+    from floorist_spark.streaming.stateful import _stream_dir_for
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return _convert_ts(
+        spark.readStream.schema(raw_schema).parquet(_stream_dir_for(sf_dir, "events"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,20 +188,7 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     On a real cluster this runs continuously with
     ``withWatermark("ts", ...)`` + append mode and checkpointing; the
     complete-mode memory sink here keeps the demo hermetic."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    # Streaming file source lists a DIRECTORY; the testdata table is a single
-    # file, so expose it through a symlink dir (what a real deployment's
-    # landing prefix is anyway).
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"floorist_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    stream = _convert_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.expr(_SUM_VAL))
@@ -209,6 +208,59 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table("e04_stream_sink").orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# e07 — streaming windowed agg with WATERMARK (append mode)
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAY_MIN = 10
+
+
+def e07_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming shape: event-time watermark + tumbling
+    window + APPEND output — each window is emitted exactly once, when the
+    watermark (max event time − 10 min) passes its end, and its state is
+    dropped. Unlike e04's complete-mode demo, state is bounded: only open
+    windows live in the store, which is what makes the operator run
+    forever at 100 TB/day.
+
+    With one availableNow batch the final watermark is the global max
+    event time, so the emitted set is exactly the closed windows — a
+    deterministic subset with a plain SQL oracle (batch agg filtered on
+    window_end <= max(ts) − delay)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.expr(_SUM_VAL))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("e07_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("e07_stream_sink").orderBy("window_start", "event_type")
+
+
+E07_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, {_SUM_VAL}
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+ORDER BY window_start, event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +373,7 @@ QUERIES = {
     "e04_streaming_tumbling": e04_streaming_tumbling,
     "e05_asof_join": e05_asof_join,
     "e06_range_join": e06_range_join,
+    "e07_streaming_watermark": e07_streaming_watermark,
 }
 
 ORACLES = {
@@ -330,4 +383,5 @@ ORACLES = {
     "e04_streaming_tumbling": E01_SQL,  # stream/batch parity: same oracle
     "e05_asof_join": E05_SQL,
     "e06_range_join": E06_SQL,
+    "e07_streaming_watermark": E07_SQL,
 }
