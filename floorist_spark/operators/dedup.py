@@ -12,13 +12,13 @@ Scale design (100 TB):
 
 * exact dedup is a hash aggregate on md5(text) — map-side partial, one
   shuffle on the digest, never on the full text;
-* MinHash-LSH generates candidates by **banded bucket join only** (B=6
-  bands, R=3 rows): docs pair up iff a band signature collides, so the
+* MinHash-LSH generates candidates by **banded bucket join only** (B=8
+  bands, R=4 rows): docs pair up iff a band signature collides, so the
   candidate count is ~sum over buckets of |bucket|^2, never O(N^2). At
-  sf0.01 that is ~420 candidate pairs of 125k possible;
+  sf0.01 that is ~220 candidate pairs of 125k possible;
 * the Jaccard verify runs only on LSH candidates;
-* SimHash near-dup uses the pigeonhole trick: hamming<=3 over 16 bits
-  implies at least one of 4 4-bit chunks matches exactly, so candidates
+* SimHash near-dup uses the pigeonhole trick: hamming<=3 over 32 bits
+  implies at least one of 4 8-bit chunks matches exactly, so candidates
   come from an equi-join on (chunk_id, chunk_value) — again no O(N^2);
 * embedding near-dup buckets by coordinate-sign LSH before any pairing.
 

@@ -1,6 +1,6 @@
 """Event analytics over the ``events`` table — tumbling, sliding, and
-session windows, plus a Structured Streaming variant of the tumbling
-aggregation.
+session windows, as-of and range joins, plus Structured Streaming
+variants (availableNow tumbling; watermarked append-mode windows).
 
 New surface beyond the reference (SURVEY §7.2.7; the reference is strictly
 batch — `clowdapp.yaml:19-22` is a cron job). Batch ``window()`` /
