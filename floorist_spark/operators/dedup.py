@@ -458,6 +458,95 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# d09 — dedup cluster assignment (connected components of near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the SimHash near-dup graph: every document gets
+    ``cluster_id`` = min doc_id reachable through near-dup edges (singletons
+    map to themselves). This is the step that turns pairwise near-dup
+    verdicts into a keep-one-per-cluster decision.
+
+    Spark has no recursive SQL, so this is iterative min-label propagation
+    — the one legitimate driver-side loop in this engine: each round is a
+    fully distributed join+agg over the (tiny) label table, the loop count
+    is the graph diameter (2-4 for dup clusters), and ``localCheckpoint``
+    cuts the compounding lineage each round. At billions of docs the same
+    loop runs with the label table disk-backed (this is exactly
+    GraphFrames' label-propagation shape). Oracle: DuckDB recursive CTE."""
+    pairs = (
+        d06_simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    pairs.count()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
+        .localCheckpoint()
+    )
+    # labels are monotonically non-increasing (least of self and neighbor
+    # min), so sum(lbl) is a sufficient convergence check — one cheap
+    # aggregate per round instead of a self-join diff
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    while True:
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc == nbr.dst, "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+D09_SQL = f"""
+WITH RECURSIVE digs AS (
+  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+),
+fp AS (
+  SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash FROM digs
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 8)::INT) & 255 AS chunk_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
+  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -466,6 +555,7 @@ QUERIES = {
     "d05_simhash": d05_simhash,
     "d06_simhash_near_pairs": d06_simhash_near_pairs,
     "d07_embedding_neardup": d07_embedding_neardup,
+    "d09_dedup_clusters": d09_dedup_clusters,
 }
 
 ORACLES = {
@@ -476,4 +566,5 @@ ORACLES = {
     "d05_simhash": D05_SQL,
     "d06_simhash_near_pairs": D06_SQL,
     "d07_embedding_neardup": _d07_sql(),
+    "d09_dedup_clusters": D09_SQL,
 }
