@@ -138,7 +138,7 @@ def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run the digest pass once per hash function (higher-order-function
     lambdas get no subexpression elimination). No array_distinct needed —
     min is invariant under duplicate shingles. The shuffle carries only
-    (doc_id, 18 bigints) after map-side partial agg."""
+    (doc_id, B*R bigints) after map-side partial agg."""
     ex = (
         _docs_parallel(spark, sf_dir)
         .select("doc_id", F.expr(_NORM_S).alias("nrm"))
