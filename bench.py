@@ -33,6 +33,9 @@ HEADLINE = (
     "q13_local_supplier_volume",
     "q17_window_topk_per_group",
     "q18_window_running",
+    "q31_salted_distinct_agg",
+    "q32_percentiles",
+    "q33_range_window",
     "d01_exact_dedup",
     "d03_minhash_lsh_candidates",
     "d04_lsh_jaccard_dedup",
@@ -43,8 +46,11 @@ HEADLINE = (
     "s04_ivf_search",
     "t01_token_stats",
     "t05_top_bigrams",
+    "t06_regex_tokens",
     "e01_tumbling_hourly",
     "e03_session_windows",
+    "e05_asof_join",
+    "e06_range_join",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",
