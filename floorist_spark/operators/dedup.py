@@ -547,6 +547,68 @@ FROM reach GROUP BY doc ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d10 — curation keep-decision (clusters x quality)
+# ---------------------------------------------------------------------------
+
+def d10_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation end-stage: one keep-decision per near-dup cluster —
+    the member with the highest quality score (ties to the lowest doc_id)
+    survives. Composes d09's connected components with the text family's
+    quality scoring; per-cluster argmax is a window row_number, so the
+    only added shuffle is on cluster_id."""
+    from floorist_spark.operators.text import t02_quality_score
+    from pyspark.sql.window import Window
+
+    clusters = d09_dedup_clusters(spark, sf_dir)
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    joined = clusters.join(quality, "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("quality_score").alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _d10_sql() -> str:
+    from floorist_spark.operators.text import _LEN_SCORE_D, _STOP_RATIO_D
+
+    # everything up to d09's final SELECT = the shared CTE chain ending
+    # with the recursive `reach`
+    ctes = D09_SQL[: D09_SQL.rindex("SELECT doc AS doc_id")].strip().rstrip()
+    return f"""
+{ctes}
+, clusters AS (
+  SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
+),
+quality AS (
+  SELECT doc_id,
+    0.5::DOUBLE * ({_LEN_SCORE_D}) + 0.5::DOUBLE * ({_STOP_RATIO_D}) AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, quality_score AS best_quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -556,6 +618,7 @@ QUERIES = {
     "d06_simhash_near_pairs": d06_simhash_near_pairs,
     "d07_embedding_neardup": d07_embedding_neardup,
     "d09_dedup_clusters": d09_dedup_clusters,
+    "d10_curation_keep": d10_curation_keep,
 }
 
 ORACLES = {
@@ -567,4 +630,5 @@ ORACLES = {
     "d06_simhash_near_pairs": D06_SQL,
     "d07_embedding_neardup": _d07_sql(),
     "d09_dedup_clusters": D09_SQL,
+    "d10_curation_keep": _d10_sql(),
 }
