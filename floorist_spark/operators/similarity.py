@@ -245,11 +245,38 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s05 — trained IVF coarse quantizer (MLlib KMeans)
+# ---------------------------------------------------------------------------
+
+def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production version of s03: coarse centroids TRAINED with MLlib
+    KMeans (k-means||, fixed seed) instead of the deterministic stand-ins.
+    Training is Spark's distributed Lloyd iterations; assignment is a
+    broadcast of k centroids against one corpus scan — identical plan
+    shape to s03 at any scale. No cross-engine oracle exists for an
+    iterative ML fit, so this entry takes the driver's rows-only check
+    (the oracle-checked s03/s04 pin the assignment/search semantics)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=N_CENTROIDS, seed=42, maxIter=10).fit(emb)
+    return (
+        model.transform(emb)
+        .select("vec_id", F.col("prediction").cast("bigint").alias("centroid_id"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
     "s03_ivf_assign": s03_ivf_assign,
     "s04_ivf_search": s04_ivf_search,
+    "s05_kmeans_ivf_assign": s05_kmeans_ivf_assign,
 }
 
 ORACLES = {
