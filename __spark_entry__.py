@@ -26,34 +26,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return FLAGSHIP(spark, "/root/testdata/sf0.001")
 
 
-def _catalogs():
-    # Explicit registry — a broken import in any operator family fails
-    # loudly instead of silently dropping it from the correctness gate.
-    from floorist_spark.operators import (
-        dedup,
-        events_analytics,
-        multimodal,
-        relational,
-        similarity,
-        text,
-    )
-    from floorist_spark.streaming import stateful
-
-    return [relational, dedup, similarity, text, events_analytics, multimodal, stateful]
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _catalogs():
-        out.update(getattr(mod, "QUERIES", {}))
-    return out
+    """One entry per implemented operator from SURVEY.md §2 (registry:
+    ``floorist_spark.operators.catalog`` — explicit module list, broken
+    imports fail loudly)."""
+    from floorist_spark.operators.catalog import all_queries
+
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each deterministic, SQL-expressible
     query; keys absent here get the driver's rows-only check."""
-    out: dict[str, str] = {}
-    for mod in _catalogs():
-        out.update(getattr(mod, "ORACLES", {}))
-    return out
+    from floorist_spark.operators.catalog import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,70 @@
+"""Operator-catalog registry — the single source of truth for every
+implemented query/operator and its DuckDB oracle.
+
+Used by two consumers:
+
+* ``__spark_entry__`` (the driver contract) exposes these as
+  ``queries()`` / ``oracle_sql()``;
+* the export engine resolves floorplan rows whose ``query`` is
+  ``catalog:<name>`` to the same callables, so any catalog operator can be
+  dumped through the partitioned Parquet sink exactly like a SQL query.
+
+The module list is explicit — a broken import in any operator family
+fails loudly instead of silently dropping it from the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: prefix marking a floorplan query as a catalog reference
+CATALOG_PREFIX = "catalog:"
+
+
+def modules():
+    from floorist_spark.operators import (
+        dedup,
+        events_analytics,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from floorist_spark.streaming import stateful
+
+    return [relational, dedup, similarity, text, events_analytics, multimodal, stateful]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out
+
+
+def resolve_catalog_query(
+    spark: SparkSession, query: str, data_dir: str
+) -> DataFrame | None:
+    """If ``query`` is a ``catalog:<name>`` reference, build that operator's
+    DataFrame over ``data_dir``; otherwise return None (caller treats the
+    string as SQL). Unknown names raise KeyError — the executor's per-dump
+    isolation turns that into a failed dump, not a crashed run."""
+    q = query.strip()
+    if not q.startswith(CATALOG_PREFIX):
+        return None
+    name = q[len(CATALOG_PREFIX) :].strip()
+    fns = all_queries()
+    if name not in fns:
+        raise KeyError(
+            f"unknown catalog query {name!r} (known: {len(fns)} operators)"
+        )
+    return fns[name](spark, data_dir)

@@ -45,10 +45,19 @@ class FlooristSpark:
             runner = JdbcQueryRunner(self.spark, config, parity=parity)
             commit, rollback = runner.commit, runner.rollback
         else:
+            from floorist_spark.operators.catalog import resolve_catalog_query
+            from floorist_spark.session import DEFAULT_SF_DIR
+
             data_dir = environ.get("FLOORIST_DATA_DIR")
             if data_dir:
                 register_views(self.spark, data_dir)
-            runner = self.spark.sql
+
+            def runner(query: str, _dir=data_dir or DEFAULT_SF_DIR):
+                # floorplan rows can reference any catalog operator by name
+                # (`query: catalog:d04_lsh_jaccard_dedup`) — same sink path
+                df = resolve_catalog_query(self.spark, query, _dir)
+                return df if df is not None else self.spark.sql(query)
+
             commit = rollback = lambda: None
         logging.info("Successfully connected to the database")
 

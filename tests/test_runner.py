@@ -144,3 +144,18 @@ def test_parallel_dumps_partial_failure(runner_factory, monkeypatch, caplog):
     assert os.path.isdir(_day_dir(out, "exports/good"))
     assert os.path.isdir(_day_dir(out, "exports/after"))
     assert "Dumped 2 from total of 3" in caplog.text
+
+
+def test_catalog_query_export(runner_factory, spark, monkeypatch, caplog):
+    # floorplan rows can export any operator-catalog entry by name
+    caplog.set_level(logging.INFO)
+    monkeypatch.setenv("FLOORIST_DATA_DIR", "/root/testdata/sf0.001")
+    runner, out = runner_factory(
+        "- prefix: exports/catalog\n  query: catalog:q11_pricing_summary\n"
+        "- prefix: exports/catalog_bad\n  query: catalog:nope\n"
+    )
+    with pytest.raises(SystemExit):  # unknown name fails ONLY that dump
+        runner.run()
+    d = _day_dir(out, "exports/catalog")
+    assert spark.read.parquet(f"file://{d}").count() == 6  # q11 rows at sf0.001
+    assert "Dumped 1 from total of 2" in caplog.text
