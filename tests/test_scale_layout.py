@@ -12,10 +12,9 @@ These pin the two layout mechanisms a 100 TB deployment leans on:
 
 from __future__ import annotations
 
-import io
 import contextlib
+import io
 
-import pytest
 from pyspark.sql import functions as F
 
 
