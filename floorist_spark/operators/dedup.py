@@ -463,10 +463,17 @@ ORDER BY vec_a, vec_b
 # ---------------------------------------------------------------------------
 
 def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive closure of the SimHash near-dup graph: every document gets
-    ``cluster_id`` = min doc_id reachable through near-dup edges (singletons
-    map to themselves). This is the step that turns pairwise near-dup
-    verdicts into a keep-one-per-cluster decision.
+    """Transitive closure of the VERIFIED near-dup graph (d04: LSH
+    candidates that passed the exact Jaccard >= 0.8 check): every document
+    gets ``cluster_id`` = min doc_id reachable through verified edges
+    (singletons map to themselves). This is the step that turns pairwise
+    near-dup verdicts into a keep-one-per-cluster decision.
+
+    Clustering the VERIFIED graph, not raw fingerprint candidates, is a
+    scale-correctness requirement: a 50k-doc stress test showed a 32-bit
+    SimHash candidate graph randomly merges ~2k unrelated pairs (birthday
+    effect at hamming<=3), while Jaccard-verified edges have no false
+    positives at any corpus size (`tests/test_dedup_scale.py`).
 
     Spark has no recursive SQL, so this is iterative min-label propagation
     — the one legitimate driver-side loop in this engine: each round is a
@@ -476,7 +483,7 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop runs with the label table disk-backed (this is exactly
     GraphFrames' label-propagation shape). Oracle: DuckDB recursive CTE."""
     pairs = (
-        d06_simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+        d04_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
     pairs.count()
     edges = pairs.union(
@@ -517,20 +524,19 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D09_SQL = f"""
-WITH RECURSIVE digs AS (
-  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+WITH RECURSIVE {_duck_bands().strip().removeprefix("WITH").strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
 ),
-fp AS (
-  SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash FROM digs
-),
-chunks AS (
-  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 8)::INT) & 255 AS chunk_val
-  FROM fp, (SELECT unnest(range(0, 4)) AS c)
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+scored AS (
+  SELECT doc_a, doc_b, {tf.jaccard_duck("da.sh", "db.sh")} AS jaccard
+  FROM cand JOIN sh da ON doc_a = da.doc_id JOIN sh db ON doc_b = db.doc_id
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
-  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
