@@ -152,8 +152,12 @@ def jaccard_duck(s1: str, s2: str) -> str:
 
 # -- SimHash (16-bit, word tokens, md5 bit source) ---------------------------
 
-#: hex digits with low bit set — a token's md5 digit j votes +1 iff odd
+#: hex digits with bit 0 set — a token votes +1 on bit j<half iff hex
+#: digit j of its md5 is odd
 ODD_HEX = "('1','3','5','7','9','b','d','f')"
+#: hex digits with bit 1 set — the second independent bit per digit, used
+#: for bits j>=half so one 32-digit md5 yields up to 64 SimHash bits
+BIT1_HEX = "('2','3','6','7','a','b','e','f')"
 _ODD_HEX = ODD_HEX
 
 
@@ -161,17 +165,35 @@ def digests_duck(tokens: str) -> str:
     return f"list_transform({tokens}, t -> md5(t))"
 
 
-def simhash_duck(digests: str, bits: int = 32) -> str:
-    """DuckDB oracle twin of the Spark conditional-sum SimHash: bit j is the
-    sign of the +/-1 vote sum, where a token votes by the low bit of hex
-    digit j of its md5 (md5's 32 hex digits support up to 32 bits)."""
-    vote = (
+def simhash_vote_spark(d: str, j: int, bits: int) -> str:
+    """One conditional-sum vote aggregate for SimHash bit j over a token
+    digest column: bits below half read bit 0 of hex digit j, bits above
+    read bit 1 of hex digit j-half — two independent bits per digit, so a
+    single md5 pass supports a 60+-bit fingerprint."""
+    half = bits // 2
+    if j < half:
+        pos, hexset = j + 1, ODD_HEX
+    else:
+        pos, hexset = j - half + 1, BIT1_HEX
+    return f"sum(IF(substring({d}, {pos}, 1) IN {hexset}, 1, -1))"
+
+
+def simhash_duck(digests: str, bits: int) -> str:
+    """DuckDB oracle twin of the Spark conditional-sum SimHash (same
+    two-bits-per-hex-digit scheme as :func:`simhash_vote_spark`)."""
+    half = bits // 2
+    vote_low = (
         f"list_sum(list_transform({digests}, d -> "
-        f"CASE WHEN substr(d, (j + 1)::INT, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
+        f"CASE WHEN substr(d, (j + 1)::INT, 1) IN {ODD_HEX} THEN 1 ELSE -1 END))"
+    )
+    vote_hi = (
+        f"list_sum(list_transform({digests}, d -> "
+        f"CASE WHEN substr(d, (j - {half} + 1)::INT, 1) IN {BIT1_HEX} THEN 1 ELSE -1 END))"
     )
     return (
         f"CAST(list_sum(list_transform(range(0, {bits}), j -> "
-        f"CASE WHEN {vote} > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)"
+        f"CASE WHEN (CASE WHEN j < {half} THEN {vote_low} ELSE {vote_hi} END) > 0 "
+        f"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)"
     )
 
 

@@ -17,8 +17,8 @@ Scale design (100 TB):
   candidate count is ~sum over buckets of |bucket|^2, never O(N^2). At
   sf0.01 that is ~220 candidate pairs of 125k possible;
 * the Jaccard verify runs only on LSH candidates;
-* SimHash near-dup uses the pigeonhole trick: hamming<=3 over 32 bits
-  implies at least one of 4 8-bit chunks matches exactly, so candidates
+* SimHash near-dup uses the pigeonhole trick: hamming<=3 over 60 bits
+  implies at least one of 4 15-bit chunks matches exactly, so candidates
   come from an equi-join on (chunk_id, chunk_value) — again no O(N^2);
 * embedding near-dup buckets by coordinate-sign LSH before any pairing.
 
@@ -41,7 +41,8 @@ from floorist_spark.session import load_table
 NBANDS = 8
 NROWS = 4
 SHINGLE_K = 5
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
+SIMHASH_CHUNK_BITS = 15  # 4 pigeonhole chunks for hamming <= 3
 JACCARD_THRESHOLD = 0.8
 
 _NORM_S = tf.norm_spark("text")
@@ -309,11 +310,13 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from word tokens (md5 bit source — one
-    hex digit per bit, +/-1 votes). Same explode-then-aggregate shape as
-    MinHash: one md5 per token, then the 32 bit-votes are conditional
-    ``sum`` aggregates in a single groupBy(doc_id) — no per-bit re-hashing,
-    shuffle carries only (doc_id, 32 ints) after map-side combine."""
+    """60-bit SimHash per document from word tokens (md5 bit source — two
+    independent bits per hex digit, +/-1 votes; 60 bits keeps random
+    collisions at hamming<=3 negligible even at billions of pairs). Same
+    explode-then-aggregate shape as MinHash: one md5 per token, then the
+    60 bit-votes are conditional ``sum`` aggregates in a single
+    groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
+    (doc_id, 60 ints) after map-side combine."""
     ex = (
         _docs_parallel(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
@@ -321,9 +324,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.expr(
-                f"sum(IF(substring(d, {j + 1}, 1) IN {tf.ODD_HEX}, 1, -1))"
-            ).alias(f"v{j}")
+            F.expr(tf.simhash_vote_spark("d", j, SIMHASH_BITS)).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
@@ -349,18 +350,17 @@ FROM digs ORDER BY doc_id
 
 def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with hamming(simhash) <= 3: any such pair must agree exactly on
-    at least one of the 4 8-bit chunks (pigeonhole), so candidates come
+    at least one of the 4 15-bit chunks (pigeonhole), so candidates come
     from an equi-join on (chunk_id, chunk_value) — the scale-safe SimHash
-    dedup: 4*256 = 1024 buckets, so the candidate count is ~N^2/256 per
-    chunk id instead of all pairs, and shrinks further as the fingerprint
-    widens. bit_count(a XOR b) verifies the exact distance."""
+    dedup: 4*32768 buckets, so random docs essentially never become
+    candidates. bit_count(a XOR b) verifies the exact distance."""
     fp = d05_simhash(spark, sf_dir)
     chunks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), c -> (shiftright(simhash, c * 8) & 255))"
+                "transform(sequence(0, 3), c -> (shiftright(simhash, c * 15) & 32767))"
             )
         ).alias("chunk_id", "chunk_val"),
     )
@@ -388,7 +388,7 @@ fp AS (
   SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash FROM digs
 ),
 chunks AS (
-  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 8)::INT) & 255 AS chunk_val
+  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 15)::INT) & 32767 AS chunk_val
   FROM fp, (SELECT unnest(range(0, 4)) AS c)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

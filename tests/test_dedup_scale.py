@@ -69,6 +69,17 @@ def test_lsh_candidates_have_full_recall_on_identical_pairs(spark, corpus_dir):
 
 
 @pytest.mark.slow
+def test_simhash_pairs_are_exactly_the_planted_dups(spark, corpus_dir):
+    # 60-bit fingerprint: random 50k docs produce ~0 spurious hamming<=3
+    # pairs (expected ~4e-5), so the pair set is exactly the planted copies
+    from floorist_spark.operators.dedup import d06_simhash_near_pairs
+
+    pairs = d06_simhash_near_pairs(spark, corpus_dir)
+    assert pairs.count() == N_DUPS
+    assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
+@pytest.mark.slow
 def test_cluster_count_matches_distinct_texts(spark, corpus_dir):
     from floorist_spark.operators.dedup import d09_dedup_clusters
 

@@ -136,8 +136,7 @@ def test_simhash_parity(frames):
     spark, con = frames
     bits = 16
     votes = ", ".join(
-        f"sum(IF(substring(d, {j + 1}, 1) IN {tf.ODD_HEX}, 1, -1)) AS v{j}"
-        for j in range(bits)
+        f"{tf.simhash_vote_spark('d', j, bits)} AS v{j}" for j in range(bits)
     )
     add = " + ".join(
         f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
