@@ -803,6 +803,138 @@ FROM t ORDER BY o_orderkey
 """
 
 
+def q34_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (PostgreSQL staple): customers with
+    at least one high-value order but no low-priority one. Catalyst
+    rewrites both subqueries to semi/anti joins — no per-row subquery
+    execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(Q34_SQL)
+
+
+Q34_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '5-LOW')
+ORDER BY c_custkey
+"""
+
+
+def q35_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL ``DISTINCT ON (key) ... ORDER BY key, sort``: each
+    customer's single most expensive order. Spark has no DISTINCT ON; the
+    equivalent is a row_number window (one shuffle on the key). The oracle
+    uses DuckDB's native DISTINCT ON to pin the semantics."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+Q35_SQL = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def q36_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL ``string_agg(x, ',' ORDER BY x)``: region name roster per
+    region. Deterministic by sorting the collected set before joining —
+    collect_list order is partition-dependent, array_sort fixes it."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.expr("array_join(array_sort(collect_list(n_name)), ',')").alias(
+                "nations_csv"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q36_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       count(*) AS n_nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority spread across columns, one row per
+    order-year. Spark's relational pivot with an explicit value list keeps
+    the single-shuffle grouped-agg plan; the oracle expresses the same
+    thing as conditional aggregation (the portable PIVOT form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.expr("substring(o_orderpriority, 1, 1)").alias("prio"),
+        )
+        .groupBy("order_year")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .count()
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "order_year",
+        *[F.col(p).alias(f"p{p}").cast("bigint") for p in "12345"],
+    ).orderBy("order_year")
+
+
+Q37_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*) FILTER (substr(o_orderpriority, 1, 1) = '1') AS p1,
+       count(*) FILTER (substr(o_orderpriority, 1, 1) = '2') AS p2,
+       count(*) FILTER (substr(o_orderpriority, 1, 1) = '3') AS p3,
+       count(*) FILTER (substr(o_orderpriority, 1, 1) = '4') AS p4,
+       count(*) FILTER (substr(o_orderpriority, 1, 1) = '5') AS p5
+FROM orders GROUP BY 1 ORDER BY order_year
+"""
+
+
+def q38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (pg ``array_agg(x ORDER BY x)``): each
+    market segment's distinct nation keys, numerically sorted then
+    rendered to CSV (array-typed result columns hash differently across
+    the gate's pandas bridges, so the deterministic string form is the
+    comparable surface)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_set(c_nationkey)), "
+                "x -> CAST(x AS STRING)), ',')"
+            ).alias("nation_keys"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q38_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_keys,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -840,6 +972,11 @@ QUERIES = {
     "q31_salted_distinct_agg": q31_salted_distinct_agg,
     "q32_percentiles": q32_percentiles,
     "q33_range_window": q33_range_window,
+    "q34_exists_correlated": q34_exists_correlated,
+    "q35_distinct_on": q35_distinct_on,
+    "q36_string_agg": q36_string_agg,
+    "q37_pivot": q37_pivot,
+    "q38_array_agg": q38_array_agg,
 }
 
 ORACLES = {
@@ -877,4 +1014,9 @@ ORACLES = {
     "q31_salted_distinct_agg": Q31_SQL,
     "q32_percentiles": Q32_SQL,
     "q33_range_window": Q33_SQL,
+    "q34_exists_correlated": Q34_SQL,
+    "q35_distinct_on": Q35_SQL,
+    "q36_string_agg": Q36_SQL,
+    "q37_pivot": Q37_SQL,
+    "q38_array_agg": Q38_SQL,
 }
