@@ -935,6 +935,66 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q39_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (pg's
+    top-N-per-group idiom): each nation's 2 most expensive orders.
+    Catalyst plans the correlated limit as a partitioned window under the
+    hood — same scale shape as q17."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q39_BODY.format(lateral="JOIN LATERAL"))
+
+
+# Spark spells the correlated join `JOIN LATERAL (…) t`; DuckDB wants the
+# pg-style comma form `, LATERAL (…) t`. Same plan, two dialect spellings.
+_Q39_BODY = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n {lateral} (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) t
+ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+"""
+
+Q39_SQL = _Q39_BODY.format(lateral=", LATERAL")
+
+
+def q40_window_medley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions over one partition pass:
+    lag, lead, first_value, ntile — all share a single shuffle on
+    o_custkey + one per-partition sort."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first_value("o_orderkey").over(w).alias("first_order"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q40_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_orderkey) OVER w AS first_order,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -977,6 +1037,8 @@ QUERIES = {
     "q36_string_agg": q36_string_agg,
     "q37_pivot": q37_pivot,
     "q38_array_agg": q38_array_agg,
+    "q39_lateral": q39_lateral,
+    "q40_window_medley": q40_window_medley,
 }
 
 ORACLES = {
@@ -1019,4 +1081,6 @@ ORACLES = {
     "q36_string_agg": Q36_SQL,
     "q37_pivot": Q37_SQL,
     "q38_array_agg": Q38_SQL,
+    "q39_lateral": Q39_SQL,
+    "q40_window_medley": Q40_SQL,
 }
