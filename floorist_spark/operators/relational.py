@@ -995,6 +995,23 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q41_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): melt three lineitem measures into
+    (metric, val) rows. Identical SQL parses in both engines; the operator
+    is a narrow per-row expansion (3 rows out per row in, no shuffle)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q41_SQL)
+
+
+Q41_SQL = """
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey < 100
+) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -1039,6 +1056,7 @@ QUERIES = {
     "q38_array_agg": q38_array_agg,
     "q39_lateral": q39_lateral,
     "q40_window_medley": q40_window_medley,
+    "q41_unpivot": q41_unpivot,
 }
 
 ORACLES = {
@@ -1083,4 +1101,5 @@ ORACLES = {
     "q38_array_agg": Q38_SQL,
     "q39_lateral": Q39_SQL,
     "q40_window_medley": Q40_SQL,
+    "q41_unpivot": Q41_SQL,
 }

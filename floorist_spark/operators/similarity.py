@@ -246,6 +246,65 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# s06 — multi-probe sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+def s06_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query searches its own sign-LSH bucket PLUS
+    the 8 buckets at hamming distance 1 (one flipped sign bit) — the
+    standard recall knob for LSH without adding hash tables. The query
+    side explodes into 9 probe keys and equi-joins on the bucket, so the
+    plan stays hash-partitioned; candidate volume is 9x s02's, still
+    ~N/28 per query rather than N."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_sign_bucket_spark("embedding")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.expr(
+                "array_union(array(bucket), transform(sequence(0, 7), j -> "
+                "CAST(bucket ^ shiftleft(1, j) AS INT)))"
+            )
+        ).alias("bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+S06_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket FROM embeddings
+), scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c ON bit_count(xor(q.bucket::BIGINT, c.bucket::BIGINT)) <= 1
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # s05 — trained IVF coarse quantizer (MLlib KMeans)
 # ---------------------------------------------------------------------------
 
@@ -277,6 +336,7 @@ QUERIES = {
     "s03_ivf_assign": s03_ivf_assign,
     "s04_ivf_search": s04_ivf_search,
     "s05_kmeans_ivf_assign": s05_kmeans_ivf_assign,
+    "s06_multiprobe_ann": s06_multiprobe_ann,
 }
 
 ORACLES = {
@@ -284,4 +344,5 @@ ORACLES = {
     "s02_lsh_bucketed_ann": S02_SQL,
     "s03_ivf_assign": S03_SQL,
     "s04_ivf_search": S04_SQL,
+    "s06_multiprobe_ann": S06_SQL,
 }
