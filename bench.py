@@ -87,6 +87,27 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # the reference's actual job: the 1M-row dump through the real sink
+    # (BASELINE.md pins 1000 gzip files at chunksize 1000). Parity mode
+    # reproduces the exact file count; scale mode writes in parallel.
+    import shutil
+    import tempfile
+
+    from floorist_spark.storage import StorageClient
+
+    out = tempfile.mkdtemp(prefix="floorist_bench_export_")
+    try:
+        storage = StorageClient(spark, f"file://{out}")
+        df_1m = qs["q05b_cross_join_1m"](spark, SF_DIR)
+        for key, parity in (("x01_export_1m_parity", True), ("x02_export_1m_scale", False)):
+            _, target = storage.make_path(key)
+            t0 = time.time()
+            nfiles = storage.write_parquet(df_1m, target, chunksize=1000, parity=parity)
+            timings[key] = round(time.time() - t0, 3)
+            print(f"  {key}: {timings[key]:.3f}s ({nfiles} files)", file=sys.stderr)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
