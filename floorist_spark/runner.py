@@ -15,6 +15,7 @@ Reference (`/root/reference/src/floorist/floorist.py:259-303`):
 from __future__ import annotations
 
 import logging
+from datetime import date
 from os import environ
 
 from floorist_spark.config import Config, base_output_uri, get_config, s3a_conf
@@ -61,11 +62,18 @@ class FlooristSpark:
             commit = rollback = lambda: None
         logging.info("Successfully connected to the database")
 
+        # FLOORIST_RUN_DATE=YYYY-MM-DD pins the partition date for
+        # reproducible backfills (the reference always stamps "today")
+        run_date = None
+        if environ.get("FLOORIST_RUN_DATE"):
+            run_date = date.fromisoformat(environ["FLOORIST_RUN_DATE"])
+
         self.executor = DumpExecutor(
             self.storage,
             runner,
             RetryPolicy(),
             parity=parity,
+            run_date=run_date,
             commit=commit,
             rollback=rollback,
         )

@@ -159,3 +159,15 @@ def test_catalog_query_export(runner_factory, spark, monkeypatch, caplog):
     d = _day_dir(out, "exports/catalog")
     assert spark.read.parquet(f"file://{d}").count() == 6  # q11 rows at sf0.001
     assert "Dumped 1 from total of 2" in caplog.text
+
+
+def test_run_date_backfill(runner_factory, spark, monkeypatch):
+    # FLOORIST_RUN_DATE pins the partition path for reproducible backfills
+    monkeypatch.setenv("FLOORIST_RUN_DATE", "2025-02-03")
+    runner, out = runner_factory("- prefix: exports/backfill\n  query: SELECT 1 AS x\n")
+    runner.run()
+    d = os.path.join(
+        out, "exports/backfill", "year_created=2025", "month_created=2", "day_created=3"
+    )
+    assert os.path.isdir(d)
+    assert spark.read.parquet(f"file://{d}").count() == 1
