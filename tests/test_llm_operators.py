@@ -59,3 +59,15 @@ def test_catalog_covers_all_families():
     names = set(queries())
     for prefix in ("d01", "s01", "t01", "e01", "m01"):
         assert any(n.startswith(prefix) for n in names), f"missing family {prefix}"
+
+
+def test_registry_consistency():
+    """Merging per-module QUERIES dicts must not silently collide, and
+    every oracle key must reference a real query."""
+    from floorist_spark.operators.catalog import all_oracles, all_queries, modules
+
+    total = sum(len(getattr(m, "QUERIES", {})) for m in modules())
+    merged = all_queries()
+    assert len(merged) == total, "duplicate query name across operator modules"
+    missing = set(all_oracles()) - set(merged)
+    assert not missing, f"oracles without queries: {missing}"
