@@ -293,6 +293,63 @@ FROM toks ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t07 — corpus-relative token rarity (unigram-LM quality signal)
+# ---------------------------------------------------------------------------
+
+def t07_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-language-model quality signal without transcendentals: each
+    document's mean corpus frequency of its tokens. Rare-token-heavy docs
+    (gibberish, OCR noise) score low; template-heavy docs score high.
+
+    Shape: one corpus-frequency aggregate (shuffle on token — at scale the
+    frequency table is the broadcast side of the doc-token join), then a
+    per-doc INTEGER sum of corpus counts with ONE final division — float
+    order-sensitivity never enters, so the doubles are bit-identical to
+    the oracle. (A log-prob variant would differ in last-ulp across libm
+    implementations; the rational form is the cross-engine-safe signal.)"""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOK_S)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_corpus_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_corpus_cnt",
+            F.expr(
+                f"CAST(sum_corpus_cnt AS DOUBLE) / (CAST({total} AS DOUBLE) * n_tokens)"
+            ).alias("mean_token_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T07_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_D}) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(f.cnt) AS BIGINT) AS sum_corpus_cnt,
+       CAST(sum(f.cnt) AS DOUBLE) / (CAST((SELECT n FROM total) AS DOUBLE) * count(*))
+         AS mean_token_freq
+FROM toks t JOIN freq f USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -300,6 +357,7 @@ QUERIES = {
     "t04_fingerprint": t04_fingerprint,
     "t05_top_bigrams": t05_top_bigrams,
     "t06_regex_tokens": t06_regex_tokens,
+    "t07_token_rarity": t07_token_rarity,
 }
 
 ORACLES = {
@@ -309,4 +367,5 @@ ORACLES = {
     "t04_fingerprint": T04_SQL,
     "t05_top_bigrams": T05_SQL,
     "t06_regex_tokens": T06_SQL,
+    "t07_token_rarity": T07_SQL,
 }
