@@ -264,6 +264,70 @@ ORDER BY window_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# e08 — streaming session windows (watermark + append)
+# ---------------------------------------------------------------------------
+
+def e08_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: ``session_window`` under a
+    watermark in APPEND mode — a session emits once, when the watermark
+    passes its end (last event + gap), then its state drops. This is the
+    canonical always-on sessionizer; state holds only open sessions.
+
+    Same determinism argument as e07: one availableNow batch makes the
+    final watermark the global max event time, so the emitted set is
+    exactly the batch sessions whose end <= max(ts) − delay — giving this
+    stateful operator a full hash oracle (e03's gaps-and-islands SQL with
+    a HAVING on the closed-session condition)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"), F.expr(_SUM_VAL))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("e08_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("e08_stream_sink").orderBy("user_id", "session_start")
+
+
+E08_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events, {_SUM_VAL}
+FROM numbered GROUP BY user_id, session_id
+HAVING max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # e05 — as-of join (event-time point lookup)
 # ---------------------------------------------------------------------------
 
@@ -374,6 +438,7 @@ QUERIES = {
     "e05_asof_join": e05_asof_join,
     "e06_range_join": e06_range_join,
     "e07_streaming_watermark": e07_streaming_watermark,
+    "e08_streaming_sessions": e08_streaming_sessions,
 }
 
 ORACLES = {
@@ -384,4 +449,5 @@ ORACLES = {
     "e05_asof_join": E05_SQL,
     "e06_range_join": E06_SQL,
     "e07_streaming_watermark": E07_SQL,
+    "e08_streaming_sessions": E08_SQL,
 }
