@@ -8,7 +8,10 @@ Each module exposes two dicts:
   rows and column names, used by the driver's correctness gate. Keys missing
   from ORACLES are non-deterministic or non-SQL-expressible (rows-only check).
 
-Key naming follows SURVEY.md §2 operator IDs (q01.. for the reference's SQL
-surface, q11x.. for the delegated join/agg capability, x_.. for the
-scale-extension operators).
+``catalog.py`` is the single merged registry (also resolves floorplan
+``catalog:<name>`` rows for the export engine). Key prefixes: ``q`` —
+relational/SQL surface (SURVEY §2.2 + delegated capability), ``d`` — dedup,
+``s`` — similarity search, ``t`` — text analysis, ``e`` — event analytics,
+``m`` — multimodal; streaming operators live in
+``floorist_spark.streaming``.
 """
