@@ -350,6 +350,63 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m07 — audio-style windowed RMS energy
+# ---------------------------------------------------------------------------
+
+ENERGY_WINDOW = 256  # bytes per analysis window
+
+
+def m07_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction shape: treat the payload as unsigned 8-bit
+    PCM, emit per-window RMS energy (the silence/clipping detector every
+    audio pipeline runs first). numpy math over Arrow batches; exact
+    integer square-sums + one division + sqrt — IEEE sqrt is correctly
+    rounded, so values hash-match the SQL oracle bit-for-bit. A real
+    pipeline swaps the frombuffer for a codec decode; windowing, fan-out
+    and schema are unchanged."""
+
+    def energy(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wins, ns, rms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for w in range(-(-len(samples) // ENERGY_WINDOW)):
+                    chunk = samples[w * ENERGY_WINDOW : (w + 1) * ENERGY_WINDOW]
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(len(chunk))
+                    rms.append(math.sqrt(int((chunk * chunk).sum()) / len(chunk)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win": wins, "n_samples": ns, "rms": rms}
+            )
+
+    schema = "doc_id bigint, win bigint, n_samples bigint, rms double"
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(energy, schema)
+        .orderBy("doc_id", "win")
+    )
+
+
+M07_SQL = f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+bytes AS (
+  SELECT doc_id, i, CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT) AS b
+  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+)
+SELECT doc_id, CAST(i // {ENERGY_WINDOW} AS BIGINT) AS win,
+       count(*) AS n_samples,
+       sqrt(CAST(sum(b * b) AS DOUBLE) / count(*)) AS rms
+FROM bytes GROUP BY 1, 2 ORDER BY doc_id, win
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -357,6 +414,7 @@ QUERIES = {
     "m04_image_decode": m04_image_decode,
     "m05_frame_sample": m05_frame_sample,
     "m06_thumbnail": m06_thumbnail,
+    "m07_audio_energy": m07_audio_energy,
 }
 
 ORACLES = {
@@ -366,4 +424,5 @@ ORACLES = {
     "m04_image_decode": M04_SQL,
     "m05_frame_sample": M05_SQL,
     "m06_thumbnail": M06_SQL,
+    "m07_audio_energy": M07_SQL,
 }
