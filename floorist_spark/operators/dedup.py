@@ -113,7 +113,6 @@ def d02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").alias("n_copies"),
         )
-        .filter(F.col("n_copies") >= 1)
         .orderBy("keep_doc_id")
     )
 
