@@ -71,3 +71,16 @@ def test_registry_consistency():
     assert len(merged) == total, "duplicate query name across operator modules"
     missing = set(all_oracles()) - set(merged)
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_all_oracles_parse_in_duckdb(duck_smoke):
+    """EXPLAIN every oracle string — a fast static guard against SQL
+    breakage (string-composed oracles like d09/d10 are easy to cut wrong)
+    without paying a full gate run."""
+    from floorist_spark.operators.catalog import all_oracles
+
+    for name, sql in all_oracles().items():
+        try:
+            duck_smoke.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover - failure reporting
+            raise AssertionError(f"{name}: oracle does not parse: {ex}") from ex
