@@ -57,6 +57,14 @@ class Config:
     # Spark-native extensions
     output_uri: str | None = None
     mode: str = "native"
+    #: Full JDBC URL override (``FLOORIST_JDBC_URL``). When set it replaces
+    #: the postgres URL built from POSTGRES_* vars, enabling any JDBC-capable
+    #: database (the e2e tests use Spark's bundled embedded Derby). The
+    #: reference is postgres-only (`floorist.py:123`), so the default path —
+    #: override unset — keeps exact reference behavior.
+    jdbc_url: str | None = None
+    #: Driver class for the override URL (``FLOORIST_JDBC_DRIVER``).
+    jdbc_driver: str | None = None
 
 
 def get_config(mode: str = "jdbc") -> Config:
@@ -105,6 +113,8 @@ def _set_database_config(config: Config) -> None:
         config.database_name = environ.get("POSTGRESQL_DATABASE")
         config.database_username = environ.get("POSTGRESQL_USER")
         config.database_password = environ.get("POSTGRESQL_PASSWORD")
+    config.jdbc_url = environ.get("FLOORIST_JDBC_URL")
+    config.jdbc_driver = environ.get("FLOORIST_JDBC_DRIVER")
 
 
 def _set_floorist_config(config: Config) -> None:
@@ -126,6 +136,10 @@ def _validate_config(config: Config) -> None:
         raise ValueError("Bucket name not configured, set AWS_BUCKET variable.")
 
     if config.mode == "jdbc":
+        if config.jdbc_url:
+            # Non-postgres override: credentials/host live in the URL itself
+            # (e.g. embedded Derby), so the POSTGRES_* requirements are moot.
+            return
         if not config.database_hostname:
             raise ValueError("Database host not defined")
         if not config.database_name:

@@ -64,7 +64,11 @@ def resolve_catalog_query(
     name = q[len(CATALOG_PREFIX) :].strip()
     fns = all_queries()
     if name not in fns:
+        import difflib
+
+        close = difflib.get_close_matches(name, fns, n=3, cutoff=0.5)
+        hint = f"; did you mean {', '.join(repr(c) for c in close)}?" if close else ""
         raise KeyError(
-            f"unknown catalog query {name!r} (known: {len(fns)} operators)"
+            f"unknown catalog query {name!r} (known: {len(fns)} operators{hint})"
         )
     return fns[name](spark, data_dir)

@@ -61,7 +61,15 @@ _WRITABLE = (
 )
 
 
+#: Reference database driver (`floorist.py:123` — postgres-only). An
+#: explicit ``config.jdbc_url``/``jdbc_driver`` overrides both, which is how
+#: the e2e suite runs the identical read path on embedded Derby.
+DEFAULT_DRIVER = "org.postgresql.Driver"
+
+
 def jdbc_url(config: Config) -> str:
+    if config.jdbc_url:
+        return config.jdbc_url
     return f"jdbc:postgresql://{config.database_hostname}/{config.database_name}"
 
 
@@ -80,7 +88,7 @@ def build_jdbc_options(
         "user": config.database_username or "",
         "password": config.database_password or "",
         "fetchsize": str(fetchsize or DEFAULT_FETCHSIZE),
-        "driver": "org.postgresql.Driver",
+        "driver": config.jdbc_driver or DEFAULT_DRIVER,
     }
     if parity:
         opts["numPartitions"] = "1"

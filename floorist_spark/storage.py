@@ -58,14 +58,21 @@ class StorageClient:
     # -- F12 ---------------------------------------------------------------
 
     def verify(self) -> None:
-        """Probe the sink root; trailing-slash fallback mirrors the
-        reference's AccessDenied retry (`floorist.py:81-92`)."""
+        """Probe the sink root; the fallback mirrors the reference's
+        AccessDenied retry for prefix-scoped credentials (`floorist.py:81-92`:
+        credentials without ListBuckets can still LIST under the prefix).
+
+        Hadoop Path normalization makes a trailing-slash re-probe a no-op, so
+        the second attempt is a genuinely different call: a child glob
+        (``<base>/*``), which S3A issues as a LIST with ``prefix=<base>/`` —
+        the permission surface a prefix-scoped policy actually grants."""
         try:
             self._fs(self.base_uri).listStatus(self._jpath(self.base_uri))
         except Exception as ex:
             if "AccessDenied" in str(ex):
-                root = self.base_uri.rstrip("/") + "/"
-                self._fs(root).listStatus(self._jpath(root))
+                fs = self._fs(self.base_uri)
+                if fs.globStatus(self._jpath(self.base_uri.rstrip("/") + "/*")) is None:
+                    raise
             else:
                 raise
 
@@ -100,6 +107,11 @@ class StorageClient:
             logging.info("[Dump #%d] Empty folder created for empty result", dump_count)
             return 0
 
+        # Append mode can land on a prefix holding files from earlier dumps;
+        # count only what THIS write produced (before/after listing diff), so
+        # the chunk logs and the returned count match the reference's
+        # per-dump chunk numbers, not the cumulative prefix contents.
+        before = set(self.list_parquet_files(target))
         writer_df = df.coalesce(1) if parity else df
         (
             writer_df.write.mode("append")
@@ -107,7 +119,7 @@ class StorageClient:
             .option("maxRecordsPerFile", chunksize or 0)
             .parquet(target)
         )
-        files = self.list_parquet_files(target)
+        files = [f for f in self.list_parquet_files(target) if f not in before]
         for chunk in range(1, len(files) + 1):
             logging.info("[Dump #%d] Written parquet chunk #%d", dump_count, chunk)
         return len(files)

@@ -28,6 +28,8 @@ def env(monkeypatch, tmp_path):
         monkeypatch.setenv(k, v)
     monkeypatch.setenv("FLOORPLAN_FILE", str(plan))
     monkeypatch.delenv("FLOORIST_OUTPUT_URI", raising=False)
+    monkeypatch.delenv("FLOORIST_JDBC_URL", raising=False)
+    monkeypatch.delenv("FLOORIST_JDBC_DRIVER", raising=False)
     return monkeypatch
 
 
@@ -71,6 +73,20 @@ def test_jdbc_mode_requires_database_fields(env, var, message):
     env.delenv(var)
     with pytest.raises(ValueError, match=message):
         get_config(mode="jdbc")
+
+
+def test_jdbc_url_override_skips_postgres_requirements(env):
+    # FLOORIST_JDBC_URL points at any JDBC database (credentials live in the
+    # URL), so the POSTGRES_* requirements are waived — this is how the
+    # embedded-Derby e2e runs the reference's jdbc path with no server.
+    for var in ("POSTGRES_SERVICE_HOST", "POSTGRESQL_DATABASE", "POSTGRESQL_USER",
+                "POSTGRESQL_PASSWORD", "AWS_ENDPOINT"):
+        env.delenv(var)
+    env.setenv("FLOORIST_JDBC_URL", "jdbc:derby:memory:db")
+    env.setenv("FLOORIST_JDBC_DRIVER", "org.apache.derby.jdbc.EmbeddedDriver")
+    cfg = get_config(mode="jdbc")
+    assert cfg.jdbc_url == "jdbc:derby:memory:db"
+    assert cfg.jdbc_driver == "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def test_native_mode_does_not_require_database(env):

@@ -161,6 +161,32 @@ def test_catalog_query_export(runner_factory, spark, monkeypatch, caplog):
     assert "Dumped 1 from total of 2" in caplog.text
 
 
+def test_catalog_query_without_data_dir_fails_fast(runner_factory, monkeypatch, caplog):
+    # a catalog query with no FLOORIST_DATA_DIR must fail the dump loudly,
+    # never silently export bundled testdata to the real sink
+    caplog.set_level(logging.INFO)
+    monkeypatch.delenv("FLOORIST_DATA_DIR", raising=False)
+    runner, out = runner_factory(
+        "- prefix: exports/guard\n  query: catalog:q11_pricing_summary\n"
+        "- prefix: exports/ok\n  query: SELECT 1 AS x\n"
+    )
+    with pytest.raises(SystemExit) as exc:
+        runner.run()
+    assert exc.value.code == 1
+    assert not os.path.exists(os.path.join(out, "exports/guard"))
+    assert os.path.isdir(_day_dir(out, "exports/ok"))  # isolation holds
+    assert "FLOORIST_DATA_DIR must be set" in caplog.text
+
+
+def test_unknown_catalog_name_suggests_close_matches(spark):
+    from floorist_spark.operators.catalog import resolve_catalog_query
+
+    with pytest.raises(KeyError) as exc:
+        resolve_catalog_query(spark, "catalog:q11_pricing_sumary", "/tmp")
+    assert "did you mean" in str(exc.value)
+    assert "q11_pricing_summary" in str(exc.value)
+
+
 def test_run_date_backfill(runner_factory, spark, monkeypatch):
     # FLOORIST_RUN_DATE pins the partition path for reproducible backfills
     monkeypatch.setenv("FLOORIST_RUN_DATE", "2025-02-03")
