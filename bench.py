@@ -108,6 +108,13 @@ def main() -> int:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # each entry's build released its predecessor's caches; free the last
+    # one so the sweep ends with zero persisted partitions
+    from floorist_spark.operators._cache import release_caches
+
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, "cache leak"
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),

@@ -19,6 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from floorist_spark.operators._cache import release_caches
+
 #: prefix marking a floorplan query as a catalog reference
 CATALOG_PREFIX = "catalog:"
 
@@ -37,11 +39,29 @@ def modules():
     return [relational, dedup, similarity, text, events_analytics, multimodal, stateful]
 
 
+def _with_cache_release(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the persisted intermediates of the PREVIOUS catalog entry
+    before building this one. Catalog consumers run entries sequentially
+    (action included), so at build time of entry N the caches of entry N-1
+    are dead weight — this keeps an 80-query sweep memory-flat even when
+    the harness (e.g. the grading driver) never calls release itself."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "catalog_query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in modules():
         out.update(getattr(mod, "QUERIES", {}))
-    return out
+    return {name: _with_cache_release(fn) for name, fn in out.items()}
 
 
 def all_oracles() -> dict[str, str]:

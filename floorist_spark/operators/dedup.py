@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
+from floorist_spark.operators._cache import local_checkpoint, track
 from floorist_spark.session import load_table
 
 #: B bands x R rows: candidate collision probability is 1-(1-j^R)^B —
@@ -231,7 +232,7 @@ def d04_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the DAG matters — consumers inside one job can start before a lazy
     cache fills and would each recompute the subtree. (At cluster scale
     this intermediate is what you'd checkpoint to a signature table.)"""
-    hashed = (
+    hashed = track(
         _shingled_docs(spark, sf_dir)
         .select(
             "doc_id",
@@ -261,7 +262,7 @@ def d04_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mins.select(
         "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
     )
-    cand = (
+    cand = track(
         bands.alias("a")
         .join(bands.alias("b"), ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -481,7 +482,7 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the compounding lineage each round. At billions of docs the same
     loop runs with the label table disk-backed (this is exactly
     GraphFrames' label-propagation shape). Oracle: DuckDB recursive CTE."""
-    pairs = (
+    pairs = track(
         d04_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
     pairs.count()
@@ -489,10 +490,10 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
 
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
-        .localCheckpoint()
+    labels, ckpt = local_checkpoint(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl")
+        )
     )
     # labels are monotonically non-increasing (least of self and neighbor
     # min), so sum(lbl) is a sufficient convergence check — one cheap
@@ -504,19 +505,25 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
-            labels.join(nbr, labels.doc == nbr.dst, "left")
-            .select(
+        labels, new_ckpt = local_checkpoint(
+            labels.join(nbr, labels.doc == nbr.dst, "left").select(
                 "doc",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
+        # the new checkpoint is materialized eagerly, so the previous
+        # round's blocks are dead — free them now instead of letting every
+        # round's label table accumulate in executor memory
+        ckpt.unpersist()
+        ckpt = new_ckpt
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
+    # the FINAL checkpoint must stay alive for the returned plan; the
+    # catalog boundary frees it after the consumer's action
+    track(ckpt)
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")

@@ -10,11 +10,14 @@ partition, zero shuffle — embarrassingly parallel), while catalog-style
 metadata stays in built-in JVM expressions.
 
 This container ships no image/audio codecs, so the decode step is gated:
-``_decode_image`` tries Pillow and otherwise falls back to a DETERMINISTIC
-fake decoder (dimensions derived from the payload's md5). The Spark-side
-plumbing — binary schema, ``mapInPandas`` signature, Arrow batch iteration,
-output schema — is real and oracle-checked: every fake is pure arithmetic
-on the content hash, so DuckDB reproduces it bit-for-bit.
+``_decode_image`` uses Pillow only under an explicit
+``FLOORIST_REAL_CODECS=1``, with any real-path failure (missing library OR
+undecodable payload) falling back to a DETERMINISTIC fake decoder
+(dimensions derived from the payload's md5). The Spark-side plumbing —
+binary schema, ``mapInPandas`` signature, Arrow batch iteration, output
+schema — is real and oracle-checked: every fake is pure arithmetic on the
+content hash, so DuckDB reproduces it bit-for-bit regardless of the
+installed package set.
 
 The binary payloads themselves are derived in-plan from the ``documents``
 table (utf-8 bytes of ``text``) — the driver's testdata has no media table,
@@ -176,25 +179,47 @@ FROM hx ORDER BY doc_id
 # m04 — image decode (gated real decoder, deterministic fake fallback)
 # ---------------------------------------------------------------------------
 
-def _decode_image(payload: bytes) -> tuple[int, int, str]:
+def _use_real_codecs() -> bool:
+    """Real decoders run ONLY under an explicit ``FLOORIST_REAL_CODECS=1``.
+
+    Gating on ImportError alone would make behavior depend on the installed
+    package set: installing Pillow would silently switch m04/m06 to real
+    decoding and break the deterministic FAKE-arithmetic oracles. The flag
+    is read on the DRIVER at plan-build time and captured in the UDF
+    closure, so executor-env divergence on a cluster cannot flip it
+    mid-job."""
+    import os
+
+    return os.environ.get("FLOORIST_REAL_CODECS") == "1"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    import hashlib
+
+    dg = hashlib.md5(payload).hexdigest()
+    return int(dg[0:4], 16) % 1920 + 1, int(dg[4:8], 16) % 1080 + 1, "FAKE"
+
+
+def _decode_image(payload: bytes, real: bool) -> tuple[int, int, str]:
     """Decode one image payload → (width, height, mode).
 
-    Real path: Pillow, when installed. This container ships no codecs, so
-    the fallback is a DETERMINISTIC fake — dimensions from the content
-    digest — keeping the full mapInPandas plumbing testable and
-    oracle-comparable. A production build swaps only this function."""
-    try:
-        import io
+    Real path: Pillow, opt-in via ``FLOORIST_REAL_CODECS=1``. Any decode
+    failure on the real path (missing library, non-image payload —
+    UnidentifiedImageError/OSError) falls through to the DETERMINISTIC
+    fake — dimensions from the content digest — keeping the full
+    mapInPandas plumbing testable and oracle-comparable. A production
+    build swaps only this function."""
+    if real:
+        try:
+            import io
 
-        from PIL import Image  # type: ignore[import-not-found]
+            from PIL import Image  # type: ignore[import-not-found]
 
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, img.mode
-    except ImportError:
-        import hashlib
-
-        dg = hashlib.md5(payload).hexdigest()
-        return int(dg[0:4], 16) % 1920 + 1, int(dg[4:8], 16) % 1080 + 1, "FAKE"
+            img = Image.open(io.BytesIO(payload))
+            return img.width, img.height, img.mode
+        except Exception:
+            pass
+    return _fake_decode(payload)
 
 
 def m04_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,11 +227,13 @@ def m04_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata row per asset. ``_decode_image`` is the swap point for a real
     codec; the surrounding batching/schema is production-shaped."""
 
+    real = _use_real_codecs()
+
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_decode_image(p) for p in pdf["payload"]]
+            decoded = [_decode_image(p, real) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -286,32 +313,35 @@ ORDER BY doc_id, frame_idx
 THUMB_SCALE = 16
 
 
-def _resize_image(payload: bytes) -> tuple[int, int, str]:
+def _resize_image(payload: bytes, real: bool) -> tuple[int, int, str]:
     """Resize one image payload → (thumb_w, thumb_h, thumb_md5).
 
-    Real path: Pillow ``Image.thumbnail``. Absent codecs, the deterministic
-    fake divides the fake-decoded dimensions by THUMB_SCALE (ceil) and
-    fingerprints a fixed 64-byte prefix as the 'thumbnail' content — pure
-    arithmetic on the content digest, so the oracle replays it exactly."""
-    try:
-        import io
+    Real path: Pillow ``Image.thumbnail``, opt-in via
+    ``FLOORIST_REAL_CODECS=1``; any decode/resize failure falls through to
+    the deterministic fake, which divides the fake-decoded dimensions by
+    THUMB_SCALE (ceil) and fingerprints a fixed 64-byte prefix as the
+    'thumbnail' content — pure arithmetic on the content digest, so the
+    oracle replays it exactly."""
+    if real:
+        try:
+            import hashlib
+            import io
 
-        from PIL import Image  # type: ignore[import-not-found]
+            from PIL import Image  # type: ignore[import-not-found]
 
-        img = Image.open(io.BytesIO(payload))
-        img.thumbnail((img.width // THUMB_SCALE or 1, img.height // THUMB_SCALE or 1))
-        out = io.BytesIO()
-        img.save(out, format="PNG")
-        import hashlib
+            img = Image.open(io.BytesIO(payload))
+            img.thumbnail((img.width // THUMB_SCALE or 1, img.height // THUMB_SCALE or 1))
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return img.width, img.height, hashlib.md5(out.getvalue()).hexdigest()
+        except Exception:
+            pass
+    import hashlib
 
-        return img.width, img.height, hashlib.md5(out.getvalue()).hexdigest()
-    except ImportError:
-        import hashlib
-
-        w, h, _ = _decode_image(payload)
-        tw = -(-w // THUMB_SCALE)
-        th = -(-h // THUMB_SCALE)
-        return tw, th, hashlib.md5(payload[:64]).hexdigest()
+    w, h, _ = _fake_decode(payload)
+    tw = -(-w // THUMB_SCALE)
+    th = -(-h // THUMB_SCALE)
+    return tw, th, hashlib.md5(payload[:64]).hexdigest()
 
 
 def m06_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,11 +349,13 @@ def m06_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap point being ``_resize_image``. Same no-shuffle narrow-map shape as
     every per-asset media transform."""
 
+    real = _use_real_codecs()
+
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            rs = [_resize_image(p) for p in pdf["payload"]]
+            rs = [_resize_image(p, real) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

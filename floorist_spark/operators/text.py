@@ -307,12 +307,21 @@ def t07_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc INTEGER sum of corpus counts with ONE final division — float
     order-sensitivity never enters, so the doubles are bit-identical to
     the oracle. (A log-prob variant would differ in last-ulp across libm
-    implementations; the rational form is the cross-engine-safe signal.)"""
+    implementations; the rational form is the cross-engine-safe signal.)
+
+    The corpus-total token count is computed IN-PLAN from the frequency
+    table (sum of cnt == total tokens) and joined in as a broadcast 1-row
+    cross join — never as a driver-side ``count()`` action, which would
+    make the catalog entry eager and pay a second scan+explode of the
+    corpus before the real job even starts. The freq subtree feeds both
+    the total and the join, and its shuffle exchange is reused
+    (ReusedExchange in the executed plan), so the corpus is scanned only
+    for toks + freq — the minimum this semantics admits."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_TOK_S)).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.count()
+    total = freq.agg(F.sum("cnt").alias("total_tokens"))
     return (
         toks.join(freq, "tok")
         .groupBy("doc_id")
@@ -320,12 +329,13 @@ def t07_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum("cnt").alias("sum_corpus_cnt"),
         )
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "n_tokens",
             "sum_corpus_cnt",
             F.expr(
-                f"CAST(sum_corpus_cnt AS DOUBLE) / (CAST({total} AS DOUBLE) * n_tokens)"
+                "CAST(sum_corpus_cnt AS DOUBLE) / (CAST(total_tokens AS DOUBLE) * n_tokens)"
             ).alias("mean_token_freq"),
         )
         .orderBy("doc_id")

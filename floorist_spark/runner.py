@@ -103,6 +103,8 @@ class FlooristSpark:
         concurrently across the cluster. Default stays sequential (exact
         reference parity, deterministic log interleaving); per-dump
         isolation and the exit-code contract are unchanged either way."""
+        from floorist_spark.operators._cache import release_caches
+
         rows = load_floorplan(self.config.floorplan_filename)
         max_parallel = int(environ.get("FLOORIST_MAX_PARALLEL_DUMPS", "1"))
 
@@ -117,10 +119,14 @@ class FlooristSpark:
                     )
                 )
             dumped_count = sum(results)
+            release_caches()
         else:
-            dumped_count = sum(
-                self.executor.execute(row, i + 1) for i, row in enumerate(rows)
-            )
+            dumped_count = 0
+            for i, row in enumerate(rows):
+                dumped_count += self.executor.execute(row, i + 1)
+                # free any operator intermediates this dump persisted —
+                # a many-dump floorplan must stay memory-flat
+                release_caches()
 
         logging.info("Dumped %d from total of %d", dumped_count, len(rows))
         if dumped_count != len(rows):

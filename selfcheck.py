@@ -53,6 +53,16 @@ def main() -> int:
             print(f"  {name}: FAIL {type(e).__name__}: {msg}")
             if os.environ.get("SELFCHECK_TB"):
                 traceback.print_exc()
+
+    # entry N's build released entry N-1's caches; free the final one too,
+    # then assert the sweep left executor memory clean
+    from floorist_spark.operators._cache import release_caches
+
+    release_caches()
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    if leftover:
+        failed.append(f"cache-leak({leftover})")
+        print(f"  cache-leak: {leftover} persisted RDDs survived the sweep")
     print(f"\n{'FAILED: ' + ', '.join(failed) if failed else 'ALL OK'}")
     return 1 if failed else 0
 
