@@ -50,13 +50,24 @@ _STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 def _stream_dir_for(sf_dir: str, table: str) -> str:
     """Streaming file source lists a directory; expose the single-file
-    testdata table through a symlink dir (same trick as events e04)."""
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    testdata table through a symlink dir (same trick as events e04).
+
+    The dir name embeds a hash of the ABSOLUTE source path — two datasets
+    with the same basename in different parents (/a/sf0.01 vs /b/sf0.01)
+    must not share a link — and a link that no longer resolves to the
+    expected source (stale tempdir from an earlier run) is re-pointed."""
+    import hashlib
+
+    src = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    tag = hashlib.md5(src.encode("utf-8")).hexdigest()[:12]
     d = os.path.join(
-        tempfile.gettempdir(), f"floorist_stream_{table}_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"floorist_stream_{table}_{os.path.basename(sf_dir)}_{tag}",
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
+    if os.path.islink(link) and os.path.realpath(link) != src:
+        os.remove(link)
     if not os.path.exists(link):
         os.symlink(src, link)
     return d

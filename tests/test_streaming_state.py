@@ -65,3 +65,35 @@ def test_state_suppresses_duplicates_across_batches(spark, two_batch_dir):
     # 15 distinct texts total; the 5 cross-batch repeats emit ONCE
     assert len(out) == 15
     assert sorted(out["keep_doc_id"]) == sorted(list(range(10)) + list(range(15, 20)))
+
+
+def test_stream_dir_distinguishes_same_basename_parents(tmp_path):
+    # /a/sf0.01 and /b/sf0.01 must map to DIFFERENT stream dirs, and a
+    # stale link is re-pointed at the expected source (ADVICE r2)
+    import os
+
+    from floorist_spark.streaming.stateful import _stream_dir_for
+
+    for parent in ("a", "b"):
+        os.makedirs(tmp_path / parent / "sf9.9")
+        (tmp_path / parent / "sf9.9" / "documents.parquet").write_bytes(b"x")
+
+    d_a = _stream_dir_for(str(tmp_path / "a" / "sf9.9"), "documents")
+    d_b = _stream_dir_for(str(tmp_path / "b" / "sf9.9"), "documents")
+    assert d_a != d_b
+    assert os.path.realpath(os.path.join(d_a, "documents.parquet")).startswith(
+        str(tmp_path / "a")
+    )
+    assert os.path.realpath(os.path.join(d_b, "documents.parquet")).startswith(
+        str(tmp_path / "b")
+    )
+
+    # force-stale the link inside d_a, then re-resolve: it must re-point
+    link = os.path.join(d_a, "documents.parquet")
+    os.remove(link)
+    os.symlink(str(tmp_path / "b" / "sf9.9" / "documents.parquet"), link)
+    d_a2 = _stream_dir_for(str(tmp_path / "a" / "sf9.9"), "documents")
+    assert d_a2 == d_a
+    assert os.path.realpath(os.path.join(d_a2, "documents.parquet")).startswith(
+        str(tmp_path / "a")
+    )
