@@ -403,13 +403,21 @@ ORDER BY doc_a, doc_b
 # d07 — embedding-cosine near-dup (sign-LSH bucketed)
 # ---------------------------------------------------------------------------
 
-#: Production near-dup would use ~0.95+; the synthetic embeddings are
-#: near-random (max pairwise cosine ~0.51 at sf0.01), so the demo threshold
-#: is calibrated down to keep the verify path exercised with real pairs.
-COSINE_DUP_THRESHOLD = 0.35
+#: The default a production pipeline should inherit: embeddings at cosine
+#: >= 0.95 are near-duplicates for typical sentence encoders.
+COSINE_DUP_THRESHOLD = 0.95
+
+#: The catalog/demo threshold, passed EXPLICITLY by the d07 entry: the
+#: synthetic embeddings are near-random (max pairwise cosine ~0.51 at
+#: sf0.01), so the demo calibrates down to keep the verify path exercised
+#: with real pairs. Kept separate from the production constant so nobody
+#: copies 0.35 into a real pipeline.
+COSINE_DEMO_THRESHOLD = 0.35
 
 
-def d07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d07_embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DEMO_THRESHOLD
+) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, with candidates
     restricted to vectors sharing an 8-bit coordinate-sign LSH bucket
     (vectors at cosine ~1 almost surely agree on all coordinate signs).
@@ -435,7 +443,7 @@ def d07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.expr(tf.cosine_spark("q_emb", "c_emb")).alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -453,7 +461,7 @@ WITH b AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM scored
-WHERE cosine >= {COSINE_DUP_THRESHOLD}
+WHERE cosine >= {COSINE_DEMO_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 

@@ -222,3 +222,30 @@ def test_fault_injection_exhaustion_leaves_failure(spark, tmp_path):
     assert sleeps == [5, 10]
     target = f"file://{tmp_path}/dead/{DAY_PATH}"
     assert storage.list_parquet_files(target) == []
+
+
+def test_runner_jdbc_mode_end_to_end_via_env(spark, derby, tmp_path, monkeypatch):
+    # the reference's whole program shape in jdbc mode — env config →
+    # FlooristSpark → JdbcQueryRunner on a real connection → partitioned
+    # sink — mirroring tests/test_floorist.py:15-220's live-database e2e
+    from floorist_spark.config import get_config
+    from floorist_spark.runner import FlooristSpark
+
+    plan = tmp_path / "plan.yaml"
+    plan.write_text("- prefix: exports/inv\n  query: SELECT id, name FROM invoices\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    monkeypatch.setenv("FLOORPLAN_FILE", str(plan))
+    monkeypatch.setenv("FLOORIST_OUTPUT_URI", f"file://{out}")
+    monkeypatch.setenv("FLOORIST_JDBC_URL", DERBY_URL)
+    monkeypatch.setenv("FLOORIST_JDBC_DRIVER", DERBY_DRIVER)
+    monkeypatch.setenv("POSTGRESQL_USER", "APP")
+    monkeypatch.setenv("FLOORIST_RUN_DATE", RUN_DATE.isoformat())
+
+    cfg = get_config(mode="jdbc")
+    FlooristSpark(cfg, spark=spark).run()  # exit(1) would raise SystemExit
+
+    target = out / "exports/inv" / DAY_PATH
+    back = spark.read.parquet(f"file://{target}")
+    assert back.count() == 3
+    assert set(back.columns) == {"ID", "NAME"}

@@ -164,3 +164,36 @@ def test_verify_missing_root_raises(spark, tmp_path):
     bad = StorageClient(spark, f"file://{tmp_path}/does/not/exist")
     with pytest.raises(Exception):
         bad.verify()
+
+
+class _DeniedFs:
+    """Hadoop-FS stand-in: root listing is AccessDenied; the child-glob
+    probe either succeeds (prefix-scoped credentials) or returns null."""
+
+    def __init__(self, glob_result):
+        self.glob_result = glob_result
+        self.glob_calls = []
+
+    def listStatus(self, path):
+        raise RuntimeError("AccessDenied: ListBuckets not permitted")
+
+    def globStatus(self, path):
+        self.glob_calls.append(str(path))
+        return self.glob_result
+
+
+def test_verify_access_denied_falls_back_to_child_glob(spark, monkeypatch):
+    # prefix-scoped credentials: root LIST denied, <base>/* LIST allowed
+    client = StorageClient(spark, "file:///base")
+    fs = _DeniedFs(glob_result=[])  # empty-but-listable prefix passes
+    monkeypatch.setattr(client, "_fs", lambda uri: fs)
+    client.verify()
+    assert fs.glob_calls and fs.glob_calls[0].endswith("/base/*")
+
+
+def test_verify_access_denied_with_failed_probe_reraises(spark, monkeypatch):
+    client = StorageClient(spark, "file:///base")
+    fs = _DeniedFs(glob_result=None)  # probe resolves nothing -> no access
+    monkeypatch.setattr(client, "_fs", lambda uri: fs)
+    with pytest.raises(RuntimeError, match="AccessDenied"):
+        client.verify()
