@@ -27,6 +27,7 @@ CATALOG_PREFIX = "catalog:"
 
 def modules():
     from floorist_spark.operators import (
+        curation,
         dedup,
         events_analytics,
         multimodal,
@@ -36,7 +37,16 @@ def modules():
     )
     from floorist_spark.streaming import stateful
 
-    return [relational, dedup, similarity, text, events_analytics, multimodal, stateful]
+    return [
+        relational,
+        dedup,
+        similarity,
+        text,
+        curation,
+        events_analytics,
+        multimodal,
+        stateful,
+    ]
 
 
 def _with_cache_release(

@@ -1,0 +1,238 @@
+"""Corpus curation operators — deterministic splits, stratified sampling,
+training-order shuffle, and sequence packing over the ``documents`` table.
+
+New surface beyond the reference (SURVEY §7.2.7): the sampling/ordering
+primitives every large-scale training-data pipeline runs after dedup and
+quality filtering. The unifying design rule is **hash-determinism**: every
+assignment (split, sample keep, shuffle position, pack bin) is a pure
+function of the document id through a salted md5 — so results are
+reproducible across runs, engines, and cluster sizes, and never depend on
+partitioning or scan order. That property is what makes a 100 TB split
+auditable; `rand()`-based sampling is not.
+
+Scale notes:
+
+* c01/c02 are narrow per-row maps — no shuffle, embarrassingly parallel.
+* c03 is ONE range-partitioned global sort on the hash key (Spark's sort
+  is distributed by sampling range bounds); deliberately NO global
+  row_number window, which would serialize on a single task. The sorted
+  order IS the training order — a writer consuming it preserves position.
+* c04 packs within hash-assigned SHARDS: the running token cumsum is a
+  window PARTITIONED by shard, so state never crosses shards and each
+  shard packs independently — exactly how distributed sequence packing
+  works (per output file), keeping the window parallel at any corpus size.
+
+Every float is a single integer/integer division; every hash is md5 on a
+salted decimal string — bit-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from floorist_spark.functions import textfrag as tf
+from floorist_spark.session import load_table
+
+#: split-fraction boundaries over a 0-99 hash bucket (train/val/test)
+TRAIN_UPTO = 90
+VAL_UPTO = 95
+
+#: per-language keep-rate (percent) for the stratified sample: downsample
+#: the dominant language, keep more of the rare ones — the usual rebalance
+STRATA_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}
+
+#: shard count for packing (≙ output-file parallelism)
+PACK_SHARDS = 16
+#: token budget per pack bin (context-window sized)
+PACK_TOKENS = 512
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _bucket_spark(salt: str, mod: int) -> str:
+    """0..mod-1 bucket from the first 4 hex digits of a salted doc-id md5.
+    conv() yields ≤65535, exact in the implicit double, same as m02's
+    digest arithmetic."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}:', CAST(doc_id AS STRING))), 1, 4), 16, 10) "
+        f"% {mod} AS BIGINT)"
+    )
+
+
+def _bucket_duck(salt: str, mod: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}:', CAST(doc_id AS VARCHAR))), 1, 4)) "
+        f"AS BIGINT) % {mod}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# c01 — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def c01_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split as a pure function of doc_id: stable under re-runs,
+    appends, and re-partitioning (a doc never migrates between splits —
+    the property that protects eval sets from train leakage)."""
+    b = _bucket_spark("split", 100)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(b).alias("bucket"),
+            F.expr(
+                f"CASE WHEN {b} < {TRAIN_UPTO} THEN 'train' "
+                f"WHEN {b} < {VAL_UPTO} THEN 'val' ELSE 'test' END"
+            ).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C01_SQL = f"""
+SELECT doc_id,
+  {_bucket_duck("split", 100)} AS bucket,
+  CASE WHEN {_bucket_duck("split", 100)} < {TRAIN_UPTO} THEN 'train'
+       WHEN {_bucket_duck("split", 100)} < {VAL_UPTO} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# c02 — stratified deterministic sample (per-language keep rates)
+# ---------------------------------------------------------------------------
+
+def c02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsample: keep a doc iff its sample bucket
+    falls under its language's rate. Hash-deterministic ⇒ the sample is a
+    fixed subset, not a fresh draw per run; the filter is a per-row
+    predicate pushed into the scan — zero shuffle at any scale."""
+    b = _bucket_spark("sample", 100)
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+    ) + " ELSE 0 END"
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"{b} < {rate}"))
+        .select("doc_id", "lang", F.expr(b).alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+_RATE_D = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+) + " ELSE 0 END"
+
+C02_SQL = f"""
+SELECT doc_id, lang, {_bucket_duck("sample", 100)} AS bucket
+FROM documents
+WHERE {_bucket_duck("sample", 100)} < {_RATE_D}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# c03 — deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+def c03_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global pseudo-random training order: sort by a salted content-free
+    hash of doc_id. The sort is Spark's range-partitioned global sort —
+    distributed, no single-task window (a global ``row_number`` would
+    serialize; the sorted ORDER is the deliverable, a sequential writer
+    assigns positions for free). Changing the salt re-shuffles epochs
+    deterministically."""
+    key = "md5(concat('order:', CAST(doc_id AS STRING)))"
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(key).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+    )
+
+
+C03_SQL = """
+SELECT doc_id, md5(concat('order:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+FROM documents ORDER BY shuffle_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# c04 — sharded sequence packing (token-budget bins)
+# ---------------------------------------------------------------------------
+
+def c04_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a pack bin of ~PACK_TOKENS whitespace
+    tokens: shard by hash (independent packing state per shard ≙ per
+    output file), order within the shard by the c03 shuffle key, and bin
+    on the running token cumsum BEFORE the current doc — the streaming
+    greedy-fill rule. The window partitions on shard, so packing
+    parallelism equals shard count at any corpus size."""
+    from pyspark.sql.window import Window
+
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    shard = _bucket_spark("shard", PACK_SHARDS)
+    key = "md5(concat('order:', CAST(doc_id AS STRING)))"
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(shard).alias("shard"),
+            F.expr(key).alias("shuffle_key"),
+            F.expr(f"CAST({ntok} AS BIGINT)").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "cum_tokens",
+            F.expr(f"CAST((cum_tokens - n_tokens) DIV {PACK_TOKENS} AS BIGINT)").alias(
+                "pack_bin"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C04_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_bucket_duck("shard", PACK_SHARDS)} AS shard,
+         md5(concat('order:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+         CAST(len({tf.tokens_duck(tf.norm_duck('text'))}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_key
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_key
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // {PACK_TOKENS} AS BIGINT) AS pack_bin
+FROM base ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "c01_hash_split": c01_hash_split,
+    "c02_stratified_sample": c02_stratified_sample,
+    "c03_train_order": c03_train_order,
+    "c04_pack_bins": c04_pack_bins,
+}
+
+ORACLES = {
+    "c01_hash_split": C01_SQL,
+    "c02_stratified_sample": C02_SQL,
+    "c03_train_order": C03_SQL,
+    "c04_pack_bins": C04_SQL,
+}

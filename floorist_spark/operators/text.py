@@ -360,6 +360,62 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t08 — word-repetition quality signal (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+def t08_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition features — the filters that catch boiler-
+    plate and degenerate generations: fraction of duplicated words
+    (1 - distinct/total) and the share of the single most frequent word.
+
+    Shape: explode → two-stage aggregation ((doc_id, word) counts, then
+    per-doc rollup) — both stages partial-aggregate map-side, the shuffle
+    keys are bounded by the corpus vocabulary × docs. Fractions are single
+    integer/integer divisions ⇒ bit-identical doubles."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOK_S)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_word_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_word_cnt",
+            F.expr(
+                "CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens"
+            ).alias("dup_word_frac"),
+            F.expr("CAST(top_word_cnt AS DOUBLE) / n_tokens").alias("top_word_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T08_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_D}) AS tok FROM documents
+), wc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  count(*) AS n_distinct,
+  CAST(max(cnt) AS BIGINT) AS top_word_cnt,
+  CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_word_frac,
+  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_word_frac
+FROM wc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -368,6 +424,7 @@ QUERIES = {
     "t05_top_bigrams": t05_top_bigrams,
     "t06_regex_tokens": t06_regex_tokens,
     "t07_token_rarity": t07_token_rarity,
+    "t08_word_repetition": t08_word_repetition,
 }
 
 ORACLES = {
@@ -378,4 +435,5 @@ ORACLES = {
     "t05_top_bigrams": T05_SQL,
     "t06_regex_tokens": T06_SQL,
     "t07_token_rarity": T07_SQL,
+    "t08_word_repetition": T08_SQL,
 }

@@ -20,7 +20,7 @@ def _pairs():
     return [
         (name, qs[name], oracles.get(name))
         for name in sorted(qs)
-        if name[0] in "dstem" and name[1].isdigit()
+        if name[0] in "dstemc" and name[1].isdigit()
     ]
 
 
