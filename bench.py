@@ -47,6 +47,10 @@ HEADLINE = (
     "t01_token_stats",
     "t05_top_bigrams",
     "t06_regex_tokens",
+    "t08_word_repetition",
+    "t09_dup_ngram_fraction",
+    "c04_pack_bins",
+    "c05_decontamination",
     "e01_tumbling_hourly",
     "e03_session_windows",
     "e05_asof_join",

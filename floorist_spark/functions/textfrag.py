@@ -66,6 +66,33 @@ def tokens_duck(norm: str) -> str:
     return f"string_split({norm}, ' ')"
 
 
+# -- word n-grams ------------------------------------------------------------
+
+
+def word_ngrams_spark(toks: str, n: int = 3) -> str:
+    """All word n-grams (space-joined) of a token array; empty array for
+    docs shorter than n tokens (the CASE also dodges Spark's descending
+    ``sequence(1, 0)`` surprise).
+
+    Like :func:`shingles_spark`, ``toks`` MUST be a materialized column —
+    the lambda indexes it per element, and an inlined split+normalize
+    expression would be re-evaluated once per n-gram."""
+    terms = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), i -> concat_ws(' ', {terms})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def word_ngrams_duck(toks: str, n: int = 3) -> str:
+    terms = ", ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> concat_ws(' ', {terms}))"
+    )
+
+
 # -- MinHash (one md5 per shingle + affine family) ---------------------------
 #
 # The naive salted-md5 family (md5(salt || s) per hash function) costs

@@ -223,11 +223,119 @@ FROM base ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c05 — benchmark decontamination (train-split n-gram overlap vs eval split)
+# ---------------------------------------------------------------------------
+
+#: word-n-gram width for contamination matching (13 in production text
+#: pipelines; 3 here because the synthetic corpus is ~54 short-vocab words)
+DECON_NGRAM = 3
+
+
+def c05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag eval-set leakage: for every train-split document, the count and
+    fraction of its distinct word n-grams that also occur anywhere in the
+    held-out test split (the c01 buckets — so the eval set is itself
+    hash-deterministic).
+
+    Scale shape: the eval split's distinct-n-gram set is TINY no matter how
+    big the corpus is (benchmarks are MB-scale even against a 100 TB
+    train set), so it is aggregated once and **broadcast** — the train
+    side then does one scan + broadcast hash join + per-doc aggregation,
+    with no shuffle of n-gram text ever crossing the cluster. In
+    production the eval n-gram set is materialized once and reused across
+    runs; here both branches derive from the same scan.
+
+    The per-doc n-gram table is persisted (released at the catalog
+    boundary) for two reasons: it is read by BOTH split branches, and —
+    the expensive one — without the cache barrier Catalyst's
+    InferFiltersFromGenerate derives ``size(ngrams) > 0`` from the explode
+    and predicate pushdown inlines the whole tokenize+n-gram expression
+    into a pre-repartition filter, re-evaluating it twice per row in the
+    single-task scan stage (measured 20s vs 3s at sf0.1 — the third
+    sibling of the [[spark-hof-lambda-recompute]] traps)."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(tf.norm_spark("text"))
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_bucket_spark("split", 100)).alias("bucket"),
+            F.expr(toks).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(
+                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
+            ).alias("ngrams"),
+        )
+    )
+    base = track(base.persist())
+    test_ng = (
+        base.filter(F.col("bucket") >= VAL_UPTO)
+        .select(F.explode("ngrams").alias("ng"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_ng = base.filter(F.col("bucket") < TRAIN_UPTO).select(
+        "doc_id", F.explode("ngrams").alias("ng")
+    )
+    return (
+        train_ng.join(F.broadcast(test_ng), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.expr("CAST(n_contaminated AS DOUBLE) / n_ngrams").alias(
+                "contamination_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C05_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_bucket_duck("split", 100)} AS bucket,
+         {{toks}} AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, bucket,
+         list_distinct({{ngrams}}) AS ngrams
+  FROM tok
+), test_ng AS (
+  SELECT DISTINCT unnest(ngrams) AS ng FROM base WHERE bucket >= {VAL_UPTO}
+), train_ng AS (
+  SELECT doc_id, unnest(ngrams) AS ng FROM base WHERE bucket < {TRAIN_UPTO}
+)
+SELECT t.doc_id,
+  count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS contamination_frac
+FROM train_ng t LEFT JOIN test_ng e ON t.ng = e.ng
+GROUP BY t.doc_id ORDER BY t.doc_id
+""".format(
+    toks=tf.tokens_duck(tf.norm_duck("text")),
+    ngrams=tf.word_ngrams_duck("toks", DECON_NGRAM),
+)
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
     "c03_train_order": c03_train_order,
     "c04_pack_bins": c04_pack_bins,
+    "c05_decontamination": c05_decontamination,
 }
 
 ORACLES = {
@@ -235,4 +343,5 @@ ORACLES = {
     "c02_stratified_sample": C02_SQL,
     "c03_train_order": C03_SQL,
     "c04_pack_bins": C04_SQL,
+    "c05_decontamination": C05_SQL,
 }

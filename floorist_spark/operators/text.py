@@ -416,6 +416,75 @@ FROM wc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t09 — corpus-duplicated n-gram fraction (C4-style boilerplate signal)
+# ---------------------------------------------------------------------------
+
+def t09_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 5-word-grams that occur in at
+    least one OTHER document — the cross-document boilerplate signal the
+    C4/RefinedWeb line-dedup filters compute (the synthetic corpus has no
+    newlines, so the span unit is the n-gram, not the line).
+
+    Scale shape: the exploded n-gram table is hashed to md5 immediately, so
+    every shuffle carries (doc_id, 32-byte digest) — never n-gram text.
+    Three digest-keyed shuffles (global count, count-join, per-doc rollup),
+    each with map-side partial aggregation; the exploded table is persisted
+    so the corpus is scanned once (at 100 TB you would checkpoint it to
+    storage instead — same plan, durable intermediate)."""
+    from floorist_spark.operators._cache import track
+
+    ng = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOK_S).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({tf.word_ngrams_spark('toks', 5)})")
+            ).alias("ng"),
+        )
+        .select("doc_id", F.expr("md5(ng)").alias("h"))
+    )
+    ng = track(ng.persist())
+    counts = ng.groupBy("h").agg(F.count("*").alias("ndocs"))
+    return (
+        ng.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.expr("IF(ndocs >= 2, 1, 0)")).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            F.expr("CAST(n_dup AS DOUBLE) / n_ngrams").alias("dup_ngram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T09_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_D} AS toks FROM documents
+), ng0 AS (
+  SELECT doc_id, unnest(list_distinct({tf.word_ngrams_duck("toks", 5)})) AS g
+  FROM tok
+), ng AS (
+  SELECT doc_id, md5(g) AS h FROM ng0
+), counts AS (
+  SELECT h, count(*) AS ndocs FROM ng GROUP BY h
+)
+SELECT n.doc_id,
+  count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_ngram_frac
+FROM ng n JOIN counts c ON n.h = c.h
+GROUP BY n.doc_id ORDER BY n.doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -425,6 +494,7 @@ QUERIES = {
     "t06_regex_tokens": t06_regex_tokens,
     "t07_token_rarity": t07_token_rarity,
     "t08_word_repetition": t08_word_repetition,
+    "t09_dup_ngram_fraction": t09_dup_ngram_fraction,
 }
 
 ORACLES = {
@@ -436,4 +506,5 @@ ORACLES = {
     "t06_regex_tokens": T06_SQL,
     "t07_token_rarity": T07_SQL,
     "t08_word_repetition": T08_SQL,
+    "t09_dup_ngram_fraction": T09_SQL,
 }
