@@ -51,6 +51,7 @@ HEADLINE = (
     "t09_dup_ngram_fraction",
     "c04_pack_bins",
     "c05_decontamination",
+    "c06_mixture_weights",
     "e01_tumbling_hourly",
     "e03_session_windows",
     "e05_asof_join",

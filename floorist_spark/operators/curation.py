@@ -330,12 +330,98 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# c06 — temperature-scaled language mixture weights
+# ---------------------------------------------------------------------------
+
+#: mixture temperature: weight ∝ tokens^(1/T); T>1 upsamples rare
+#: languages. Fixed at 4 so the root is sqrt(sqrt(x)) — sqrt is the one
+#: power IEEE 754 requires correctly rounded, so both engines agree
+#: bit-for-bit (pow() is NOT correctly rounded: JVM Math.pow vs C++
+#: std::pow can differ in the last ulp).
+MIX_TEMP = 4
+_ROOT4_S = "sqrt(sqrt(CAST(lang_tokens AS DOUBLE)))"
+_ROOT4_D = "sqrt(sqrt(CAST(lang_tokens AS DOUBLE)))"
+
+
+def c06_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per language: token share of the corpus, and
+    the temperature-scaled sampling weight ``tokens^(1/T)`` renormalized —
+    the standard multilingual rebalance (T=1 ⇒ proportional, T→∞ ⇒
+    uniform).
+
+    Scale shape: one corpus scan with a map-side-combined groupBy on the
+    (tiny) language key; the corpus total and the normalizer — single-row
+    aggregates of the per-language table — cross-join back
+    (auto-broadcast). Everything after the first aggregation operates on
+    O(#languages) rows, so cost is one scan + one shuffle of partial sums
+    regardless of corpus size.
+
+    Float determinism: token counts are exact BIGINT sums; the root is
+    sqrt∘sqrt (correctly rounded, see MIX_TEMP); and the normalizer folds
+    the per-language roots in SORTED order via an explicit array fold —
+    a plain float ``sum()`` would be partial-aggregation-order-dependent
+    and break the cross-engine hash."""
+    from floorist_spark.operators._cache import track
+
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.expr(f"CAST({ntok} AS BIGINT)").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("lang_tokens"), F.count("*").alias("n_docs"))
+    )
+    # O(#languages) rows, but referenced by THREE plan consumers (the
+    # normalizer aggregate, the final join, and the orderBy's range-
+    # sampling pass) — without the cache each consumer re-runs the full
+    # tokenize scan (measured 12.7s -> 1.6s at sf0.1)
+    per_lang = track(per_lang.persist())
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.expr(
+            f"aggregate(array_sort(collect_list({_ROOT4_S})), "
+            f"CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("_norm_unscaled"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.expr("CAST(lang_tokens AS DOUBLE) / total_tokens").alias("token_share"),
+            F.expr(f"{_ROOT4_S} / _norm_unscaled").alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+C06_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(len({{toks}})) AS BIGINT) AS lang_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang
+), totals AS (
+  SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         list_reduce(list_sort(list({_ROOT4_D})), (a, x) -> a + x)
+           AS _norm_unscaled
+  FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+  CAST(lang_tokens AS DOUBLE) / total_tokens AS token_share,
+  {_ROOT4_D} / _norm_unscaled AS mix_weight
+FROM per_lang, totals ORDER BY lang
+""".format(toks=tf.tokens_duck(tf.norm_duck("text")))
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
     "c03_train_order": c03_train_order,
     "c04_pack_bins": c04_pack_bins,
     "c05_decontamination": c05_decontamination,
+    "c06_mixture_weights": c06_mixture_weights,
 }
 
 ORACLES = {
@@ -344,4 +430,5 @@ ORACLES = {
     "c03_train_order": C03_SQL,
     "c04_pack_bins": C04_SQL,
     "c05_decontamination": C05_SQL,
+    "c06_mixture_weights": C06_SQL,
 }

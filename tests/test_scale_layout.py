@@ -73,3 +73,29 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS bucket_a")
         spark.sql("DROP TABLE IF EXISTS bucket_b")
+
+
+def test_no_inferred_generate_filter_recompute_at_scan(spark):
+    """Regression for the third measured pitfall (PERFORMANCE.md):
+    InferFiltersFromGenerate derives ``size(arr) > 0`` from an explode and
+    predicate pushdown inlines the WHOLE array expression (tokenize +
+    n-gram lambda) into the pre-repartition scan filter, re-evaluating it
+    per row on the single scan task (c05's first cut: 20s vs 3s at sf0.1).
+
+    The persist barrier in c05/t09 keeps lambda-bearing expressions out of
+    every Filter node — this pins that shape for both operators."""
+    from floorist_spark.operators import curation, text
+    from floorist_spark.operators._cache import release_caches
+
+    try:
+        for build in (curation.c05_decontamination, text.t09_dup_ngram_fraction):
+            df = build(spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            bad = [
+                ln
+                for ln in plan.splitlines()
+                if "Filter" in ln and "lambdafunction" in ln
+            ]
+            assert not bad, f"{build.__name__} filter recomputes a lambda:\n" + "\n".join(bad)
+    finally:
+        release_caches()
