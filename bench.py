@@ -41,6 +41,7 @@ HEADLINE = (
     "d04_lsh_jaccard_dedup",
     "d06_simhash_near_pairs",
     "d07_embedding_neardup",
+    "d11_semantic_dedup",
     "s01_cosine_topk_brute",
     "s02_lsh_bucketed_ann",
     "s04_ivf_search",
@@ -49,13 +50,16 @@ HEADLINE = (
     "t06_regex_tokens",
     "t08_word_repetition",
     "t09_dup_ngram_fraction",
+    "t10_tfidf_topk",
     "c04_pack_bins",
     "c05_decontamination",
     "c06_mixture_weights",
+    "c07_curation_pipeline",
     "e01_tumbling_hourly",
     "e03_session_windows",
     "e05_asof_join",
     "e06_range_join",
+    "e09_funnel",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",

@@ -415,6 +415,112 @@ FROM per_lang, totals ORDER BY lang
 """.format(toks=tf.tokens_duck(tf.norm_duck("text")))
 
 
+# ---------------------------------------------------------------------------
+# c07 — end-to-end curation pipeline (quality → dedup → split → stats)
+# ---------------------------------------------------------------------------
+
+#: minimum blended quality score (t02's metric) a doc must reach to enter
+#: the training corpus — set at the ~20th percentile of the synthetic
+#: corpus so the filter stage visibly prunes
+QUALITY_MIN = 0.3
+
+
+def c07_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel in ONE lazy plan: quality-filter (t02's
+    blended score ≥ QUALITY_MIN) → exact dedup (keep the lowest doc_id per
+    text digest) → deterministic train/val/test split (c01's hash buckets)
+    → per (split, lang) corpus stats. This is the composition a real
+    pipeline runs nightly; expressing it as a single DataFrame lets
+    Catalyst pipeline all three stages into two shuffles total (digest
+    window + final aggregate) with the quality predicate evaluated at the
+    scan.
+
+    Scale shape: the filter is a narrow per-row predicate; dedup shuffles
+    (digest, doc_id, lang, n_tokens) — never text; split assignment is a
+    pure per-row hash; the closing aggregate groups on a tiny (split,
+    lang) key with map-side combine. Float determinism is inherited from
+    t02 (integer-ratio scores), so the filtered SET is bit-identical to
+    the oracle's."""
+    from pyspark.sql.window import Window
+
+    from floorist_spark.operators._cache import track
+    from floorist_spark.operators.text import (
+        _NORM_S as T_NORM_S,
+        _TOK_S as T_TOK_S,
+        LANG_STOPWORDS,
+        _hits_spark,
+    )
+
+    en = LANG_STOPWORDS["en"]
+    stop_ratio = f"CAST({_hits_spark(T_TOK_S, en)} AS DOUBLE) / size({T_TOK_S})"
+    len_score = f"least(CAST(length({T_NORM_S}) AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE))"
+    quality = (
+        f"CAST(0.5 AS DOUBLE) * ({len_score}) + CAST(0.5 AS DOUBLE) * ({stop_ratio})"
+    )
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.expr(quality).alias("quality_score"),
+        F.expr(f"CAST(size({T_TOK_S}) AS BIGINT)").alias("n_tokens"),
+    )
+    # pushdown barrier (same rationale as c05): without it the quality
+    # predicate — tokenize included — is pushed through the repartition
+    # into the single-task file scan and the tokenize runs twice per row;
+    # the cached frame carries no text, only the 5 derived columns
+    scored = track(scored.persist())
+    filtered = scored.filter(F.col("quality_score") >= QUALITY_MIN)
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    b = _bucket_spark("split", 100)
+    return (
+        deduped.select(
+            "lang",
+            "n_tokens",
+            F.expr(
+                f"CASE WHEN {b} < {TRAIN_UPTO} THEN 'train' "
+                f"WHEN {b} < {VAL_UPTO} THEN 'val' ELSE 'test' END"
+            ).alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _c07_sql() -> str:
+    from floorist_spark.operators.text import _LEN_SCORE_D, _STOP_RATIO_D, _TOK_D
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, md5(text) AS text_md5,
+         0.5::DOUBLE * ({_LEN_SCORE_D}) + 0.5::DOUBLE * ({_STOP_RATIO_D})
+           AS quality_score,
+         CAST(len({_TOK_D}) AS BIGINT) AS n_tokens
+  FROM documents
+), filtered AS (
+  SELECT * FROM scored WHERE quality_score >= {QUALITY_MIN}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+)
+SELECT
+  CASE WHEN {_bucket_duck("split", 100)} < {TRAIN_UPTO} THEN 'train'
+       WHEN {_bucket_duck("split", 100)} < {VAL_UPTO} THEN 'val'
+       ELSE 'test' END AS split,
+  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -422,6 +528,7 @@ QUERIES = {
     "c04_pack_bins": c04_pack_bins,
     "c05_decontamination": c05_decontamination,
     "c06_mixture_weights": c06_mixture_weights,
+    "c07_curation_pipeline": c07_curation_pipeline,
 }
 
 ORACLES = {
@@ -431,4 +538,5 @@ ORACLES = {
     "c04_pack_bins": C04_SQL,
     "c05_decontamination": C05_SQL,
     "c06_mixture_weights": C06_SQL,
+    "c07_curation_pipeline": _c07_sql(),
 }

@@ -629,6 +629,99 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d11 — semantic dedup (cluster-then-prune over embeddings)
+# ---------------------------------------------------------------------------
+
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition the embedding space into clusters, then drop every vector
+    that has a LOWER-id neighbor above the cosine threshold *within its
+    cluster* — the published greedy rule, which makes pruning embarrassingly
+    parallel per cluster (d09's connected components are the cross-cluster
+    exact alternative; SemDeDup trades that global view for per-cluster
+    locality at 100 TB).
+
+    Scale shape: assignment is one corpus scan against a broadcast centroid
+    set (s03's IVF plan; production trains MLlib k-means with K ~ N/10^4 so
+    clusters stay bounded — s05 pins that path). Pairing joins the cluster
+    key only, so candidates are sum(|cluster|^2) within clusters, never
+    O(N^2) — the join is hash-partitioned on centroid_id and AQE splits
+    skewed clusters. The assigned table feeds three consumers (both pair
+    sides + the final flag join), so it is persisted once."""
+    from floorist_spark.operators.similarity import N_CENTROIDS
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    assigned = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "q_emb", "centroid_id",
+            F.expr(tf.cosine_spark("q_emb", "c_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q_emb", "centroid_id")
+    )
+    assigned = track(assigned.persist())
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("q_emb").alias("a_emb"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("q_emb").alias("b_emb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.expr(tf.cosine_spark("a_emb", "b_emb")) >= COSINE_DEMO_THRESHOLD
+        )
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.expr("vec_b IS NULL").alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _d11_sql() -> str:
+    from floorist_spark.operators.similarity import N_CENTROIDS
+
+    cos_assign = tf.cosine_duck("q.embedding", "c.embedding")
+    cos_pair = tf.cosine_duck("a.q_emb", "b.q_emb")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id, q.embedding AS q_emb, c.vec_id AS centroid_id,
+         {cos_assign} AS cos
+  FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, q_emb, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id
+  WHERE a.vec_id < b.vec_id AND {cos_pair} >= {COSINE_DEMO_THRESHOLD}
+)
+SELECT a.vec_id, a.centroid_id, d.vec_b IS NULL AS is_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_b
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -639,6 +732,7 @@ QUERIES = {
     "d07_embedding_neardup": d07_embedding_neardup,
     "d09_dedup_clusters": d09_dedup_clusters,
     "d10_curation_keep": d10_curation_keep,
+    "d11_semantic_dedup": d11_semantic_dedup,
 }
 
 ORACLES = {
@@ -651,4 +745,5 @@ ORACLES = {
     "d07_embedding_neardup": _d07_sql(),
     "d09_dedup_clusters": D09_SQL,
     "d10_curation_keep": _d10_sql(),
+    "d11_semantic_dedup": _d11_sql(),
 }

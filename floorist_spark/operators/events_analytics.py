@@ -430,6 +430,140 @@ ORDER BY user_id, id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# e09 — ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+#: funnel stages in required order
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def e09_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: the earliest ``view``, the earliest
+    ``click`` strictly after that view, and the earliest ``purchase``
+    strictly after that click — the strict-ordering semantics of
+    ClickHouse's ``windowFunnel`` / product-analytics funnels (a click
+    before any view does not count).
+
+    Scale shape: each stage is a filtered scan of ONLY its event type
+    (predicate pushed to the parquet scan) → hash aggregate on user_id →
+    co-partitioned join with the previous stage. Per-stage state is one
+    timestamp per user — never a per-user event array, so a whale user
+    with 10^8 events costs the same as anyone else (the collect-sorted-
+    array alternative OOMs on exactly those users). Three shuffles of
+    (user_id, timestamp) pairs total, each smaller than the last."""
+    ev = _load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.expr(
+                "CAST(1 + IF(t_click IS NOT NULL, 1, 0)"
+                " + IF(t_purchase IS NOT NULL, 1, 0) AS INT)"
+            ).alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E09_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, t_view, t_click, t_purchase,
+       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INT)
+         AS funnel_stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# e10 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def e10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users are cohorted by their first-ever
+    activity day; each (cohort_day, day_offset) cell counts the distinct
+    users of that cohort active offset days later.
+
+    Scale shape: one pass builds per-user cohort days (hash agg on
+    user_id); a distinct user-day projection (hash agg on the pair —
+    collapses each user's events per day BEFORE the join, so the join
+    input is bounded by users×days, not raw events) joins the tiny
+    per-user cohort table on user_id co-partitioned; the final cell
+    aggregate is a map-side-combined count. No distinct-count state:
+    rows entering the last groupBy are already unique per (user, day)."""
+    ev = _load_events(spark, sf_dir).select(
+        "user_id", F.expr("CAST(ts AS DATE)").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    user_days = ev.distinct()
+    return (
+        user_days.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.expr("CAST(datediff(day, cohort_day) AS INT)").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+E10_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), user_days AS (
+  SELECT DISTINCT user_id, day FROM ev
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       count(*) AS active_users
+FROM user_days JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -439,6 +573,8 @@ QUERIES = {
     "e06_range_join": e06_range_join,
     "e07_streaming_watermark": e07_streaming_watermark,
     "e08_streaming_sessions": e08_streaming_sessions,
+    "e09_funnel": e09_funnel,
+    "e10_retention": e10_retention,
 }
 
 ORACLES = {
@@ -450,4 +586,6 @@ ORACLES = {
     "e06_range_join": E06_SQL,
     "e07_streaming_watermark": E07_SQL,
     "e08_streaming_sessions": E08_SQL,
+    "e09_funnel": E09_SQL,
+    "e10_retention": E10_SQL,
 }
