@@ -45,6 +45,7 @@ HEADLINE = (
     "s01_cosine_topk_brute",
     "s02_lsh_bucketed_ann",
     "s04_ivf_search",
+    "s08_quantized_rerank",
     "t01_token_stats",
     "t05_top_bigrams",
     "t06_regex_tokens",

@@ -330,6 +330,217 @@ def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# s07 — int8 scalar quantization (+ reconstruction error)
+# ---------------------------------------------------------------------------
+
+def _sq8_fragments(col: str, engine: str) -> tuple[str, str]:
+    """(scale, codes) expressions for symmetric max-abs int8 quantization.
+    Every step is an IEEE-754 correctly-rounded op (divide, multiply, add,
+    floor) applied in identical order in both engines, so codes are
+    bit-identical by construction; floor(x+0.5) is round-half-toward-+inf,
+    chosen over round() because the engines' round() disagree on the
+    half-to-even rule."""
+    if engine == "spark":
+        scale = (
+            f"aggregate({col}, CAST(0 AS DOUBLE), "
+            f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+        )
+        codes = (
+            f"transform({col}, x -> IF(scale = CAST(0 AS DOUBLE), 0, "
+            f"CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT)))"
+        )
+    else:
+        scale = (
+            f"list_reduce(list_transform({col}, x -> abs(x::DOUBLE)), "
+            f"(a, x) -> CASE WHEN x > a THEN x ELSE a END)"
+        )
+        codes = (
+            f"list_transform({col}, x -> CASE WHEN scale = 0.0::DOUBLE THEN 0 "
+            f"ELSE CAST(floor(x::DOUBLE / scale * 127.0 + 0.5) AS INTEGER) END)"
+        )
+    return scale, codes
+
+
+def s07_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× compression every billion-vector index applies before anything
+    else (FAISS ``SQ8``): per-vector max-abs scale, code_j =
+    round(x_j/scale*127). Output carries the codes, the scale, and the
+    exact reconstruction MSE so a pipeline can gate on quantization loss.
+
+    Scale shape: a narrow per-row map — no shuffle at all except the
+    final order; at 100 TB this is the cheapest possible plan (and the
+    codes column is what s08 then searches over). The reconstruction
+    error folds strictly left-to-right for cross-engine bit-parity."""
+    mse = (
+        "aggregate(zip_with(embedding, codes, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 127.0 * scale) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 127.0 * scale)), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x) / size(embedding)"
+    )
+    scale_s, codes_s = _sq8_fragments("embedding", "spark")
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", F.expr(scale_s).alias("scale"))
+        .select("vec_id", "embedding", "scale", F.expr(codes_s).alias("codes"))
+        .select(
+            "vec_id",
+            "scale",
+            "codes",
+            F.expr(mse).alias("recon_mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _s07_sql() -> str:
+    scale_d, codes_d = _sq8_fragments("embedding", "duck")
+    mse_d = (
+        "list_reduce(list_transform(range(1, len(embedding) + 1), i -> "
+        "(embedding[i]::DOUBLE - codes[i]::DOUBLE / 127.0 * scale) * "
+        "(embedding[i]::DOUBLE - codes[i]::DOUBLE / 127.0 * scale)), "
+        "(a, x) -> a + x) / len(embedding)"
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding, {scale_d} AS scale FROM embeddings
+), coded AS (
+  SELECT vec_id, embedding, scale, {codes_d} AS codes FROM scaled
+)
+SELECT vec_id, scale, codes, {mse_d} AS recon_mse
+FROM coded ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# s08 — two-stage retrieval: quantized prefilter, exact rerank
+# ---------------------------------------------------------------------------
+
+#: candidates surviving the quantized stage per query
+RERANK_POOL = 10
+
+
+def s08_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval shape: stage 1 scores sign-LSH-bucket
+    candidates on RECONSTRUCTED int8 vectors (what an index actually
+    stores) and keeps a pool of ``RERANK_POOL``; stage 2 joins the exact
+    float vectors back for only that pool and reranks to top-k. At scale
+    the full-precision corpus is touched for Q×pool rows instead of every
+    candidate — the bandwidth win that makes quantized indexes pay.
+
+    Plan: the quantized table is built once (narrow map, persisted for
+    its two consumers), the bucket equi-join bounds stage-1 candidates,
+    and the rerank join keys on (neighbor_id) against the corpus scan —
+    both sides hash-partitioned, no broadcast of anything scale-growing."""
+    from floorist_spark.operators._cache import track
+
+    scale_s, _ = _sq8_fragments("embedding", "spark")
+    # quantize+reconstruct in ONE lambda that references `scale` three
+    # times: a single-reference alias would be CollapseProject-inlined
+    # into the per-element lambda and the max-abs aggregate re-evaluated
+    # 64x per row (pitfall 1)
+    recon_s = (
+        "transform(embedding, x -> IF(scale = CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), "
+        "CAST(CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT) AS DOUBLE) "
+        "/ 127.0 * scale))"
+    )
+    quant = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+            F.expr(scale_s).alias("scale"),
+        )
+        .select("vec_id", "bucket", F.expr(recon_s).alias("recon"))
+    )
+    quant = track(quant.persist())
+    q = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("recon").alias("q_rec"), "bucket"
+    )
+    c = quant.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("recon").alias("c_rec"), "bucket"
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    pool = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(tf.cosine_spark("q_rec", "c_rec")).alias("approx_cosine"),
+        )
+        .withColumn("prank", F.row_number().over(w_pool))
+        .filter(F.col("prank") <= RERANK_POOL)
+    )
+    exact = load_table(spark, sf_dir, "embeddings")
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pool.join(
+            exact.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
+            "query_id",
+        )
+        .join(
+            exact.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.expr(_COS_S).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _s08_sql() -> str:
+    scale_d, _ = _sq8_fragments("embedding", "duck")
+    recon_d = (
+        "list_transform(embedding, x -> CASE WHEN scale = 0.0::DOUBLE "
+        "THEN 0.0::DOUBLE ELSE "
+        "(CAST(floor(x::DOUBLE / scale * 127.0 + 0.5) AS INTEGER))::DOUBLE "
+        "/ 127.0 * scale END)"
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket,
+         {scale_d} AS scale
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, bucket, {recon_d} AS recon FROM scaled
+), pool AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {tf.cosine_duck("q.recon", "c.recon")} AS approx_cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {tf.cosine_duck("q.recon", "c.recon")} DESC,
+                      c.vec_id ASC) AS prank
+    FROM quant q JOIN quant c USING (bucket)
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  ) WHERE prank <= {RERANK_POOL}
+), reranked AS (
+  SELECT p.query_id, p.neighbor_id, p.approx_cosine,
+         {tf.cosine_duck("qe.embedding", "ce.embedding")} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+           ORDER BY {tf.cosine_duck("qe.embedding", "ce.embedding")} DESC,
+                    p.neighbor_id ASC) AS rank
+  FROM pool p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, approx_cosine, cosine, CAST(rank AS INTEGER) AS rank
+FROM reranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -337,6 +548,8 @@ QUERIES = {
     "s04_ivf_search": s04_ivf_search,
     "s05_kmeans_ivf_assign": s05_kmeans_ivf_assign,
     "s06_multiprobe_ann": s06_multiprobe_ann,
+    "s07_sq8_quantize": s07_sq8_quantize,
+    "s08_quantized_rerank": s08_quantized_rerank,
 }
 
 ORACLES = {
@@ -345,4 +558,6 @@ ORACLES = {
     "s03_ivf_assign": S03_SQL,
     "s04_ivf_search": S04_SQL,
     "s06_multiprobe_ann": S06_SQL,
+    "s07_sq8_quantize": _s07_sql(),
+    "s08_quantized_rerank": _s08_sql(),
 }
