@@ -564,6 +564,72 @@ ORDER BY cohort_day, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# e11 — calendar densification (gap-filled hourly series)
+# ---------------------------------------------------------------------------
+
+def e11_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: every (hour, type) cell over the
+    table's full time span, zero-filled where no events landed — the
+    densification step every downstream time-series model (and SQL window
+    over "previous hour") silently assumes.
+
+    Scale shape: the aggregate side is e01's map-side-combined hourly
+    rollup (small output: hours x types). The dense calendar is
+    ``sequence()``-generated from a single-row min/max aggregate and
+    exploded — O(hours x types) rows built without scanning the corpus
+    again (the 1-row bounds cross-join auto-broadcasts both into the
+    calendar build and the left join, which therefore also broadcasts:
+    zero extra shuffle of anything corpus-sized at any scale)."""
+    ev = _load_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.expr("date_trunc('hour', ts)").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.expr(_SUM_VAL))
+    bounds = ev.agg(
+        F.expr("date_trunc('hour', min(ts))").alias("lo"),
+        F.expr("date_trunc('hour', max(ts))").alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    calendar = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour"),
+        )
+    )
+    return (
+        calendar.join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+E11_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), calendar AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+)
+SELECT c.hour, c.event_type,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.total_value, 0.0::DOUBLE) AS total_value
+FROM calendar c LEFT JOIN agg a ON a.hour = c.hour AND a.event_type = c.event_type
+ORDER BY c.hour, c.event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -575,6 +641,7 @@ QUERIES = {
     "e08_streaming_sessions": e08_streaming_sessions,
     "e09_funnel": e09_funnel,
     "e10_retention": e10_retention,
+    "e11_gapfill_hourly": e11_gapfill_hourly,
 }
 
 ORACLES = {
@@ -588,4 +655,5 @@ ORACLES = {
     "e08_streaming_sessions": E08_SQL,
     "e09_funnel": E09_SQL,
     "e10_retention": E10_SQL,
+    "e11_gapfill_hourly": E11_SQL,
 }
