@@ -633,7 +633,9 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 # d11 — semantic dedup (cluster-then-prune over embeddings)
 # ---------------------------------------------------------------------------
 
-def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d11_semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DEMO_THRESHOLD
+) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     partition the embedding space into clusters, then drop every vector
     that has a LOWER-id neighbor above the cosine threshold *within its
@@ -678,9 +680,7 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            F.expr(tf.cosine_spark("a_emb", "b_emb")) >= COSINE_DEMO_THRESHOLD
-        )
+        .filter(F.expr(tf.cosine_spark("a_emb", "b_emb")) >= threshold)
         .select("vec_b")
         .distinct()
     )
