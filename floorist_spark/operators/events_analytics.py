@@ -630,6 +630,62 @@ ORDER BY c.hour, c.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e12 — semi-structured (JSON) property extraction
+# ---------------------------------------------------------------------------
+
+def e12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the JSON ``props`` payload (path ``$.k``) in the scan
+    projection and roll it up per event type — the semi-structured pattern
+    every event pipeline needs (Spark: ``get_json_object``; both engines
+    agree missing-path → NULL → dropped by the aggregates).
+
+    Scale shape: JSON parsing is a narrow per-row JVM expression fused
+    into the scan stage (no UDF, no shuffle of raw JSON — only the
+    extracted BIGINT reaches the aggregate); the rollup groups on the
+    tiny event-type key with map-side combine. The mean is an exact
+    bigint-ratio division for cross-engine bit-parity."""
+    ev = _load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_with_k",
+            "sum_k",
+            "min_k",
+            "max_k",
+            F.expr("CAST(sum_k AS DOUBLE) / n_with_k").alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E12_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), agg AS (
+  SELECT event_type,
+         count(k) AS n_with_k,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         min(k) AS min_k, max(k) AS max_k
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n_with_k, sum_k, min_k, max_k,
+       CAST(sum_k AS DOUBLE) / n_with_k AS avg_k
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -642,6 +698,7 @@ QUERIES = {
     "e09_funnel": e09_funnel,
     "e10_retention": e10_retention,
     "e11_gapfill_hourly": e11_gapfill_hourly,
+    "e12_json_extract": e12_json_extract,
 }
 
 ORACLES = {
@@ -656,4 +713,5 @@ ORACLES = {
     "e09_funnel": E09_SQL,
     "e10_retention": E10_SQL,
     "e11_gapfill_hourly": E11_SQL,
+    "e12_json_extract": E12_SQL,
 }
