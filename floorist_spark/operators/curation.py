@@ -340,8 +340,8 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 #: bit-for-bit (pow() is NOT correctly rounded: JVM Math.pow vs C++
 #: std::pow can differ in the last ulp).
 MIX_TEMP = 4
-_ROOT4_S = "sqrt(sqrt(CAST(lang_tokens AS DOUBLE)))"
-_ROOT4_D = "sqrt(sqrt(CAST(lang_tokens AS DOUBLE)))"
+#: identical text in both dialects — sqrt/CAST are common syntax
+_ROOT4 = "sqrt(sqrt(CAST(lang_tokens AS DOUBLE)))"
 
 
 def c06_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +379,7 @@ def c06_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_lang.agg(
         F.sum("lang_tokens").alias("total_tokens"),
         F.expr(
-            f"aggregate(array_sort(collect_list({_ROOT4_S})), "
+            f"aggregate(array_sort(collect_list({_ROOT4})), "
             f"CAST(0 AS DOUBLE), (a, x) -> a + x)"
         ).alias("_norm_unscaled"),
     )
@@ -390,7 +390,7 @@ def c06_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "lang_tokens",
             F.expr("CAST(lang_tokens AS DOUBLE) / total_tokens").alias("token_share"),
-            F.expr(f"{_ROOT4_S} / _norm_unscaled").alias("mix_weight"),
+            F.expr(f"{_ROOT4} / _norm_unscaled").alias("mix_weight"),
         )
         .orderBy("lang")
     )
@@ -404,13 +404,13 @@ WITH per_lang AS (
   FROM documents GROUP BY lang
 ), totals AS (
   SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
-         list_reduce(list_sort(list({_ROOT4_D})), (a, x) -> a + x)
+         list_reduce(list_sort(list({_ROOT4})), (a, x) -> a + x)
            AS _norm_unscaled
   FROM per_lang
 )
 SELECT lang, n_docs, lang_tokens,
   CAST(lang_tokens AS DOUBLE) / total_tokens AS token_share,
-  {_ROOT4_D} / _norm_unscaled AS mix_weight
+  {_ROOT4} / _norm_unscaled AS mix_weight
 FROM per_lang, totals ORDER BY lang
 """.format(toks=tf.tokens_duck(tf.norm_duck("text")))
 
