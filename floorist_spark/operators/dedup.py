@@ -722,6 +722,59 @@ ORDER BY a.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d12 — cross-modal near-dup (text ∪ embedding signals)
+# ---------------------------------------------------------------------------
+
+def d12_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs flagged by EITHER signal family, with provenance:
+    SimHash text pairs (d06, hamming <= 3) full-outer-joined with
+    embedding-cosine pairs (d07) on the id pair — the multi-signal merge a
+    production pipeline runs before adjudicating conflicts (text-dup but
+    not embed-dup usually means boilerplate; embed-only means paraphrase).
+    The testdata ids align doc_id == vec_id by construction.
+
+    Scale shape: pure composition — both inputs are already
+    bucketed-candidate pair sets (tiny relative to the corpus), so the
+    merge is a join of two pair tables on their natural key; no new scan
+    of documents or embeddings beyond what d06/d07 perform."""
+    t = d06_simhash_near_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )
+    e = d07_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        "cosine",
+    )
+    return (
+        t.join(e, ["id_a", "id_b"], "full")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("hamming IS NOT NULL").alias("text_dup"),
+            F.expr("cosine IS NOT NULL").alias("embed_dup"),
+            "hamming",
+            "cosine",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _d12_sql() -> str:
+    return f"""
+WITH t AS ({D06_SQL}), e AS ({_d07_sql()})
+SELECT coalesce(t.doc_a, e.vec_a) AS id_a,
+       coalesce(t.doc_b, e.vec_b) AS id_b,
+       t.doc_a IS NOT NULL AS text_dup,
+       e.vec_a IS NOT NULL AS embed_dup,
+       t.hamming, e.cosine
+FROM t FULL OUTER JOIN e ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -733,6 +786,7 @@ QUERIES = {
     "d09_dedup_clusters": d09_dedup_clusters,
     "d10_curation_keep": d10_curation_keep,
     "d11_semantic_dedup": d11_semantic_dedup,
+    "d12_crossmodal_neardup": d12_crossmodal_neardup,
 }
 
 ORACLES = {
@@ -746,4 +800,5 @@ ORACLES = {
     "d09_dedup_clusters": D09_SQL,
     "d10_curation_keep": _d10_sql(),
     "d11_semantic_dedup": _d11_sql(),
+    "d12_crossmodal_neardup": _d12_sql(),
 }
