@@ -38,7 +38,11 @@ from floorist_spark.session import load_table
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
 #: for the 2dp synthetic data; sum of 10k values fits DECIMAL(18,6))
 _VAL_S = "CAST(value AS DECIMAL(18,6))"
-_SUM_VAL = f"CAST(SUM({_VAL_S}) AS DOUBLE) AS total_value"
+#: decimal sum rendered via exact decimal STRING: both engines' float
+#: parsers are correctly rounded, while a direct decimal→double cast can
+#: differ by 1 ulp between engines once the scaled sum exceeds 2^53 (see
+#: relational._dsum)
+_SUM_VAL = f"CAST(CAST(SUM({_VAL_S}) AS STRING) AS DOUBLE) AS total_value"
 
 SESSION_GAP_MIN = 30
 
@@ -609,11 +613,11 @@ def e11_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-E11_SQL = """
+E11_SQL = f"""
 WITH agg AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         {_SUM_VAL}
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi

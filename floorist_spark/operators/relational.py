@@ -8,11 +8,13 @@ is the natural surface, e.g. VALUES relations) and a DuckDB oracle string.
 
 Float determinism: the driver's correctness gate hashes result values, so
 every floating-point *aggregate* is computed with exact DECIMAL arithmetic
-and cast to DOUBLE at the end. Spark sums partitions in arbitrary order;
-DuckDB sums sequentially — with doubles the results differ in the last
-bits, with decimals they are bit-identical after the final cast. The
-DECIMAL widths are chosen so no intermediate exceeds precision 38 in either
-engine (no precision-loss rounding on the Spark side).
+and rendered to DOUBLE at the end VIA AN EXACT DECIMAL STRING (see _dsum:
+a direct decimal→double cast is 1-ulp engine-dependent beyond 2^53). Spark
+sums partitions in arbitrary order; DuckDB sums sequentially — with
+doubles the results differ in the last bits, with decimals they are
+bit-identical after the final render. The DECIMAL widths are chosen so no
+intermediate exceeds precision 38 in either engine (no precision-loss
+rounding on the Spark side).
 
 Scale notes (100 TB):
 * every query is expressed declaratively, so Catalyst pushes filters into
@@ -49,14 +51,23 @@ CHARGE = f"{DISC_PRICE} * (CAST(1 AS DECIMAL(6,4)) + {TAX})"
 
 def _dsum(expr: str, alias: str) -> str:
     """Exact decimal SUM rendered back to DOUBLE — bit-identical between a
-    parallel Spark aggregation and DuckDB's sequential one."""
-    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+    parallel Spark aggregation and DuckDB's sequential one.
+
+    The render goes THROUGH AN EXACT DECIMAL STRING on purpose: both
+    engines' float parsers are correctly rounded, so string→double yields
+    the nearest double of the exact sum on each side. A direct
+    decimal→double cast is NOT safe once the scaled integer exceeds 2^53 —
+    Java's BigDecimal converts the exact value in one rounding while
+    DuckDB computes double(int128)/10^scale in two, and the results can
+    differ by 1 ulp (observed on q11's sum_charge at sf0.1)."""
+    return f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE) AS {alias}"
 
 
 def _davg(expr: str, alias: str) -> str:
-    """Exact decimal mean: exact SUM cast to DOUBLE, divided by COUNT —
-    both engines then perform the identical double/bigint division."""
-    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*) AS {alias}"
+    """Exact decimal mean: exact SUM rendered via decimal string (see
+    _dsum), divided by COUNT — both engines then perform the identical
+    double/bigint division."""
+    return f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -449,8 +460,8 @@ def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER "
-            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)"
+            "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS STRING) AS DOUBLE)"
         ).alias("running_total"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
     )
@@ -458,8 +469,8 @@ def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER
-            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS STRING) AS DOUBLE)
          AS running_total,
        LAG(o_totalprice, 1) OVER
             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
@@ -631,7 +642,7 @@ def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) FROM orders
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS STRING) AS DOUBLE) / COUNT(*) FROM orders
         )
         """
     )
@@ -640,7 +651,7 @@ def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q27_SQL = """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_totalprice > (
-  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) FROM orders
+  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS STRING) AS DOUBLE) / COUNT(*) FROM orders
 )
 """
 
@@ -777,9 +788,9 @@ def q33_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "trailing_30d_spend",
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
                 "PARTITION BY o_custkey ORDER BY od "
-                "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+                "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)"
             ),
         )
         .select("o_orderkey", "o_custkey", "trailing_30d_spend")
@@ -795,9 +806,9 @@ WITH t AS (
   FROM orders
 )
 SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
          PARTITION BY o_custkey ORDER BY od
-         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
          AS trailing_30d_spend
 FROM t ORDER BY o_orderkey
 """

@@ -176,3 +176,27 @@ def test_cosine_parity(frames):
         f"SELECT {tf.cosine_duck('a', 'b')} AS v FROM vec_pairs ORDER BY i"
     ).fetchdf()["v"].tolist()
     assert sp == du  # exact float equality — strict left-fold on both sides
+
+
+def test_decimal_sum_render_parity_beyond_2pow53(frames):
+    """Regression for the q11 sum_charge 1-ulp drift found at sf0.1: a
+    decimal whose scaled integer exceeds 2^53 converts to double in ONE
+    rounding on the JVM but TWO in DuckDB (double(int128)/10^scale), so a
+    direct decimal→double cast may differ by 1 ulp between engines. The
+    engine therefore renders decimal aggregates via an exact decimal
+    STRING (correctly-rounded parse on both sides) — this pins that route
+    on adversarial magnitudes, including the original failing value."""
+    spark, con = frames
+    values = [
+        "2786415501.094158600000",   # the sf0.1 q11 failure, scale 12
+        "9007199254740993.000001",   # 2^53 + 1 territory
+        "1234567890123.456789999999",
+        "999999999999999.999999999999",
+        "0.000000000001",
+        "-2786415501.094158600000",
+    ]
+    for v in values:
+        frag = f"CAST(CAST(CAST('{v}' AS DECIMAL(38,12)) AS STRING) AS DOUBLE)"
+        sp = spark.sql(f"SELECT {frag} AS x").collect()[0]["x"]
+        du = con.execute(f"SELECT {frag} AS x").fetchone()[0]
+        assert sp == du and sp is not None, f"{v}: spark={sp!r} duck={du!r}"
