@@ -541,6 +541,62 @@ FROM reranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s09 — ANN recall@k against the exact baseline
+# ---------------------------------------------------------------------------
+
+def s09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the multi-probe LSH index (s06) against the exact
+    brute-force top-k (s01) per query — the evaluation metric every ANN
+    deployment tracks before trading accuracy for candidate volume.
+
+    Scale shape: both inputs are top-k PAIR SETS (Q×k rows, corpus-size
+    independent), so the audit join and per-query ratio cost nothing next
+    to the searches themselves; the recall is an exact int/int division.
+    At 100 TB this runs over a sampled query panel — the panel size, not
+    the corpus, bounds the metric's cost."""
+    truth = s01_cosine_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = s06_multiprobe_ann(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("found_id")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id)
+            & (truth.neighbor_id == approx.found_id),
+            "left",
+        )
+        .select(truth.query_id, "neighbor_id", "found_id")
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("found_id").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            F.expr("CAST(n_hit AS DOUBLE) / n_truth").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+S09_SQL = f"""
+WITH truth AS ({S01_SQL}), approx AS ({S06_SQL})
+SELECT t.query_id,
+       count(*) AS n_truth,
+       count(a.neighbor_id) AS n_hit,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -550,6 +606,7 @@ QUERIES = {
     "s06_multiprobe_ann": s06_multiprobe_ann,
     "s07_sq8_quantize": s07_sq8_quantize,
     "s08_quantized_rerank": s08_quantized_rerank,
+    "s09_ann_recall": s09_ann_recall,
 }
 
 ORACLES = {
@@ -560,4 +617,5 @@ ORACLES = {
     "s06_multiprobe_ann": S06_SQL,
     "s07_sq8_quantize": _s07_sql(),
     "s08_quantized_rerank": _s08_sql(),
+    "s09_ann_recall": S09_SQL,
 }
