@@ -14,7 +14,7 @@ recorded. It is called
 * by the export engine after each dump, and
 * by bench/selfcheck at the end of their sweeps,
 
-keeping an 80-query session's executor memory flat instead of accumulating
+keeping a ~100-query session's executor memory flat instead of accumulating
 cached partitions per query.
 
 Caveat: tracked DataFrames include ``localCheckpoint`` results (d09's final

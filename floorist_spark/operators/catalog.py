@@ -55,7 +55,7 @@ def _with_cache_release(
     """Release the persisted intermediates of the PREVIOUS catalog entry
     before building this one. Catalog consumers run entries sequentially
     (action included), so at build time of entry N the caches of entry N-1
-    are dead weight — this keeps an 80-query sweep memory-flat even when
+    are dead weight — this keeps a ~100-query sweep memory-flat even when
     the harness (e.g. the grading driver) never calls release itself."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
