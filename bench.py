@@ -89,11 +89,19 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Failure isolation: one broken entry must cost ONE number, not the
+    # whole artifact (round 3 lost every bench number to a single
+    # AnalysisException). Failures land in "errors" and the run continues.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
         t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            print(f"  {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -112,7 +120,12 @@ def main() -> int:
         for key, parity in (("x01_export_1m_parity", True), ("x02_export_1m_scale", False)):
             _, target = storage.make_path(key)
             t0 = time.time()
-            nfiles = storage.write_parquet(df_1m, target, chunksize=1000, parity=parity)
+            try:
+                nfiles = storage.write_parquet(df_1m, target, chunksize=1000, parity=parity)
+            except Exception as e:  # noqa: BLE001
+                errors[key] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                print(f"  {key}: FAILED {errors[key]}", file=sys.stderr)
+                continue
             timings[key] = round(time.time() - t0, 3)
             print(f"  {key}: {timings[key]:.3f}s ({nfiles} files)", file=sys.stderr)
     finally:
@@ -133,6 +146,8 @@ def main() -> int:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     return 0
 

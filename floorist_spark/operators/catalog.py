@@ -67,18 +67,38 @@ def _with_cache_release(
     return wrapped
 
 
+def _interleave(dicts: list[dict]) -> dict:
+    """Round-robin merge preserving each module's internal order.
+
+    Registry order is visible downstream: correctness harnesses that
+    sample a prefix of ``queries()`` (the grading driver gates the first
+    ~50) would otherwise only ever see the first one or two families.
+    Interleaving puts a representative of EVERY family in the first
+    len(modules()) entries, so a prefix window exercises the whole
+    surface — this is how e06's round-3 breakage slipped past a gate that
+    stopped inside the q* block."""
+    iters = [iter(d.items()) for d in dicts]
+    out: dict = {}
+    while iters:
+        alive = []
+        for it in iters:
+            try:
+                k, v = next(it)
+            except StopIteration:
+                continue
+            out[k] = v
+            alive.append(it)
+        iters = alive
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in modules():
-        out.update(getattr(mod, "QUERIES", {}))
+    out = _interleave([getattr(mod, "QUERIES", {}) for mod in modules()])
     return {name: _with_cache_release(fn) for name, fn in out.items()}
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in modules():
-        out.update(getattr(mod, "ORACLES", {}))
-    return out
+    return _interleave([getattr(mod, "ORACLES", {}) for mod in modules()])
 
 
 def resolve_catalog_query(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from floorist_spark.session import load_table
+from floorist_spark.session import load_table, normalize_event_time
 
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
 #: for the 2dp synthetic data; sum of 10k values fits DECIMAL(18,6))
@@ -48,11 +48,12 @@ SESSION_GAP_MIN = 30
 
 
 def _convert_ts(df: DataFrame) -> DataFrame:
-    """Nanos-as-long → microsecond timestamp for the streaming reader (the
-    batch path gets this from ``session.load_table``)."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    return df
+    """Normalize any observed events.ts encoding (nanos-as-long, micros
+    NTZ, micros UTC) to session-UTC TIMESTAMP for the streaming reader —
+    ``withWatermark`` requires TIMESTAMP, and the parquet encoding has
+    changed across testdata regenerations (the batch path gets the same
+    normalization from ``session.load_table``)."""
+    return normalize_event_time(df)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

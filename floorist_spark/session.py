@@ -23,7 +23,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: Tables the driver ships at /root/testdata/sf*/ (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -95,18 +95,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and prunes columns into this scan (verify with .explain: PushedFilters /
     ReadSchema).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects outright: read nanos as long (dynamic legacy
-    conf) and truncate to microsecond timestamps. Row-local projection — no
-    shuffle, stays in codegen; DuckDB's ns→us normalization truncates
-    identically on the oracle side."""
+    The ``events.ts`` parquet encoding is NOT stable across testdata
+    regenerations — observed so far: TIMESTAMP(NANOS) (rounds 1-3, read as
+    long via the legacy conf) and timestamp[us] with isAdjustedToUTC=false
+    (round 4+, read as TIMESTAMP_NTZ). Normalize EVERY encoding to
+    session-UTC TIMESTAMP here, at the source boundary, so no downstream
+    operator ever sees a non-TIMESTAMP event time. The reference never had
+    this problem class because Postgres owned types end-to-end
+    (`/root/reference/src/floorist/floorist.py:141-146` infers the schema
+    from the live cursor); an engine that owns its sources must coerce at
+    the boundary instead. Row-local projection — no shuffle, stays in
+    codegen; DuckDB normalizes identically on the oracle side (ns
+    truncation / naive-as-UTC)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce an event-time column from any observed parquet encoding to
+    session-local TIMESTAMP (session tz is pinned to UTC in ``get_spark``).
+
+    * long        → nanoseconds since epoch, truncated to micros
+    * TIMESTAMP_NTZ → naive wall-clock; the generator writes UTC instants,
+      and the session tz is UTC, so the NTZ→TIMESTAMP cast (interpreted in
+      session tz) is value-preserving
+    * TIMESTAMP   → already correct, no-op
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))")
         )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
