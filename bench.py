@@ -41,6 +41,7 @@ HEADLINE = (
     "d04_lsh_jaccard_dedup",
     "d06_simhash_near_pairs",
     "d07_embedding_neardup",
+    "d10_curation_keep",
     "d11_semantic_dedup",
     "s01_cosine_topk_brute",
     "s02_lsh_bucketed_ann",

@@ -521,6 +521,85 @@ GROUP BY split, lang ORDER BY split, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# c08 — snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+def _snapshot_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic "next release" of the corpus, derived from
+    the current one: every 11th doc removed, every 7th surviving doc
+    edited, one new doc minted per 13th doc. Both engines construct the
+    identical snapshot, so the diff below has a full hash oracle; in
+    production this input is simply the other snapshot's table."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = base.filter("doc_id % 11 != 0").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END"
+        ).alias("text"),
+    )
+    added = base.filter("doc_id % 13 = 0").select(
+        F.expr("doc_id + 10000000").alias("doc_id"),
+        F.expr("'new doc ' || CAST(doc_id AS STRING)").alias("text"),
+    )
+    return kept.unionAll(added)
+
+
+def c08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: row-level added/removed/changed status
+    between two corpus snapshots — the audit every dataset release pipeline
+    publishes next to its new version (and the input to incremental
+    re-embedding: only 'added'/'changed' docs need reprocessing).
+
+    Scale shape: each side reduces to (doc_id, md5(text)) IN THE SCAN
+    PROJECTION, so the full-outer join shuffles 8-byte ids + 32-byte
+    digests, never document bodies. On a real deployment both snapshots
+    are bucketed by doc_id and the join is co-located with zero shuffle;
+    unchanged rows (the overwhelming majority of a release diff) are
+    filtered before the sort."""
+    digest = "md5(CAST(text AS BINARY))"
+    a = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(digest).alias("md5_a")
+    )
+    b = _snapshot_b(spark, sf_dir).select("doc_id", F.expr(digest).alias("md5_b"))
+    return (
+        a.join(b, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN md5_a IS NULL THEN 'added' "
+                "WHEN md5_b IS NULL THEN 'removed' "
+                "WHEN md5_a != md5_b THEN 'changed' "
+                "ELSE 'unchanged' END"
+            ).alias("status"),
+        )
+        .filter("status != 'unchanged'")
+        .orderBy("doc_id")
+    )
+
+
+C08_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0
+), da AS (SELECT doc_id, md5(text) AS md5_a FROM documents),
+db AS (SELECT doc_id, md5(text) AS md5_b FROM b),
+diff AS (
+  SELECT coalesce(da.doc_id, db.doc_id) AS doc_id,
+         CASE WHEN md5_a IS NULL THEN 'added'
+              WHEN md5_b IS NULL THEN 'removed'
+              WHEN md5_a != md5_b THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id
+)
+SELECT doc_id, status FROM diff WHERE status != 'unchanged' ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -529,6 +608,7 @@ QUERIES = {
     "c05_decontamination": c05_decontamination,
     "c06_mixture_weights": c06_mixture_weights,
     "c07_curation_pipeline": c07_curation_pipeline,
+    "c08_snapshot_diff": c08_snapshot_diff,
 }
 
 ORACLES = {
@@ -539,4 +619,5 @@ ORACLES = {
     "c05_decontamination": C05_SQL,
     "c06_mixture_weights": C06_SQL,
     "c07_curation_pipeline": _c07_sql(),
+    "c08_snapshot_diff": C08_SQL,
 }

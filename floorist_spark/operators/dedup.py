@@ -128,8 +128,8 @@ FROM documents GROUP BY 1 ORDER BY keep_doc_id
 # d03 — MinHash-LSH candidate pairs (banded)
 # ---------------------------------------------------------------------------
 
-def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): one row per doc per band.
+def _minhash_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{B*R-1}): the full MinHash signature table.
 
     Shape matters here: materialize the normalized text, explode shingle
     START POSITIONS, hash each shingle substring once (the only md5 pass),
@@ -155,12 +155,18 @@ def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(tf.base_hash_spark(f"substring(nrm, i, {SHINGLE_K})")).alias("h"),
         )
     )
-    mins = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         *[
             F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
             for i in range(NBANDS * NROWS)
         ]
     )
+
+
+def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): one row per doc per band, from the signature
+    table (band signature = the R row-hashes concatenated)."""
+    mins = _minhash_mins(spark, sf_dir)
     sigs = ", ".join(
         "concat_ws('|', "
         + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
@@ -775,6 +781,132 @@ ORDER BY id_a, id_b
 """
 
 
+def d13_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality audit: for every LSH candidate pair, the Jaccard
+    ESTIMATE implied by the signatures (fraction of the B*R row-hashes that
+    agree — the unbiased MinHash estimator) next to the EXACT Jaccard over
+    hashed shingle sets, plus the absolute error. This is the operator a
+    production dedup pipeline runs when tuning B/R or auditing whether the
+    signature family is behaving (estimate should concentrate around truth
+    with sd ~= sqrt(j(1-j)/32)).
+
+    Scale shape: identical to d04 — one shingle+digest pass (cached), the
+    signature table derives from it by aggregation, candidates by banded
+    bucket join, and BOTH scoring joins touch only the ~1.4k candidate
+    pairs. The estimate join carries (doc_id, 32 bigints); nothing here is
+    all-pairs. Determinism: estimate = matches/32 (exact in binary),
+    exact Jaccard = integer-cardinality ratio, error = one IEEE subtract —
+    all bit-identical across engines."""
+    nmh = NBANDS * NROWS
+    hashed = track(
+        _shingled_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    hashed.count()
+
+    ex = hashed.select("doc_id", F.explode("sh").alias("h"))
+    mins = track(
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+                for i in range(nmh)
+            ]
+        )
+        .persist()
+    )
+    mins.count()
+    sigs = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
+        + ")"
+        for b in range(NBANDS)
+    )
+    bands = mins.select(
+        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(nmh)]
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(nmh)]
+    )
+    matches = " + ".join(f"CAST(a{i} = b{i} AS INT)" for i in range(nmh))
+    sha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("est_jaccard", F.expr(f"CAST(({matches}) AS DOUBLE) / {nmh}"))
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.expr(tf.jaccard_spark("sh_a", "sh_b")).alias("exact_jaccard"),
+        )
+        .withColumn("abs_err", F.expr("abs(est_jaccard - exact_jaccard)"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d13_sql() -> str:
+    nmh = NBANDS * NROWS
+    mh_cols = ", ".join(f"{tf.minhash_duck('hs', i)} AS mh{i}" for i in range(nmh))
+    matches = " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(nmh)
+    )
+    return f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+cdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand
+  )
+),
+-- signature/shingle work restricted to docs that appear in a candidate
+-- pair (and exact Jaccard evaluated once, in its own CTE) — the naive
+-- form recomputed 32 minhash list-passes for EVERY doc and the Jaccard
+-- twice per pair, ~25x slower at sf0.1
+mh AS (SELECT d.doc_id, {mh_cols} FROM docs d JOIN cdocs USING (doc_id)),
+sh AS (
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh
+  FROM documents JOIN cdocs USING (doc_id)
+),
+est AS (
+  SELECT doc_a, doc_b, CAST(({matches}) AS DOUBLE) / {nmh} AS est_jaccard
+  FROM cand JOIN mh ma ON doc_a = ma.doc_id JOIN mh mb ON doc_b = mb.doc_id
+),
+scored AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         {tf.jaccard_duck("da.sh", "db.sh")} AS exact_jaccard
+  FROM est e JOIN sh da ON e.doc_a = da.doc_id JOIN sh db ON e.doc_b = db.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM scored ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -787,6 +919,7 @@ QUERIES = {
     "d10_curation_keep": d10_curation_keep,
     "d11_semantic_dedup": d11_semantic_dedup,
     "d12_crossmodal_neardup": d12_crossmodal_neardup,
+    "d13_minhash_calibration": d13_minhash_calibration,
 }
 
 ORACLES = {
@@ -801,4 +934,5 @@ ORACLES = {
     "d10_curation_keep": _d10_sql(),
     "d11_semantic_dedup": _d11_sql(),
     "d12_crossmodal_neardup": _d12_sql(),
+    "d13_minhash_calibration": _d13_sql(),
 }

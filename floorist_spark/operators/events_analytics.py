@@ -691,6 +691,136 @@ FROM agg ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e13 — event-transition mining (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+def e13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transitions: for each user's time-ordered
+    event stream, count (event_type → next_event_type) pairs corpus-wide
+    and report each transition's share of its source type's outgoing edges
+    — the Markov-chain summary behind session-path analysis and
+    next-action models.
+
+    Scale shape: one shuffle on user_id for the per-user ``lead`` window
+    (ties broken by event_id for determinism), then a map-side-combined
+    rollup on the tiny (type, next_type) key space. A whale user costs a
+    longer per-partition sort, not a bigger shuffle — window state is one
+    row of lookahead. The share is an exact bigint-ratio division via a
+    windowed sum over the ~K^2 aggregate, bit-identical across engines."""
+    ev = _load_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    nxt = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "CAST(n_transitions AS DOUBLE) / "
+            "sum(n_transitions) OVER (PARTITION BY event_type)"
+        ).alias("p_next"),
+    ).orderBy("event_type", "next_type")
+
+
+E13_SQL = """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, count(*) AS n_transitions
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY event_type) AS p_next
+FROM counts ORDER BY event_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# e14 — hourly volume anomalies (deterministic z-score)
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.5
+
+
+def e14_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is a volume outlier: z-score of each hourly
+    count against the corpus-wide mean/stddev of hourly counts, keep
+    |z| >= 2.5 — the alerting primitive over any metric stream.
+
+    Determinism: Spark's stddev is a Welford streaming fold whose float
+    error depends on partition order, so the moments are built from EXACT
+    integer sums instead (n, Σc, Σc²  — counts are integers) and the
+    variance/σ/z arithmetic is a fixed IEEE expression tree evaluated
+    identically by both engines: mean = Σc/n, var = Σc²/n − mean², σ =
+    correctly-rounded sqrt. Population variance (not sample) keeps the
+    formula single-pass exact.
+
+    Scale shape: e01-style map-side-combined hourly rollup → a 1-row
+    moments aggregate over the (tiny) hours table → broadcast back over
+    it. Nothing corpus-sized is shuffled twice, and the z computation
+    never sees the raw events."""
+    ev = _load_events(spark, sf_dir)
+    hourly = ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = hourly.agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.expr("n_events * n_events")).alias("ss"),
+    )
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .withColumn("mean_events", F.expr("CAST(s AS DOUBLE) / n_hours"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(n_events - mean_events) / "
+                "sqrt(CAST(ss AS DOUBLE) / n_hours - mean_events * mean_events)"
+            ),
+        )
+        .filter(F.expr(f"abs(z) >= {Z_THRESHOLD}"))
+        .select("hour", "n_events", "mean_events", "z")
+        .orderBy("hour")
+    )
+
+
+E14_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_hours,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM hourly
+), scored AS (
+  SELECT hour, n_events,
+         CAST(s AS DOUBLE) / n_hours AS mean_events,
+         (n_events - CAST(s AS DOUBLE) / n_hours)
+           / sqrt(CAST(ss AS DOUBLE) / n_hours
+                  - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours))
+           AS z
+  FROM hourly, stats
+)
+SELECT hour, n_events, mean_events, z FROM scored
+WHERE abs(z) >= {Z_THRESHOLD} ORDER BY hour
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -704,6 +834,8 @@ QUERIES = {
     "e10_retention": e10_retention,
     "e11_gapfill_hourly": e11_gapfill_hourly,
     "e12_json_extract": e12_json_extract,
+    "e13_event_transitions": e13_event_transitions,
+    "e14_hourly_anomaly": e14_hourly_anomaly,
 }
 
 ORACLES = {
@@ -719,4 +851,6 @@ ORACLES = {
     "e10_retention": E10_SQL,
     "e11_gapfill_hourly": E11_SQL,
     "e12_json_extract": E12_SQL,
+    "e13_event_transitions": E13_SQL,
+    "e14_hourly_anomaly": E14_SQL,
 }

@@ -1,0 +1,113 @@
+"""Crafted-case semantics tests for the round-4 operators (c08, d13, e13,
+e14) — the oracle gate pins Spark==DuckDB; these pin the INTENT on inputs
+engineered to hit each rule."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from floorist_spark.operators.curation import c08_snapshot_diff
+from floorist_spark.operators.dedup import d13_minhash_calibration
+from floorist_spark.operators.events_analytics import (
+    e13_event_transitions,
+    e14_hourly_anomaly,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """documents.parquet hitting every c08 branch: doc 11/22 removed,
+    doc 7/14 changed, doc 13 spawns an added doc, others unchanged. Doc 91
+    (7*13) is changed AND spawns. Includes one exact-dup pair for d13."""
+    rows = [(i, f"document body number {i} with some shared words") for i in
+            (1, 2, 7, 11, 13, 14, 22, 91)]
+    rows.append((200, rows[0][1]))  # exact dup of doc 1 -> jaccard 1.0 pair
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = str(tmp_path_factory.mktemp("docs_c08"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_snapshot_diff_statuses(spark, docs_dir):
+    got = {r["doc_id"]: r["status"] for r in c08_snapshot_diff(spark, docs_dir).collect()}
+    assert got == {
+        7: "changed",
+        14: "changed",
+        91: "changed",
+        11: "removed",
+        22: "removed",
+        10000013: "added",
+        10000091: "added",
+    }
+
+
+def test_minhash_calibration_exact_dup(spark, docs_dir):
+    rows = {(r["doc_a"], r["doc_b"]): r for r in
+            d13_minhash_calibration(spark, docs_dir).collect()}
+    # the planted exact duplicate must be an LSH candidate with perfect
+    # signature agreement AND perfect exact Jaccard -> zero error
+    assert (1, 200) in rows
+    r = rows[(1, 200)]
+    assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    # estimator and truth live in [0,1] everywhere
+    for r in rows.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Two users with known transition paths + one spike hour for e14.
+
+    u1: view->click->purchase; u2: view->view (same-ts tie broken by
+    event_id: 20 then 21). Hours: 24 quiet hours with 1 event each, one
+    spike hour with many — the spike is the single z-outlier."""
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=0, minutes=1), 1, "view", 1.0),
+        (2, base + dt.timedelta(hours=0, minutes=2), 1, "click", 1.0),
+        (3, base + dt.timedelta(hours=0, minutes=3), 1, "purchase", 1.0),
+        (20, base + dt.timedelta(hours=1, minutes=5), 2, "view", 1.0),
+        (21, base + dt.timedelta(hours=1, minutes=5), 2, "view", 1.0),
+    ]
+    eid = 100
+    for h in range(2, 24):  # quiet hours, 1 event each
+        rows.append((eid, base + dt.timedelta(hours=h), 3, "view", 1.0))
+        eid += 1
+    for m in range(30):  # spike hour
+        rows.append((eid, base + dt.timedelta(hours=24, minutes=m), 4, "view", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = str(tmp_path_factory.mktemp("events_e13"))
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_event_transitions(spark, events_dir):
+    got = {(r["event_type"], r["next_type"]): r for r in
+           e13_event_transitions(spark, events_dir).collect()}
+    # u1 contributes view->click->purchase; u2 contributes view->view
+    # (event_id tiebreak); users 3 and 4 are single-type chains
+    assert got[("view", "click")]["n_transitions"] == 1
+    assert got[("click", "purchase")]["n_transitions"] == 1
+    assert got[("view", "view")]["n_transitions"] == 1 + 21 + 29
+    # outgoing shares per source type sum to 1
+    from collections import defaultdict
+
+    by_src = defaultdict(float)
+    for (src, _), r in got.items():
+        by_src[src] += r["p_next"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-12, (src, total)
+
+
+def test_hourly_anomaly_flags_spike(spark, events_dir):
+    rows = e14_hourly_anomaly(spark, events_dir).collect()
+    spike = dt.datetime(2024, 5, 2, 0, 0)
+    assert [r["hour"] for r in rows] == [spike]
+    assert rows[0]["n_events"] == 30 and rows[0]["z"] > 2.5

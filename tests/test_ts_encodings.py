@@ -20,6 +20,7 @@ import pytest
 
 from floorist_spark.operators.events_analytics import (
     e01_tumbling_hourly,
+    e04_streaming_tumbling,
     e05_asof_join,
     e06_range_join,
     e07_streaming_watermark,
@@ -98,6 +99,15 @@ def test_batch_ops_agree_across_encodings(spark, encoded_dirs, op):
         assert results[enc] == baseline, (
             f"{op.__name__}: {enc} result differs from micros_utc"
         )
+
+
+@pytest.mark.parametrize("encoding", ENCODINGS)
+def test_streaming_tumbling_on_every_encoding(spark, encoded_dirs, encoding):
+    """Complete-mode availableNow stream == the batch tumbling agg, on
+    every ts encoding (pins the streaming reader's _convert_ts path)."""
+    rows = sorted(map(tuple, e04_streaming_tumbling(spark, encoded_dirs[encoding]).collect()))
+    want = sorted(map(tuple, e01_tumbling_hourly(spark, encoded_dirs[encoding]).collect()))
+    assert rows == want, f"{encoding}: streaming tumbling != batch tumbling"
 
 
 @pytest.mark.parametrize("encoding", ENCODINGS)
