@@ -771,12 +771,19 @@ def e14_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: e01-style map-side-combined hourly rollup → a 1-row
     moments aggregate over the (tiny) hours table → broadcast back over
-    it. Nothing corpus-sized is shuffled twice, and the z computation
-    never sees the raw events."""
+    it. The hourly table feeds BOTH the moments and the scoring join, so
+    it is persisted and eagerly materialized — without that, Spark
+    replays the subtree and the corpus is scanned twice (caught by
+    .explain: two FileScans of events in the unpersisted plan)."""
     ev = _load_events(spark, sf_dir)
-    hourly = ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour")).agg(
-        F.count("*").alias("n_events")
+    from floorist_spark.operators._cache import track
+
+    hourly = track(
+        ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour"))
+        .agg(F.count("*").alias("n_events"))
+        .persist()
     )
+    hourly.count()
     stats = hourly.agg(
         F.count("*").alias("n_hours"),
         F.sum("n_events").alias("s"),

@@ -597,6 +597,65 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s10 — corpus kNN graph (bucketed, per-node top-k)
+# ---------------------------------------------------------------------------
+
+def s10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide k-nearest-neighbor GRAPH: every vector's top-3
+    cosine neighbors among its sign-LSH bucket mates — the substrate for
+    graph clustering, SemDeDup-style pruning, and label propagation. This
+    differs from s01-s08 (a small query set vs the corpus): here BOTH
+    sides are corpus-sized, so an exact build is O(N²) and the bucket
+    restriction is what makes the operator exist at scale.
+
+    Scale shape: one shuffle of (vec_id, embedding) on the 8-bit bucket
+    key, candidate pairs only within buckets (E[|bucket|] = N/256 →
+    ~N²/256 scored pairs, vs N² brute), per-node top-k as a
+    window row_number that compiles to WindowGroupLimit (partial top-k
+    before the shuffle). At billions of vectors you'd widen to multi-band
+    buckets (s06's multi-probe trick) to bound the recall loss; the graph
+    edges per node stay K regardless of corpus size. Empty buckets /
+    isolated nodes simply emit no edges (same as production kNN-graph
+    builds)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_sign_bucket_spark("embedding")).alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .select("src_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("src_id", "rank")
+    )
+
+
+S10_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS src_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT src_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY src_id, rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -607,6 +666,7 @@ QUERIES = {
     "s07_sq8_quantize": s07_sq8_quantize,
     "s08_quantized_rerank": s08_quantized_rerank,
     "s09_ann_recall": s09_ann_recall,
+    "s10_knn_graph": s10_knn_graph,
 }
 
 ORACLES = {
@@ -618,4 +678,5 @@ ORACLES = {
     "s07_sq8_quantize": _s07_sql(),
     "s08_quantized_rerank": _s08_sql(),
     "s09_ann_recall": S09_SQL,
+    "s10_knn_graph": S10_SQL,
 }

@@ -561,6 +561,51 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# t11 — feature hashing (hashing-trick bag-of-words)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIMS = 64
+
+
+def t11_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): each token is
+    hashed into one of 64 feature dimensions and counted — the vocabulary-
+    free sparse vectorizer for linear quality classifiers / fastText-style
+    filters over a corpus too large to build a vocabulary for. Output is
+    the long form (doc_id, dim, weight): sparse, join-friendly, and the
+    shape a downstream `pivot`/`applyInPandas` densifies per batch.
+
+    Scale shape: explode tokens → md5 once per token occurrence →
+    groupBy(doc_id, dim) count with map-side combine. No vocabulary
+    broadcast, no global state of any kind — the hash IS the vocabulary,
+    which is the whole point at 100 TB. The weight is log1p-free (raw
+    counts) to keep cross-engine bit-parity trivial."""
+    ex = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOK_S)).alias("t")
+    )
+    return (
+        ex.select(
+            "doc_id",
+            F.expr(f"pmod({tf.base_hash_spark('t')}, {FEATURE_DIMS})").alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("weight"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+T11_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOK_D}) AS t FROM documents
+)
+SELECT doc_id,
+       {tf.base_hash_duck('t')} % {FEATURE_DIMS} AS dim,
+       count(*) AS weight
+FROM ex GROUP BY doc_id, dim ORDER BY doc_id, dim
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -572,6 +617,7 @@ QUERIES = {
     "t08_word_repetition": t08_word_repetition,
     "t09_dup_ngram_fraction": t09_dup_ngram_fraction,
     "t10_tfidf_topk": t10_tfidf_topk,
+    "t11_feature_hashing": t11_feature_hashing,
 }
 
 ORACLES = {
@@ -585,4 +631,5 @@ ORACLES = {
     "t08_word_repetition": T08_SQL,
     "t09_dup_ngram_fraction": T09_SQL,
     "t10_tfidf_topk": T10_SQL,
+    "t11_feature_hashing": T11_SQL,
 }

@@ -111,3 +111,50 @@ def test_hourly_anomaly_flags_spike(spark, events_dir):
     spike = dt.datetime(2024, 5, 2, 0, 0)
     assert [r["hour"] for r in rows] == [spike]
     assert rows[0]["n_events"] == 30 and rows[0]["z"] > 2.5
+
+
+def test_feature_hashing_conserves_tokens(spark, docs_dir):
+    from pyspark.sql import functions as F
+
+    from floorist_spark.operators.text import t01_token_stats, t11_feature_hashing
+
+    feats = t11_feature_hashing(spark, docs_dir)
+    # hashed dims stay in range; per-doc weights sum to the token count
+    assert feats.filter("dim < 0 OR dim >= 64").count() == 0
+    got = {
+        r["doc_id"]: r["s"]
+        for r in feats.groupBy("doc_id").agg(F.sum("weight").alias("s")).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_tokens"] for r in t01_token_stats(spark, docs_dir).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_shape(spark, tmp_path_factory):
+    from floorist_spark.operators.similarity import s10_knn_graph
+
+    # two sign-buckets of 3 vectors each: edges must stay within a bucket,
+    # every node with bucket mates emits <= TOP_K ranked edges, no self-edges
+    vecs = [
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0]),
+        (3, [2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (4, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+        (5, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -2.0]),
+        (6, [-2.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = str(tmp_path_factory.mktemp("emb_s10"))
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+    rows = s10_knn_graph(spark, out).collect()
+    pos, neg = {1, 2, 3}, {4, 5, 6}
+    for r in rows:
+        assert r["src_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+        same = {r["src_id"], r["neighbor_id"]}
+        assert same <= pos or same <= neg, "edge crossed an LSH bucket"
+    # each node has exactly 2 bucket mates -> exactly 2 edges each
+    from collections import Counter
+
+    assert Counter(r["src_id"] for r in rows) == {i: 2 for i in range(1, 7)}
