@@ -907,6 +907,133 @@ FROM scored ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# d14 — n-gram containment (asymmetric near-superset detection)
+# ---------------------------------------------------------------------------
+
+#: inverted-index posting cap: n-grams in more docs than this are too
+#: common to be discriminative candidates (and would blow up the join)
+DF_CAP = 5
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def d14_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where one doc's distinct
+    word-3-grams are ≥90% contained in the other's — the quote/excerpt/
+    near-superset relation that symmetric Jaccard (d04) structurally
+    misses (a doc fully quoted inside a 10x larger one has Jaccard ≤ 0.1
+    but containment 1.0).
+
+    Candidate generation is an INVERTED INDEX on rare n-grams, not LSH
+    banding: keep postings for n-grams appearing in 2..{DF_CAP} docs, pair
+    docs sharing a posting. This is the third candidate strategy in the
+    dedup family (banded signatures d03, pigeonhole chunks d06, rare-term
+    postings here) and the right one for containment — a contained doc
+    shares ALL its n-grams with its container, rare ones included, while
+    LSH's collision probability tracks Jaccard and misses skewed-size
+    pairs. The df cap bounds posting-list length, so candidate pairs are
+    ≤ cap²/2 per rare n-gram — never all-pairs, and immune to boilerplate
+    n-grams by construction.
+
+    Scale shape: every shuffle carries (doc_id, 32-byte digest) — n-gram
+    text dies in the first projection; the distinct n-gram table is
+    persisted and feeds postings, sizes, and the intersection count (one
+    corpus scan); the intersection join fans out candidate pairs by the
+    contained side's n-gram count only. Containments are exact
+    integer/integer divisions — bit-identical cross-engine."""
+    ng = track(
+        _docs_parallel(spark, sf_dir)
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select("doc_id", F.expr(tf.tokens_spark("nrm")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({tf.word_ngrams_spark('toks', 3)})")
+            ).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .persist()
+    )
+    ng.count()
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    postings = (
+        ng.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, DF_CAP))
+    )
+    rare = ng.join(postings, "h").select("h", "doc_id")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    nga = ng.select(F.col("doc_id").alias("doc_a"), "h")
+    ngb = ng.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(nga, "doc_a")
+        .join(ngb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_ngrams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_ngrams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(n_shared AS DOUBLE) / n_a").alias("containment_a"),
+            F.expr("CAST(n_shared AS DOUBLE) / n_b").alias("containment_b"),
+        )
+        .filter(
+            F.expr(f"greatest(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d14_sql() -> str:
+    toks = tf.tokens_duck(_NORM_D)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), ng AS (
+  SELECT doc_id, md5(g) AS h FROM (
+    SELECT doc_id, unnest(list_distinct({tf.word_ngrams_duck("toks", 3)})) AS g
+    FROM tok
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM ng GROUP BY doc_id
+), postings AS (
+  SELECT h FROM ng GROUP BY h HAVING count(*) BETWEEN 2 AND {DF_CAP}
+), rare AS (
+  SELECT ng.h, ng.doc_id FROM ng JOIN postings USING (h)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b USING (h) WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN ng na ON na.doc_id = c.doc_a
+  JOIN ng nb ON nb.doc_id = c.doc_b AND nb.h = na.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_shared AS DOUBLE) / sa.n_ngrams AS containment_a,
+       CAST(i.n_shared AS DOUBLE) / sb.n_ngrams AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE greatest(CAST(i.n_shared AS DOUBLE) / sa.n_ngrams,
+               CAST(i.n_shared AS DOUBLE) / sb.n_ngrams)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -920,6 +1047,7 @@ QUERIES = {
     "d11_semantic_dedup": d11_semantic_dedup,
     "d12_crossmodal_neardup": d12_crossmodal_neardup,
     "d13_minhash_calibration": d13_minhash_calibration,
+    "d14_ngram_containment": d14_ngram_containment,
 }
 
 ORACLES = {
@@ -935,4 +1063,5 @@ ORACLES = {
     "d11_semantic_dedup": _d11_sql(),
     "d12_crossmodal_neardup": _d12_sql(),
     "d13_minhash_calibration": _d13_sql(),
+    "d14_ngram_containment": _d14_sql(),
 }

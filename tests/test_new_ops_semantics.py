@@ -113,6 +113,30 @@ def test_hourly_anomaly_flags_spike(spark, events_dir):
     assert rows[0]["n_events"] == 30 and rows[0]["z"] > 2.5
 
 
+def test_ngram_containment_finds_excerpt(spark, tmp_path_factory):
+    """A short doc quoted verbatim inside a much larger one: Jaccard is
+    tiny (symmetric d04 misses it) but containment is 1.0 — exactly the
+    relation d14 exists to catch."""
+    from floorist_spark.operators.dedup import d14_ngram_containment
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"unrelated filler token{i} appears here" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.replace("token", "word")),
+        (3, "a completely different document about parquet shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = str(tmp_path_factory.mktemp("docs_d14"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"]): r for r in
+           d14_ngram_containment(spark, out).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["containment_a"] == 1.0  # every 3-gram of the quote is in doc 2
+    assert r["containment_b"] < 0.5  # doc 2 is NOT contained in the quote
+
+
 def test_feature_hashing_conserves_tokens(spark, docs_dir):
     from pyspark.sql import functions as F
 
