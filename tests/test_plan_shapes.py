@@ -1,0 +1,71 @@
+"""Executed-plan regression tests for the round-4 operators — pins the
+physical properties the docstrings claim, so a refactor that silently
+degrades the plan (extra corpus scan, lost top-k pushdown, lost
+broadcast) fails CI instead of only showing up in a bench regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    from floorist_spark.operators._cache import release_caches
+
+    release_caches()
+
+
+def test_s10_knn_graph_partial_topk(spark):
+    from floorist_spark.operators.similarity import s10_knn_graph
+
+    plan = _plan(s10_knn_graph(spark, SF_SMOKE))
+    # per-node top-k must push below the rank filter as WindowGroupLimit
+    # (partial top-k per partition before the final window sort)
+    assert "WindowGroupLimit" in plan
+    # the self-join keys on the bucket — no cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_e14_single_corpus_scan(spark):
+    from floorist_spark.operators.events_analytics import e14_hourly_anomaly
+
+    df = e14_hourly_anomaly(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the hourly rollup feeds both the moments and the scoring join via
+    # the persisted cache; both consumers must read InMemoryTableScan
+    assert plan.count("InMemoryTableScan") == 2
+    # the 1-row moments side broadcasts
+    assert "BroadcastExchange" in plan
+
+
+def test_e13_one_corpus_shuffle(spark):
+    from floorist_spark.operators.events_analytics import e13_event_transitions
+
+    plan = _plan(e13_event_transitions(spark, SF_SMOKE))
+    # corpus-sized data shuffles exactly once (on user_id for the lead
+    # window); the remaining exchanges operate on the tiny (type, next)
+    # aggregate. Guard the total so a new corpus-sized exchange can't
+    # sneak in unnoticed.
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 5
+
+
+def test_c08_digest_only_shuffle(spark):
+    from floorist_spark.operators.curation import c08_snapshot_diff
+
+    plan = _plan(c08_snapshot_diff(spark, SF_SMOKE))
+    # the diff join must shuffle (doc_id, md5) projections — if a plan
+    # change starts shuffling document bodies, the exchange input would
+    # carry a `text` column
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(doc_id[^\n]*", plan):
+        assert "text" not in m.group(0)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
