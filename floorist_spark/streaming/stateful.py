@@ -130,5 +130,188 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
 """
 
-QUERIES = {"d08_streaming_dedup": d08_streaming_dedup}
-ORACLES = {"d08_streaming_dedup": D08_SQL}
+# ---------------------------------------------------------------------------
+# e15 — custom stateful sessionizer (event-time timeouts)
+# ---------------------------------------------------------------------------
+#
+# e08 sessionizes with the BUILT-IN session_window; this is the same
+# semantics implemented as a custom applyInPandasWithState operator with
+# EventTimeTimeout — the template for stateful logic session_window can't
+# express (per-session ML features, session-scoped dedup, abandoned-cart
+# style emissions). Sessions close on a 30-min gap; a closed session is
+# EMITTED only once the event-time watermark passes its end (exactly
+# e08's append-mode contract, so the two share an oracle family), via
+# state.setTimeoutTimestamp on the earliest unemitted session end.
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+WATERMARK_DELAY_MIN = 10
+
+_E15_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# pending closed-but-unemittable sessions (watermark hasn't passed their
+# end yet) + the open trailing session; ArrayType keeps the state one row
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_E15_STATE = StructType(
+    [
+        StructField("p_start", ArrayType(LongType())),
+        StructField("p_end", ArrayType(LongType())),
+        StructField("p_n", ArrayType(LongType())),
+        StructField("open_start", LongType()),
+        StructField("open_last", LongType()),
+        StructField("open_n", LongType()),
+    ]
+)
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-user sessionizer. Data call: fold new events (sorted by ts,
+    event_id) into the open session, moving gap-closed sessions to the
+    pending list. Timeout call (empty iterator): the watermark advanced.
+    Either way, emit every session whose end <= watermark, keep the rest,
+    and arm the timeout at the earliest still-unemitted session end."""
+    import pandas as pd
+
+    if state.exists:
+        p_start, p_end, p_n, o_start, o_last, o_n = state.get
+        p_start, p_end, p_n = list(p_start), list(p_end), list(p_n)
+    else:
+        p_start, p_end, p_n, o_start, o_last, o_n = [], [], [], None, None, 0
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us in pdf["us"].astype("int64"):
+            us = int(us)
+            if o_start is None:
+                o_start, o_last, o_n = us, us, 1
+            elif us - o_last >= SESSION_GAP_US:
+                p_start.append(o_start)
+                p_end.append(o_last + SESSION_GAP_US)
+                p_n.append(o_n)
+                o_start, o_last, o_n = us, us, 1
+            else:
+                o_last, o_n = us, o_n + 1
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    out, keep = [], []
+    for s, e, n in zip(p_start, p_end, p_n):
+        (out if e <= wm_us else keep).append((s, e, n))
+    if o_start is not None and o_last + SESSION_GAP_US <= wm_us:
+        out.append((o_start, o_last + SESSION_GAP_US, o_n))
+        o_start, o_last, o_n = None, None, 0
+
+    if not keep and o_start is None:
+        state.remove()
+    else:
+        state.update(
+            (
+                [s for s, _, _ in keep],
+                [e for _, e, _ in keep],
+                [n for _, _, n in keep],
+                o_start,
+                o_last,
+                o_n,
+            )
+        )
+        ends = [e for _, e, _ in keep]
+        if o_start is not None:
+            ends.append(o_last + SESSION_GAP_US)
+        # earliest unemitted end; must be strictly beyond the watermark
+        state.setTimeoutTimestamp(max(min(ends) // 1000, wm_us // 1000 + 1))
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "start_us": [s for s, _, _ in out],
+                "end_us": [e for _, e, _ in out],
+                "n_events": [n for _, _, n in out],
+            }
+        )
+
+
+def e15_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization over the events stream:
+    ``applyInPandasWithState`` with EventTimeTimeout, one shuffle on
+    user_id (the stateful operator's key partitioning); state per user is
+    the open session + the closed-but-unflushed tail, so the state store
+    is bounded by open sessions exactly like the built-in e08. With one
+    availableNow pass the final watermark is max(ts) − 10 min, making the
+    emitted set deterministic and hash-checkable against e08's SQL oracle
+    (minus the value sum, which this operator does not carry)."""
+    from floorist_spark.operators.events_analytics import _events_stream
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .select(
+            "user_id", "ts", F.expr("unix_micros(ts)").alias("us"), "event_id"
+        )
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        _E15_OUT,
+        _E15_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("e15_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("e15_stream_sink")
+        .select(
+            "user_id",
+            F.expr("timestamp_micros(start_us)").alias("session_start"),
+            F.expr("timestamp_micros(end_us)").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+E15_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+HAVING max(ts) + INTERVAL 30 MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+ORDER BY user_id, session_start
+"""
+
+QUERIES = {
+    "d08_streaming_dedup": d08_streaming_dedup,
+    "e15_custom_sessionizer": e15_custom_sessionizer,
+}
+ORACLES = {
+    "d08_streaming_dedup": D08_SQL,
+    "e15_custom_sessionizer": E15_SQL,
+}
