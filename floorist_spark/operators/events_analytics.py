@@ -828,6 +828,71 @@ WHERE abs(z) >= {Z_THRESHOLD} ORDER BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# e16 — continuous aggregate (incrementally maintained rollup)
+# ---------------------------------------------------------------------------
+
+def e16_continuous_aggregate(
+    spark: SparkSession, sf_dir: str, work: str | None = None
+) -> DataFrame:
+    """Incrementally-maintained hourly rollup — the hypertable
+    continuous-aggregate pattern (TimescaleDB-style) on Spark: each
+    micro-batch computes its own PARTIAL aggregate inside ``foreachBatch``
+    and appends it to a partials store; the serving read merges partials
+    by re-aggregation. Because every event belongs to exactly one
+    micro-batch, partials are disjoint and the merge is exact under ANY
+    batching — proven by the multi-batch test and by this entry's hash
+    oracle (== the full batch rollup, e01's shape).
+
+    Scale design: the expensive work (corpus scan + map-side combine)
+    happens once per batch over only that batch's files (checkpointed
+    file-listing state → each file processed exactly once across cron
+    runs); the partials store grows by O(hours × types) per batch, and
+    the serving merge touches partials only — never raw events. Partial
+    value sums are exact DECIMAL columns in parquet, so re-aggregation
+    order cannot drift the float render."""
+    import tempfile
+
+    if work is None:
+        work = tempfile.mkdtemp(prefix="floorist_e16_")
+    store = os.path.join(work, "partials")
+    ckpt = os.path.join(work, "ckpt")
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.expr("date_trunc('hour', ts)").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("pn"),
+                F.expr(f"SUM({_VAL_S})").alias("pv"),
+            )
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    query = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.expr("CAST(SUM(pn) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(CAST(SUM(pv) AS STRING) AS DOUBLE)").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+E16_SQL = E01_SQL  # the maintained rollup must equal the full batch rollup
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -843,6 +908,7 @@ QUERIES = {
     "e12_json_extract": e12_json_extract,
     "e13_event_transitions": e13_event_transitions,
     "e14_hourly_anomaly": e14_hourly_anomaly,
+    "e16_continuous_aggregate": e16_continuous_aggregate,
 }
 
 ORACLES = {
@@ -860,4 +926,5 @@ ORACLES = {
     "e12_json_extract": E12_SQL,
     "e13_event_transitions": E13_SQL,
     "e14_hourly_anomaly": E14_SQL,
+    "e16_continuous_aggregate": E16_SQL,
 }
