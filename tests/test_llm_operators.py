@@ -61,6 +61,27 @@ def test_catalog_covers_all_families():
         assert any(n.startswith(prefix) for n in names), f"missing family {prefix}"
 
 
+def test_bench_headline_names_resolve():
+    """Every bench.py headline entry must exist in the catalog — a rename
+    that orphans a headline would crash the driver's per-round bench."""
+    import bench
+    from __spark_entry__ import queries
+
+    missing = [n for n in bench.HEADLINE if n not in queries()]
+    assert not missing, f"bench headline names not in catalog: {missing}"
+
+
+def test_registry_prefix_window_samples_every_family():
+    """The grading driver gates a ~50-entry prefix of queries(); the
+    round-robin interleave must keep one representative of every operator
+    family inside any window >= the module count."""
+    from __spark_entry__ import queries
+
+    first = list(queries())[:50]
+    fams = {n.split("_")[0][0] for n in first}
+    assert fams >= {"q", "d", "s", "t", "c", "e", "m"}, fams
+
+
 def test_registry_consistency():
     """Merging per-module QUERIES dicts must not silently collide, and
     every oracle key must reference a real query."""
