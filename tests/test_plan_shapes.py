@@ -57,6 +57,30 @@ def test_e13_one_corpus_shuffle(spark):
     assert plan.count("Exchange") <= 5
 
 
+def test_d14_no_ngram_text_in_exchanges(spark):
+    from floorist_spark.operators.dedup import d14_ngram_containment
+
+    plan = _plan(d14_ngram_containment(spark, SF_SMOKE))
+    # every exchange must carry digests (h) — the n-gram strings die in
+    # the md5 projection before any shuffle
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert ", g#" not in m.group(0) and "(g#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_t11_single_shuffle_after_partial_agg(spark):
+    from floorist_spark.operators.text import t11_feature_hashing
+
+    plan = _plan(t11_feature_hashing(spark, SF_SMOKE))
+    # explode → hash → one (doc_id, dim) aggregate with map-side combine;
+    # besides the fan-out repartition and the output sort there is only
+    # the aggregate exchange, and HashAggregate appears on both sides
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_c08_digest_only_shuffle(spark):
     from floorist_spark.operators.curation import c08_snapshot_diff
 
