@@ -522,6 +522,77 @@ GROUP BY split, lang ORDER BY split, lang
 
 
 # ---------------------------------------------------------------------------
+# c09 — stride-scheduled mixture interleave (training order with
+#        prefix-proportional language mix)
+# ---------------------------------------------------------------------------
+
+def c09_stride_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-faithful training order: every document gets a virtual
+    time ``(rank_in_lang − 0.5) / mix_weight`` (stride scheduling), so
+    sorting by it yields an order whose EVERY prefix matches c06's
+    temperature-scaled language mixture to within one document per
+    language — the property a data loader needs so training never sees a
+    language-skewed window regardless of where a checkpoint resumes.
+
+    Scale shape: c06's weight table is O(#languages) and broadcasts; the
+    final order is a range-partitioned distributed sort (like c03, no
+    global window). The per-language rank is the one skew-sensitive step
+    — ``row_number`` over PARTITION BY lang serializes per language — so
+    at 100 TB it would be replaced by the two-phase rank (range-sort on
+    the shuffle key + partition-offset prefix sum, the zipWithIndex
+    technique); the semantics and output are identical, which is what
+    this entry pins. Determinism: rank is hash-ordered (c03's salted
+    digest), virtual time is one IEEE subtract + divide on exact inputs.
+
+    Caveat the test pins: a temperature-UPweighted rare language can
+    exhaust its documents before the corpus ends, after which its prefix
+    share necessarily lags the target — a production loader cycles that
+    language's stream per epoch (the virtual-time formula extends
+    naturally: epoch e adds e·n_docs/weight)."""
+    from pyspark.sql.window import Window
+
+    weights = c06_mixture_weights(spark, sf_dir).select("lang", "mix_weight")
+    key = "md5(concat('order:', CAST(doc_id AS STRING)))"
+    ranked = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.expr(key), "doc_id"))
+        .alias("rank_in_lang"),
+    )
+    return (
+        ranked.join(F.broadcast(weights), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "rank_in_lang",
+            F.expr("(rank_in_lang - CAST(0.5 AS DOUBLE)) / mix_weight").alias(
+                "virtual_time"
+            ),
+        )
+        .orderBy("virtual_time", "doc_id")
+    )
+
+
+def _c09_sql() -> str:
+    return f"""
+WITH w AS ({C06_SQL}),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('order:', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rank_in_lang
+  FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.rank_in_lang AS INTEGER) AS rank_in_lang,
+       (r.rank_in_lang - 0.5) / w.mix_weight AS virtual_time
+FROM r JOIN w USING (lang)
+ORDER BY virtual_time, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # c08 — snapshot diff (dataset versioning)
 # ---------------------------------------------------------------------------
 
@@ -609,6 +680,7 @@ QUERIES = {
     "c06_mixture_weights": c06_mixture_weights,
     "c07_curation_pipeline": c07_curation_pipeline,
     "c08_snapshot_diff": c08_snapshot_diff,
+    "c09_stride_interleave": c09_stride_interleave,
 }
 
 ORACLES = {
@@ -620,4 +692,5 @@ ORACLES = {
     "c06_mixture_weights": C06_SQL,
     "c07_curation_pipeline": _c07_sql(),
     "c08_snapshot_diff": C08_SQL,
+    "c09_stride_interleave": _c09_sql(),
 }

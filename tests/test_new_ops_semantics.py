@@ -155,6 +155,34 @@ def test_feature_hashing_conserves_tokens(spark, docs_dir):
     assert got == want
 
 
+def test_stride_interleave_prefix_mixture(spark):
+    """Every prefix of the c09 order matches the c06 mixture to within
+    one document per language — the property stride scheduling exists
+    for (checked on the real sf0.001 corpus)."""
+    from floorist_spark.operators.curation import (
+        c06_mixture_weights,
+        c09_stride_interleave,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    weights = {r["lang"]: r["mix_weight"] for r in c06_mixture_weights(spark, sf).collect()}
+    rows = c09_stride_interleave(spark, sf).collect()
+    order = [r["lang"] for r in rows]
+    total = {l: order.count(l) for l in weights}
+    seen = {lang: 0 for lang in weights}
+    for k, lang in enumerate(order, start=1):
+        seen[lang] += 1
+        if any(seen[l] == total[l] for l in weights):
+            # a temperature-upweighted rare language ran out of documents;
+            # beyond this point its share necessarily lags the target (a
+            # real loader cycles that language's stream per epoch)
+            break
+        for l, w in weights.items():
+            # stride scheduling keeps per-lang drift O(1) at every prefix
+            assert abs(seen[l] - w * k) <= 2.0, (k, l, seen[l], w * k)
+    assert k > len(order) * 0.5, "exhaustion too early to exercise prefixes"
+
+
 def test_knn_graph_shape(spark, tmp_path_factory):
     from floorist_spark.operators.similarity import s10_knn_graph
 
