@@ -791,6 +791,12 @@ def e14_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.crossJoin(F.broadcast(stats))
+        # degenerate-corpus guard, in EXACT integer arithmetic so both
+        # engines agree: population variance > 0 ⟺ n·Σc² > (Σc)². With
+        # zero variance Spark's Divide yields NULL where DuckDB yields
+        # inf/NaN — filtering first keeps the engines from ever scoring
+        # the undefined case (no hour is an outlier of a flat corpus)
+        .filter(F.expr("ss * n_hours > s * s"))
         .withColumn("mean_events", F.expr("CAST(s AS DOUBLE) / n_hours"))
         .withColumn(
             "z",
@@ -822,6 +828,7 @@ WITH hourly AS (
                   - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours))
            AS z
   FROM hourly, stats
+  WHERE ss * n_hours > s * s  -- zero-variance guard, mirrors the Spark side
 )
 SELECT hour, n_events, mean_events, z FROM scored
 WHERE abs(z) >= {Z_THRESHOLD} ORDER BY hour
@@ -859,6 +866,12 @@ def e16_continuous_aggregate(
     ckpt = os.path.join(work, "ckpt")
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the write and
+        # the checkpoint commit replays the batch (same batch_id, same
+        # files). A blind append would double-count that replay, so each
+        # batch OVERWRITES its own batch_id-keyed partition — the replay
+        # rewrites identical content and the merge stays exactly-once
+        # per file, as the disjoint-partials proof requires.
         (
             batch_df.groupBy(
                 F.expr("date_trunc('hour', ts)").alias("window_start"), "event_type"
@@ -867,8 +880,8 @@ def e16_continuous_aggregate(
                 F.count("*").alias("pn"),
                 F.expr(f"SUM({_VAL_S})").alias("pv"),
             )
-            .write.mode("append")
-            .parquet(store)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store, f"batch_id={batch_id}"))
         )
 
     query = (

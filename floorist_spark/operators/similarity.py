@@ -372,7 +372,13 @@ def s07_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a narrow per-row map — no shuffle at all except the
     final order; at 100 TB this is the cheapest possible plan (and the
     codes column is what s08 then searches over). The reconstruction
-    error folds strictly left-to-right for cross-engine bit-parity."""
+    error folds strictly left-to-right for cross-engine bit-parity.
+
+    The gated output carries ``codes_digest = md5(to_json(codes))``
+    rather than the raw int array: harnesses that canonicalize result
+    rows with pandas cannot sort/hash list cells, and both engines
+    render the JSON identically (``[1,2,-3]``, no whitespace), so the
+    digest is a deterministic cross-engine fingerprint of every code."""
     mse = (
         "aggregate(zip_with(embedding, codes, (x, c) -> "
         "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 127.0 * scale) * "
@@ -387,7 +393,7 @@ def s07_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "scale",
-            "codes",
+            F.expr("md5(to_json(codes))").alias("codes_digest"),
             F.expr(mse).alias("recon_mse"),
         )
         .orderBy("vec_id")
@@ -408,7 +414,8 @@ WITH scaled AS (
 ), coded AS (
   SELECT vec_id, embedding, scale, {codes_d} AS codes FROM scaled
 )
-SELECT vec_id, scale, codes, {mse_d} AS recon_mse
+SELECT vec_id, scale, md5(to_json(codes)::VARCHAR) AS codes_digest,
+       {mse_d} AS recon_mse
 FROM coded ORDER BY vec_id
 """
 

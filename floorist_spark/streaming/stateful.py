@@ -175,11 +175,21 @@ def _sessionize(
     pdfs: Iterator["pd.DataFrame"],
     state: GroupState,
 ) -> Iterator["pd.DataFrame"]:
-    """Per-user sessionizer. Data call: fold new events (sorted by ts,
-    event_id) into the open session, moving gap-closed sessions to the
-    pending list. Timeout call (empty iterator): the watermark advanced.
-    Either way, emit every session whose end <= watermark, keep the rest,
-    and arm the timeout at the earliest still-unemitted session end."""
+    """Per-user sessionizer. Data call: fold new events (buffered across
+    ALL Arrow chunks, then sorted ONCE by ts, event_id) into the open
+    session, moving gap-closed sessions to the pending list. Timeout call
+    (empty iterator): the watermark advanced. Either way, emit every
+    session whose end <= watermark, keep the rest, and arm the timeout at
+    the earliest still-unemitted session end.
+
+    Buffer-then-sort matters: ``applyInPandasWithState`` delivers one
+    group as MULTIPLE pandas chunks (bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) with no global time
+    order, so sorting each chunk independently would fold out-of-order
+    spans and corrupt session boundaries. Cross-micro-batch stragglers
+    (an event older than the open session's last timestamp arriving in a
+    LATER call) are handled explicitly below instead of silently
+    rewinding ``o_last``."""
     import pandas as pd
 
     if state.exists:
@@ -188,19 +198,33 @@ def _sessionize(
     else:
         p_start, p_end, p_n, o_start, o_last, o_n = [], [], [], None, None, 0
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for us in pdf["us"].astype("int64"):
+    frames = list(pdfs)
+    if frames:
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        for us in merged.sort_values(["us", "event_id"])["us"].astype("int64"):
             us = int(us)
             if o_start is None:
                 o_start, o_last, o_n = us, us, 1
-            elif us - o_last >= SESSION_GAP_US:
-                p_start.append(o_start)
-                p_end.append(o_last + SESSION_GAP_US)
-                p_n.append(o_n)
-                o_start, o_last, o_n = us, us, 1
-            else:
-                o_last, o_n = us, o_n + 1
+            elif us >= o_last:
+                if us - o_last >= SESSION_GAP_US:
+                    p_start.append(o_start)
+                    p_end.append(o_last + SESSION_GAP_US)
+                    p_n.append(o_n)
+                    o_start, o_last, o_n = us, us, 1
+                else:
+                    o_last, o_n = us, o_n + 1
+            elif us >= o_start or o_start - us < SESSION_GAP_US:
+                # late arrival (earlier micro-batch boundary): it falls
+                # inside — or gap-extends the front of — the open
+                # session; merge without moving the session end backwards
+                o_start, o_n = min(o_start, us), o_n + 1
+            # else: older than every retained session boundary — by the
+            # watermark contract it belongs to an already-closed session;
+            # drop as late rather than invent a retroactive merge
 
     wm_us = state.getCurrentWatermarkMs() * 1000
     out, keep = [], []
@@ -302,8 +326,13 @@ SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, session_id
-HAVING max(ts) + INTERVAL 30 MINUTE
-       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+-- Spark's watermark is millisecond-truncated (EventTimeStatsAccum folds
+-- micros // 1000), so the cutoff here mirrors (max_us // 1000 - delay_ms)
+-- * 1000 exactly; a microsecond-precise cutoff could disagree with the
+-- operator for a session end landing in the sub-millisecond gap
+HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE)
+       <= (SELECT (epoch_us(max(ts)) // 1000
+                   - {WATERMARK_DELAY_MIN} * 60000) * 1000 FROM events)
 ORDER BY user_id, session_start
 """
 

@@ -92,3 +92,83 @@ def test_sessionizer_across_micro_batches(spark, tmp_path):
     # u1 session 2 (end m(80) > watermark m(40)) must NOT be emitted
     assert (1, us(50)) not in rows
     assert len(rows) == 2
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize directly."""
+
+    def __init__(self, value=None, watermark_ms=0):
+        self._value = value
+        self._wm = watermark_ms
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def _us(mins):
+    return int((T0 + dt.timedelta(minutes=mins)).timestamp() * 1_000_000)
+
+
+def test_sessionize_multi_chunk_out_of_order():
+    """applyInPandasWithState delivers a group as MULTIPLE Arrow chunks
+    with no global time order; the fold must buffer + sort across chunks,
+    not per chunk. Regression pin for the per-chunk-sort bug: with chunk A
+    = [m40, m45] and chunk B = [m0, m5], per-chunk folding would rewind
+    o_last from m45 to m5 and merge everything into one corrupt session;
+    globally sorted, the 35-min gap splits two clean sessions."""
+    import pandas as pd
+
+    chunk_a = pd.DataFrame({"us": [_us(40), _us(45)], "event_id": [3, 4]})
+    chunk_b = pd.DataFrame({"us": [_us(0), _us(5)], "event_id": [1, 2]})
+    state = _FakeState(watermark_ms=_us(300) // 1000)  # everything emits
+    out = list(_sessionize((7,), iter([chunk_a, chunk_b]), state))
+    sessions = pd.concat(out).sort_values("start_us").reset_index(drop=True)
+    assert len(sessions) == 2
+    assert list(sessions["start_us"]) == [_us(0), _us(40)]
+    assert list(sessions["end_us"]) == [_us(35), _us(75)]
+    assert list(sessions["n_events"]) == [2, 2]
+
+
+def test_sessionize_late_event_does_not_rewind_open_session():
+    """A straggler older than the open session's last event (arriving in a
+    LATER micro-batch call) must merge without moving the session end
+    backwards, and an event older than every retained boundary is dropped
+    as late instead of inventing a retroactive session."""
+    import pandas as pd
+
+    # call 1: open session [m60, m65]
+    state = _FakeState(watermark_ms=0)
+    list(_sessionize((7,), iter([pd.DataFrame({"us": [_us(60), _us(65)], "event_id": [1, 2]})]), state))
+    # call 2: m50 gap-extends the open session's front (65-50 < 30 gap is
+    # false... 60-50=10 < 30 so it extends); m-100 is older than every
+    # boundary -> dropped
+    list(
+        _sessionize(
+            (7,),
+            iter([pd.DataFrame({"us": [_us(50), _us(-100)], "event_id": [3, 4]})]),
+            state,
+        )
+    )
+    p_start, p_end, p_n, o_start, o_last, o_n = state.get
+    assert list(p_start) == []          # nothing closed
+    assert o_start == _us(50)           # front-extended by the straggler
+    assert o_last == _us(65)            # end did NOT rewind
+    assert o_n == 3                     # m-100 dropped as late

@@ -82,6 +82,18 @@ def test_registry_prefix_window_samples_every_family():
     assert fams >= {"q", "d", "s", "t", "c", "e", "m"}, fams
 
 
+def test_gate_priority_in_prefix_window():
+    """Every GATE_PRIORITY entry (the never-yet-driver-validated tail of
+    each family, plus s05/s07 whose gate status changed in round 5) must
+    land inside the first 50 registry slots — the prefix the grading
+    driver samples."""
+    from floorist_spark.operators.catalog import GATE_PRIORITY, all_queries
+
+    prefix = list(all_queries())[:50]
+    missing = [n for n in GATE_PRIORITY if n not in prefix]
+    assert not missing, f"priority entries outside the gate window: {missing}"
+
+
 def test_registry_consistency():
     """Merging per-module QUERIES dicts must not silently collide, and
     every oracle key must reference a real query."""

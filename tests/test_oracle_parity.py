@@ -21,6 +21,22 @@ def test_query_vs_oracle(name, spark, duck):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
     df = q(spark, SF_CORRECTNESS)
+    # Driver-canonicalizer contract: gated outputs must be scalar-only.
+    # pandas cannot sort/hash list or dict cells (s07's original raw
+    # `codes` array died with "unhashable type: 'list'" in the round-4
+    # gate), so any array/map/struct column must be digested (e.g.
+    # md5(to_json(col))) before it reaches the registry surface.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} exposes non-scalar columns {complex_cols}; digest them "
+        "(md5(to_json(...))) so prefix-sampling harnesses can canonicalize"
+    )
     spark_pdf = df.toPandas()
     if name in oracles:
         duck_pdf = duck.execute(oracles[name]).fetchdf()

@@ -70,9 +70,14 @@ def test_s07_parity_on_hostile_vectors(spark, duck_view, tmp_path_factory):
     sp = s07_sq8_quantize(spark, d).toPandas()
     du = duck_view.execute(_s07_sql()).fetchdf()
     compare_results(sp, du, "s07_hostile")
-    # the scale=0 vector must produce all-zero codes and zero error
+    # the scale=0 vector must produce all-zero codes and zero error; codes
+    # travel as md5(to_json(codes)) (scalar-only gate contract), so pin
+    # the digest of the canonical all-zero JSON rendering
+    import hashlib
+
     zero_row = sp[sp.vec_id == 0].iloc[0]
-    assert list(zero_row["codes"]) == [0] * DIM
+    all_zero = "[" + ",".join(["0"] * DIM) + "]"
+    assert zero_row["codes_digest"] == hashlib.md5(all_zero.encode()).hexdigest()
     assert zero_row["recon_mse"] == 0.0
 
 
