@@ -27,9 +27,57 @@ consumes them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 _LIVE: list = []
+
+#: (name, sf_dir) -> (SparkSession, persisted DataFrame). Unlike _LIVE,
+#: memos survive the per-entry release: they hold intermediates SHARED
+#: across catalog entries (the MinHash signature chain d03→d04→d09→d10→
+#: d13 re-derived the same shingle+digest pass per entry before this).
+_MEMO: dict = {}
+
+
+def memo(spark, name: str, sf_dir: str, build):
+    """Session-lifetime memo for a persisted intermediate keyed by
+    (name, dataset dir). On hit, returns the already-materialized
+    DataFrame; on miss, builds, persists (MEMORY_AND_DISK), eagerly
+    materializes, and records it.
+
+    Memory stays bounded: memos for any OTHER dataset dir or a different
+    SparkSession are evicted on first use of a new one (sweeps run one
+    sf_dir at a time), so at most one dataset's shared tables are ever
+    live — O(1) per session, not O(entries). At cluster scale the same
+    role is played by a checkpointed signature TABLE in storage; the memo
+    is its session-local analogue."""
+    sf_dir = os.path.realpath(sf_dir)
+    key = (name, sf_dir)
+    hit = _MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for k in list(_MEMO):
+        if k[1] != sf_dir or _MEMO[k][0] is not spark:
+            _, stale = _MEMO.pop(k)
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
+    df = build().persist()
+    df.count()
+    _MEMO[key] = (spark, df)
+    return df
+
+
+def release_memos() -> None:
+    """Unpersist and forget every memoized shared table (idempotent)."""
+    for k in list(_MEMO):
+        _, df = _MEMO.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def track(obj):

@@ -23,8 +23,20 @@ Scale design (100 TB):
 * embedding near-dup buckets by coordinate-sign LSH before any pairing.
 
 Skew note: a degenerate band signature (e.g. every empty doc hashing
-equally) would make one bucket quadratic. AQE skew-join splitting is on in
-the session defaults; for production add a bucket-size cap filter.
+equally) would make one bucket quadratic. AQE skew-join splitting only
+splits partitions — a single bucket of m identical signatures is still
+m² candidate rows — so band buckets larger than ``MAX_BAND_BUCKET`` are
+EXCLUDED from candidate generation (both engines, identically) and
+surfaced through :func:`lsh_overflow_buckets` for quarantine handling.
+An over-cap bucket means thousands of near-identical documents; those
+collapse for cents via exact/normalized dedup (d01/d02) — LSH candidates
+exist for the nontrivial near-dup tail, not for mass-identical spam.
+
+Sharing note: the shingle+digest pass, the MinHash signature table, and
+the verified near-dup pairs are session-lifetime memos
+(:func:`floorist_spark.operators._cache.memo`), so the d03→d04→d09→d10→
+d13 chain computes each exactly once per dataset instead of once per
+entry.
 """
 
 from __future__ import annotations
@@ -33,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
-from floorist_spark.operators._cache import local_checkpoint, track
+from floorist_spark.operators._cache import local_checkpoint, memo, track
 from floorist_spark.session import load_table
 
 #: B bands x R rows: candidate collision probability is 1-(1-j^R)^B —
@@ -45,6 +57,15 @@ SHINGLE_K = 5
 SIMHASH_BITS = 60
 SIMHASH_CHUNK_BITS = 15  # 4 pigeonhole chunks for hamming <= 3
 JACCARD_THRESHOLD = 0.8
+
+#: Degenerate-bucket guard: band buckets with more members than this are
+#: excluded from the candidate self-join (a bucket of m docs contributes
+#: ~m²/2 pairs; one 10M-doc bucket of empty/boilerplate docs would be
+#: 5·10¹³ candidate rows at 100 TB regardless of AQE). Normal near-dup
+#: clusters are orders of magnitude smaller, so on healthy corpora the
+#: filter removes nothing — pinned by the oracle hash gate at sf0.01 and
+#: sf0.1 and by the planted-degenerate test in test_dedup_scale.py.
+MAX_BAND_BUCKET = 256
 
 _NORM_S = tf.norm_spark("text")
 _NORM_D = tf.norm_duck("text")
@@ -128,53 +149,96 @@ FROM documents GROUP BY 1 ORDER BY keep_doc_id
 # d03 — MinHash-LSH candidate pairs (banded)
 # ---------------------------------------------------------------------------
 
-def _minhash_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{B*R-1}): the full MinHash signature table.
-
-    Shape matters here: materialize the normalized text, explode shingle
-    START POSITIONS, hash each shingle substring once (the only md5 pass),
-    then compute all B*R MinHashes as ``min`` aggregates over the affine
-    transforms in a single groupBy(doc_id). Aggregates evaluate each hash
-    exactly once; putting the transforms inside array lambdas instead would
-    re-run the digest pass once per hash function (higher-order-function
-    lambdas get no subexpression elimination). No array_distinct needed —
-    min is invariant under duplicate shingles. The shuffle carries only
-    (doc_id, B*R bigints) after map-side partial agg."""
-    ex = (
-        _docs_parallel(spark, sf_dir)
-        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
-        .select(
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<bigint>) — per-doc DISTINCT hashed char-5-gram
+    sets, the root intermediate of the whole MinHash family (band
+    signatures, candidate joins, Jaccard verifies all derive from it).
+    Memoized for the session: one shingle+digest pass per dataset, not per
+    catalog entry. At cluster scale this memo is the signature table you
+    would checkpoint to storage."""
+    return memo(
+        spark,
+        "dedup_hashed_shingles",
+        sf_dir,
+        lambda: _shingled_docs(spark, sf_dir).select(
             "doc_id",
-            "nrm",
-            F.explode(
-                F.expr(f"sequence(1, greatest(length(nrm) - {SHINGLE_K - 1}, 1))")
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.expr(tf.base_hash_spark(f"substring(nrm, i, {SHINGLE_K})")).alias("h"),
-        )
-    )
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
-            for i in range(NBANDS * NROWS)
-        ]
+            F.expr(
+                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
+            ).alias("sh"),
+        ),
     )
 
 
-def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): one row per doc per band, from the signature
-    table (band signature = the R row-hashes concatenated)."""
-    mins = _minhash_mins(spark, sf_dir)
-    sigs = ", ".join(
+def _signature_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{B*R-1}): the MinHash signature table, memoized.
+
+    Shape matters here: explode the cached hashed-shingle sets, then
+    compute all B*R MinHashes as ``min`` aggregates over the affine
+    transforms in a single groupBy(doc_id). Aggregates evaluate each
+    transform exactly once; putting them inside array lambdas instead
+    would re-run the digest pass once per hash function (higher-order-
+    function lambdas get no subexpression elimination). min is invariant
+    under distinct-vs-multiset shingles, so deriving from the distinct
+    hashed sets gives the same signatures as hashing every position. The
+    shuffle carries only (doc_id, B*R bigints) after map-side partial
+    agg."""
+    hashed = _hashed_shingles(spark, sf_dir)
+
+    def build() -> DataFrame:
+        ex = hashed.select("doc_id", F.explode("sh").alias("h"))
+        return ex.groupBy("doc_id").agg(
+            *[
+                F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+                for i in range(NBANDS * NROWS)
+            ]
+        )
+
+    return memo(spark, "dedup_minhash_mins", sf_dir, build)
+
+
+def _band_sigs_expr() -> str:
+    return ", ".join(
         "concat_ws('|', "
         + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
         + ")"
         for b in range(NBANDS)
     )
+
+
+def _raw_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): one row per doc per band, UNCAPPED (band
+    signature = the R row-hashes concatenated). Derives from the memoized
+    signature table, so re-deriving it per consumer costs a posexplode
+    over cached rows — no corpus rescan."""
+    mins = _signature_mins(spark, sf_dir)
     return mins.select(
-        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
+        "doc_id",
+        F.posexplode(F.expr(f"array({_band_sigs_expr()})")).alias("band", "sig"),
+    )
+
+
+def lsh_overflow_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine surface: the (band, sig, bucket_size) rows excluded from
+    candidate generation by ``MAX_BAND_BUCKET``. Empty on healthy corpora;
+    non-empty means a mass-identical cohort that belongs in exact dedup
+    (d01/d02), not in the pairwise LSH path. Map-side-combined count, one
+    shuffle of (band, sig) digests."""
+    return (
+        _raw_band_rows(spark, sf_dir)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > MAX_BAND_BUCKET)
+    )
+
+
+def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped band rows — the candidate-join input: over-cap buckets are
+    removed with a broadcast anti-join (the over-cap set is tiny by
+    construction: it only contains pathological signatures)."""
+    return _raw_band_rows(spark, sf_dir).join(
+        F.broadcast(lsh_overflow_buckets(spark, sf_dir).select("band", "sig")),
+        ["band", "sig"],
+        "left_anti",
     )
 
 
@@ -199,12 +263,21 @@ def d03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_bands() -> str:
     sigs = ", ".join(tf.band_signature_duck("hs", b, NROWS) for b in range(NBANDS))
+    # bands_all -> bands applies the MAX_BAND_BUCKET degenerate-bucket cap
+    # (window count per (band, sig)), mirroring the Spark side exactly
     return f"""
     WITH docs AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, band, sigarr[band + 1] AS sig FROM (
         SELECT doc_id, [{sigs}] AS sigarr FROM docs
       ), (SELECT unnest(range(0, {NBANDS})) AS band)
+    ),
+    bands AS (
+      SELECT doc_id, band, sig FROM (
+        SELECT doc_id, band, sig,
+               count(*) OVER (PARTITION BY band, sig) AS bsz
+        FROM bands_all
+      ) WHERE bsz <= {MAX_BAND_BUCKET}
     )
     """
 
@@ -222,75 +295,56 @@ ORDER BY doc_a, doc_b
 # d04 — LSH candidates + exact Jaccard verify
 # ---------------------------------------------------------------------------
 
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates that passed the exact
+    Jaccard >= 0.8 verify. Memoized: d04 returns it ordered, d09 clusters
+    it, d10 consumes d09 — one near-dup pipeline run per dataset for the
+    whole chain."""
+
+    def build() -> DataFrame:
+        hashed = _hashed_shingles(spark, sf_dir)
+        bands = _band_rows(spark, sf_dir)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        a = hashed.alias("da")
+        b = hashed.alias("db")
+        return (
+            cand.join(a, cand.doc_a == F.col("da.doc_id"))
+            .join(b, cand.doc_b == F.col("db.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+
+    return memo(spark, "dedup_verified_pairs", sf_dir, build)
+
+
 def d04_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full near-dup pipeline: banded LSH candidates, then exact
-    Jaccard over the HASHED distinct char-5-gram sets on candidates only,
-    keep pairs >= 0.8. Hashing the shingles first (same 28-bit base hash as
-    the MinHash pass) makes the set intersection integer-typed — far
-    cheaper than string-set math on both engines, identical across them,
-    and off by at most a negligible collision term. The expensive verify
-    touches ~1.4k candidate pairs, not 125k.
+    """The full near-dup pipeline: banded LSH candidates (bucket-capped,
+    see MAX_BAND_BUCKET), then exact Jaccard over the HASHED distinct
+    char-5-gram sets on candidates only, keep pairs >= 0.8. Hashing the
+    shingles first (same 28-bit base hash as the MinHash pass) makes the
+    set intersection integer-typed — far cheaper than string-set math on
+    both engines, identical across them, and off by at most a negligible
+    collision term. The expensive verify touches ~1.4k candidate pairs,
+    not 125k.
 
-    The hashed-shingle table is computed ONCE, cached, and eagerly
-    materialized: the band signatures, both Jaccard join sides, and the
-    candidate self-join all derive from it, so the shingle+digest pass runs
-    a single time instead of three. Materializing before building the rest
-    of the DAG matters — consumers inside one job can start before a lazy
-    cache fills and would each recompute the subtree. (At cluster scale
-    this intermediate is what you'd checkpoint to a signature table.)"""
-    hashed = track(
-        _shingled_docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
-            ).alias("sh"),
-        )
-        .persist()
-    )
-    hashed.count()
-
-    # band signatures from the cached hashes (same values as _band_rows:
-    # min over affine transforms, distinct-vs-multiset is irrelevant to min)
-    ex = hashed.select("doc_id", F.explode("sh").alias("h"))
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
-            for i in range(NBANDS * NROWS)
-        ]
-    )
-    sigs = ", ".join(
-        "concat_ws('|', "
-        + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
-        + ")"
-        for b in range(NBANDS)
-    )
-    bands = mins.select(
-        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
-    )
-    cand = track(
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .persist()
-    )
-    cand.count()
-
-    a = hashed.alias("da")
-    b = hashed.alias("db")
-    return (
-        cand.join(a, cand.doc_a == F.col("da.doc_id"))
-        .join(b, cand.doc_b == F.col("db.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    Every stage derives from session-lifetime memos (hashed shingles →
+    signatures → verified pairs): the shingle+digest pass runs a single
+    time per dataset even across the d03/d04/d09/d10/d13 chain. (At
+    cluster scale those memos are what you'd checkpoint to a signature
+    table.)"""
+    return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 D04_SQL = f"""
@@ -496,10 +550,7 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the compounding lineage each round. At billions of docs the same
     loop runs with the label table disk-backed (this is exactly
     GraphFrames' label-propagation shape). Oracle: DuckDB recursive CTE."""
-    pairs = track(
-        d04_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b").persist()
-    )
-    pairs.count()
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -798,39 +849,9 @@ def d13_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard = integer-cardinality ratio, error = one IEEE subtract —
     all bit-identical across engines."""
     nmh = NBANDS * NROWS
-    hashed = track(
-        _shingled_docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
-            ).alias("sh"),
-        )
-        .persist()
-    )
-    hashed.count()
-
-    ex = hashed.select("doc_id", F.explode("sh").alias("h"))
-    mins = track(
-        ex.groupBy("doc_id")
-        .agg(
-            *[
-                F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
-                for i in range(nmh)
-            ]
-        )
-        .persist()
-    )
-    mins.count()
-    sigs = ", ".join(
-        "concat_ws('|', "
-        + ", ".join(f"CAST(mh{b * NROWS + r} AS STRING)" for r in range(NROWS))
-        + ")"
-        for b in range(NBANDS)
-    )
-    bands = mins.select(
-        "doc_id", F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
-    )
+    hashed = _hashed_shingles(spark, sf_dir)
+    mins = _signature_mins(spark, sf_dir)
+    bands = _band_rows(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "sig"])

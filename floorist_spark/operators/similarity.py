@@ -305,29 +305,166 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
-# s05 — trained IVF coarse quantizer (MLlib KMeans)
+# s05 — trained IVF coarse quantizer (deterministic Lloyd k-means)
 # ---------------------------------------------------------------------------
 
-def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production version of s03: coarse centroids TRAINED with MLlib
-    KMeans (k-means||, fixed seed) instead of the deterministic stand-ins.
-    Training is Spark's distributed Lloyd iterations; assignment is a
-    broadcast of k centroids against one corpus scan — identical plan
-    shape to s03 at any scale. No cross-engine oracle exists for an
-    iterative ML fit, so this entry takes the driver's rows-only check
-    (the oracle-checked s03/s04 pin the assignment/search semantics)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+#: Lloyd iterations for s05 — fixed count (not convergence-tested) so the
+#: unrolled SQL oracle is finite and both engines run the same schedule.
+T_LLOYD = 3
+EMB_DIM = 64
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
-    )
-    model = KMeans(k=N_CENTROIDS, seed=42, maxIter=10).fit(emb)
+
+def _sqdist_spark(q: str, c: str) -> str:
+    """Squared-L2 fold, strictly left-to-right, per-element double cast —
+    bit-identical to the DuckDB twin in _s05_sql()."""
     return (
-        model.transform(emb)
-        .select("vec_id", F.col("prediction").cast("bigint").alias("centroid_id"))
+        f"aggregate(zip_with({q}, {c}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def _sqdist_duck(q: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {EMB_DIM} + 1), i -> "
+        f"({q}[i]::DOUBLE - {c}[i]::DOUBLE) * ({q}[i]::DOUBLE - {c}[i]::DOUBLE)), "
+        f"(a, x) -> a + x)"
+    )
+
+
+#: exact order-independent coordinate mean: decimal partial sums (no ties
+#: can occur at scale 18 — a dyadic float times 10^18 is never half-odd),
+#: rendered via STRING so the decimal→double conversion is the same
+#: correctly-rounded op in both engines, then one IEEE divide.
+_COORD_MEAN = (
+    "CAST(CAST(SUM(CAST({x} AS DECIMAL(38,18))) AS STRING) AS DOUBLE) / COUNT(*)"
+)
+
+
+def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained version of s03: coarse centroids from k-means Lloyd
+    iterations instead of the first-K stand-ins — but DETERMINISTIC end to
+    end, so unlike an MLlib fit (partition-order-dependent float sums,
+    randomized init) the final assignment hash-matches a DuckDB oracle.
+    Init = the first K vectors (the same hash-free seeding s04's IVF
+    uses); each of the T_LLOYD rounds assigns by squared-L2 argmin
+    (ties → lowest centroid id) and recomputes every centroid coordinate
+    as an EXACT decimal sum divided once in double — order-independent, so
+    the result is a pure function of the data, not of the partitioning.
+
+    Scale shape: per round, one corpus scan against K broadcast centroids
+    (s03's plan) plus one (centroid, dim)-grouped aggregate whose
+    map-side-combined output is K×D rows; only that K×D table ever reaches
+    the driver (the legitimate driver loop, like d09). MLlib KMeans
+    remains the drop-in when bit-reproducibility is not required; this
+    entry exists to pin trained-assignment semantics under the hash gate."""
+    from floorist_spark.operators._cache import track
+
+    emb = track(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    emb.count()  # scanned T_LLOYD+1 times; cache once
+
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        cent_df = spark.createDataFrame(
+            centroids, "centroid_id BIGINT, c_emb ARRAY<DOUBLE>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist"), F.asc("centroid_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                F.expr(_sqdist_spark("embedding", "c_emb")).alias("dist"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "centroid_id")
+        )
+
+    prev = dict(cents)
+    for _ in range(T_LLOYD):
+        rows = (
+            assign(list(prev.items()))
+            .select("centroid_id", F.posexplode("embedding").alias("j", "x"))
+            .groupBy("centroid_id", "j")
+            .agg(F.expr(_COORD_MEAN.format(x="CAST(x AS DOUBLE)")).alias("v"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(int(r["centroid_id"]), {})[int(r["j"])] = float(r["v"])
+        prev = {
+            cid: (
+                [upd[cid][j] for j in range(EMB_DIM)] if cid in upd else old
+            )  # empty cluster keeps its previous centroid (both engines)
+            for cid, old in prev.items()
+        }
+
+    return (
+        assign(list(prev.items()))
+        .select("vec_id", "centroid_id")
         .orderBy("vec_id")
     )
+
+
+def _s05_sql() -> str:
+    """The T_LLOYD rounds unrolled as a CTE chain: c0 (first-K init) →
+    a0 → c1 → a1 → … — every arithmetic step the exact twin of the Spark
+    side (same fold order, same decimal render, same tie-break)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+    ]
+    mean = _COORD_MEAN.format(x="embedding[j]::DOUBLE")
+    for t in range(T_LLOYD):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_duck('e.embedding', 'c.c_emb')} ASC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, c{t} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT centroid_id, j, {mean} AS v
+  FROM a{t}, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j)
+  GROUP BY centroid_id, j
+)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT p.centroid_id, coalesce(n.emb, p.c_emb::DOUBLE[]) AS c_emb
+  FROM c{t} p LEFT JOIN (
+    SELECT centroid_id, list(v ORDER BY j) AS emb FROM u{t} GROUP BY centroid_id
+  ) n USING (centroid_id)
+)"""
+        )
+    final = f"""SELECT vec_id, centroid_id FROM (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_sqdist_duck('e.embedding', 'c.c_emb')} ASC,
+                    c.centroid_id ASC) AS rn
+  FROM embeddings e, c{T_LLOYD} c
+) WHERE rn = 1 ORDER BY vec_id"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +818,7 @@ ORACLES = {
     "s02_lsh_bucketed_ann": S02_SQL,
     "s03_ivf_assign": S03_SQL,
     "s04_ivf_search": S04_SQL,
+    "s05_kmeans_ivf_assign": _s05_sql(),
     "s06_multiprobe_ann": S06_SQL,
     "s07_sq8_quantize": _s07_sql(),
     "s08_quantized_rerank": _s08_sql(),

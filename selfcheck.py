@@ -54,11 +54,13 @@ def main() -> int:
             if os.environ.get("SELFCHECK_TB"):
                 traceback.print_exc()
 
-    # entry N's build released entry N-1's caches; free the final one too,
+    # entry N's build released entry N-1's caches; free the final one too
+    # (and the session-lifetime memos — the shared dedup signature chain),
     # then assert the sweep left executor memory clean
-    from floorist_spark.operators._cache import release_caches
+    from floorist_spark.operators._cache import release_caches, release_memos
 
     release_caches()
+    release_memos()
     leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
     if leftover:
         failed.append(f"cache-leak({leftover})")

@@ -1,11 +1,18 @@
-"""Persisted-intermediate hygiene: operator caches (d04's hashed/cand,
-d09's pairs) must not accumulate across a catalog sweep — the catalog
-boundary releases the previous entry's caches, and release_caches() empties
-the persistent-RDD map (VERDICT r2 item 5)."""
+"""Persisted-intermediate hygiene: per-entry operator caches must not
+accumulate across a catalog sweep — the catalog boundary releases the
+previous entry's caches (VERDICT r2 item 5). Session-lifetime MEMOS (the
+shared MinHash signature chain) are the deliberate exception: they survive
+release_caches but are O(1) per dataset (bounded set of named tables,
+evicted on dataset switch), so the sweep stays memory-flat either way.
+"""
 
 from __future__ import annotations
 
-from floorist_spark.operators._cache import release_caches
+from floorist_spark.operators._cache import (
+    _MEMO,
+    release_caches,
+    release_memos,
+)
 from floorist_spark.operators.catalog import all_queries
 
 from tests.conftest import SF_SMOKE
@@ -16,24 +23,57 @@ def _n_persisted(spark) -> int:
 
 
 def test_catalog_boundary_releases_previous_entry_caches(spark):
-    release_caches()  # clean slate regardless of test order
+    release_caches()
+    release_memos()  # clean slate regardless of test order
     qs = all_queries()
 
     df = qs["d04_lsh_jaccard_dedup"](spark, SF_SMOKE)
     df.count()
-    assert _n_persisted(spark) >= 2  # hashed-shingle table + candidate pairs
+    n_after_d04 = _n_persisted(spark)
+    assert n_after_d04 >= 2  # hashed shingles + signatures + pairs memos
 
-    # building the NEXT catalog entry frees them (the sweep pattern every
-    # harness follows: build N, action N, build N+1, ...)
+    # building the NEXT catalog entry frees per-entry caches; memos stay
     qs["d01_exact_dedup"](spark, SF_SMOKE).count()
+    assert _n_persisted(spark) == len(_MEMO)
+
+    # and the memo set does NOT grow when the chain re-runs (the whole
+    # point: d09/d10 reuse d04's tables instead of rebuilding them)
+    qs["d09_dedup_clusters"](spark, SF_SMOKE).count()
+    assert len(_MEMO) <= 3  # hashed shingles, minhash mins, verified pairs
+    release_caches()
+    release_memos()
     assert _n_persisted(spark) == 0
 
 
 def test_release_caches_is_idempotent_and_complete(spark):
     qs = all_queries()
-    qs["d09_dedup_clusters"](spark, SF_SMOKE).count()  # persists pairs (+d04's two)
+    qs["d09_dedup_clusters"](spark, SF_SMOKE).count()
     assert _n_persisted(spark) >= 1
     release_caches()
+    release_memos()
     assert _n_persisted(spark) == 0
     release_caches()  # second call is a no-op
+    release_memos()
     assert _n_persisted(spark) == 0
+
+
+def test_memo_evicts_on_dataset_switch(spark, tmp_path):
+    """Memos are keyed by dataset dir; using a different dir evicts the
+    old dataset's tables so at most one dataset's memos are ever live."""
+    import shutil
+    import os
+
+    release_caches()
+    release_memos()
+    qs = all_queries()
+    qs["d04_lsh_jaccard_dedup"](spark, SF_SMOKE).count()
+    first_keys = set(_MEMO)
+    assert first_keys
+
+    other = tmp_path / "sfcopy"
+    shutil.copytree(SF_SMOKE, other)
+    qs["d04_lsh_jaccard_dedup"](spark, str(other)).count()
+    dirs = {k[1] for k in _MEMO}
+    assert dirs == {os.path.realpath(str(other))}
+    release_caches()
+    release_memos()

@@ -89,3 +89,62 @@ def test_cluster_count_matches_distinct_texts(spark, corpus_dir):
     # clustering runs on the Jaccard-VERIFIED graph: exactly the planted
     # pairs merge, nothing else (random docs never reach jaccard 0.8)
     assert n_clusters == N_DOCS - N_DUPS
+
+
+N_DEGEN = 10_000  # identical copies — one band bucket of 10k without the cap
+N_UNIQUE = 1_000
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    """Adversarial corpus: a 10k-member identical cohort (every doc the
+    same text) plus 1k unique docs. Without MAX_BAND_BUCKET the cohort is
+    one bucket per band -> 8 x 10k^2/2 = 400M candidate rows; with it the
+    cohort is quarantined and candidates stay near zero."""
+    d = tmp_path_factory.mktemp("dedup_degen")
+    docs = spark.range(N_DEGEN + N_UNIQUE).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"IF(id < {N_DEGEN}, "
+            "'the same boilerplate document body repeated verbatim everywhere', "
+            "concat_ws(' ', transform(sequence(1, 40), j -> "
+            "substring(md5(concat(CAST(id AS STRING), ':', CAST(j AS STRING))), 1, 8))))"
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(64).alias("n_chars"),
+    )
+    docs.write.parquet(f"file://{d}/documents.parquet")
+    return str(d)
+
+
+def test_degenerate_bucket_is_quarantined_not_joined(spark, degenerate_dir):
+    """The bucket-size cap keeps the candidate count bounded on a planted
+    mass-identical cohort, and the quarantine surface reports the capped
+    buckets. (Without the cap this corpus would generate ~400M candidate
+    pairs; the bounded-count assert doubles as a does-it-even-finish
+    guard.)"""
+    from floorist_spark.operators.dedup import (
+        NBANDS,
+        d01_exact_dedup,
+        d03_minhash_lsh_candidates,
+        lsh_overflow_buckets,
+    )
+
+    over = lsh_overflow_buckets(spark, degenerate_dir)
+    rows = over.collect()
+    # the identical cohort shares every band signature -> one over-cap
+    # bucket per band, each of exactly the cohort size
+    assert len(rows) == NBANDS
+    assert all(r["bucket_size"] == N_DEGEN for r in rows)
+
+    cand = d03_minhash_lsh_candidates(spark, degenerate_dir)
+    # unique docs essentially never collide; the cohort is excluded -> the
+    # candidate set stays trivially small instead of ~400M
+    assert cand.count() < 1_000
+
+    # the quarantine story: exact dedup collapses the cohort for cents
+    exact = d01_exact_dedup(spark, degenerate_dir)
+    cohort = exact.filter(F.col("n_copies") == N_DEGEN)
+    assert cohort.count() == 1
+    assert exact.count() == N_UNIQUE + 1
