@@ -47,6 +47,7 @@ HEADLINE = (
     "s02_lsh_bucketed_ann",
     "s04_ivf_search",
     "s08_quantized_rerank",
+    "s11_pq_quantize",
     "t01_token_stats",
     "t05_top_bigrams",
     "t06_regex_tokens",
@@ -62,6 +63,7 @@ HEADLINE = (
     "e05_asof_join",
     "e06_range_join",
     "e09_funnel",
+    "e17_path_analysis",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",
@@ -133,11 +135,42 @@ def main() -> int:
         shutil.rmtree(out, ignore_errors=True)
 
     # each entry's build released its predecessor's caches; free the last
-    # one so the sweep ends with zero persisted partitions
-    from floorist_spark.operators._cache import release_caches
+    # one (plus the session-lifetime dedup memos) so the sweep ends with
+    # zero persisted partitions
+    from floorist_spark.operators._cache import release_caches, release_memos
 
     release_caches()
+    release_memos()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, "cache leak"
+
+    # Scaling visibility: re-time the headline set at the small scale and
+    # report wall(SF)/wall(small) per entry. With a 10x data ratio a
+    # scan-bound entry lands well under 10 (fixed overhead dominates at
+    # the small scale); an entry whose ratio APPROACHES OR EXCEEDS the
+    # data ratio is superlinear and needs a plan audit — the artifact now
+    # carries that signal instead of burying it in prose.
+    slopes: dict[str, float] = {}
+    small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(small_dir) and os.path.realpath(small_dir) != os.path.realpath(
+        SF_DIR
+    ):
+        small: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            try:
+                qs[name](spark, small_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — slope is best-effort
+                continue
+            small[name] = time.time() - t0
+        release_caches()
+        release_memos()
+        slopes = {
+            n: round(timings[n] / small[n], 2)
+            for n in timings
+            if small.get(n, 0) > 0
+        }
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -147,6 +180,8 @@ def main() -> int:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
+    if slopes:
+        out["scale_ratio_vs_sf0.01"] = slopes
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -74,11 +74,14 @@ def _with_cache_release(
 #: newest ~23 operators were validated locally (selfcheck) but never by
 #: the external gate. This list surfaces exactly those, plus the two
 #: entries whose gate status changed in round 5 (s07 digest output, s05
-#: deterministic k-means). Pure ordering — membership and semantics of
-#: every entry are unchanged.
+#: deterministic k-means) and the round-5 additions (s11 product
+#: quantization, e17 path analysis). Pure ordering — membership and
+#: semantics of every entry are unchanged.
 GATE_PRIORITY = [
     "s07_sq8_quantize",
     "s05_kmeans_ivf_assign",
+    "s11_pq_quantize",
+    "e17_path_analysis",
     "c08_snapshot_diff",
     "c09_stride_interleave",
     "d10_curation_keep",

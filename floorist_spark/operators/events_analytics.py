@@ -906,6 +906,81 @@ def e16_continuous_aggregate(
 E16_SQL = E01_SQL  # the maintained rollup must equal the full batch rollup
 
 
+# ---------------------------------------------------------------------------
+# e17 — session path analysis (top-k common event sequences)
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 5   # leading events per session that define its path
+PATH_TOP = 20  # paths reported
+
+
+def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics path report: sessionize per user (30-min gap,
+    e03's gaps-and-islands semantics), take each session's first
+    ``PATH_LEN`` event types in time order as its path ('view>click>buy'),
+    and rank the ``PATH_TOP`` most common paths — the 'how do users
+    actually move through the product' query every funnel tool ships.
+
+    Scale shape: one shuffle on user_id for the lag/session window (the
+    unavoidable sessionization exchange, same as e03); the per-session
+    path build is a grouped collect of ≤PATH_LEN short strings; the path
+    rollup is a map-side-combined count over bounded-cardinality path
+    strings, so the final top-k sorts a tiny distinct-path table, never
+    event rows. Determinism: events order by (ts, event_id) — a total
+    order — and the top-k tie-breaks on the path string."""
+    from pyspark.sql.window import Window
+
+    ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_us.isNull() | (lag_us >= SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "concat_ws('>', slice(transform(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), "
+            f"s -> s.event_type), 1, {PATH_LEN}))"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
+E17_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
+                         '>') AS path
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions FROM paths
+GROUP BY path ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -922,6 +997,7 @@ QUERIES = {
     "e13_event_transitions": e13_event_transitions,
     "e14_hourly_anomaly": e14_hourly_anomaly,
     "e16_continuous_aggregate": e16_continuous_aggregate,
+    "e17_path_analysis": e17_path_analysis,
 }
 
 ORACLES = {
@@ -940,4 +1016,5 @@ ORACLES = {
     "e13_event_transitions": E13_SQL,
     "e14_hourly_anomaly": E14_SQL,
     "e16_continuous_aggregate": E16_SQL,
+    "e17_path_analysis": E17_SQL,
 }

@@ -800,6 +800,111 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY src_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s11 — product quantization (per-subspace codebooks)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                     # subvectors per embedding
+PQ_SUBDIM = EMB_DIM // PQ_M  # dims per subvector
+PQ_K = 16                    # codewords per subspace (first-K codebook)
+
+
+def s11_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (FAISS ``PQ``): split each embedding into
+    ``PQ_M`` subvectors, encode each against an independent per-subspace
+    codebook — the compression that takes a billion-vector index from
+    float32 to M bytes/vector, an order beyond s07's SQ8. Codebooks here
+    are the subvectors of the first ``PQ_K`` corpus rows (the same
+    deterministic seeding as s03's IVF; s05 shows the deterministic
+    trainer that would refine them). Output per vector: the code digest
+    (scalar-only gate contract, like s07) and the exact reconstruction
+    MSE so a pipeline can gate on PQ loss before switching its index.
+
+    Scale shape: the codebook is M×K tiny and broadcast; the corpus
+    explodes to M narrow subvector rows scored against K codewords
+    JVM-side, then the argmin is a ``min(struct(dist, k))`` aggregate —
+    map-side combinable, no window shuffle of vectors — and the
+    per-vector rollup shuffles only (m, k, dist) scalars. Reconstruction
+    error sums per-subspace distances as exact decimals, so the result is
+    partition-order independent and bit-identical to the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(F.expr(sub_expr)).alias("m", "cw"),
+        )
+    )
+    subs = emb.select("vec_id", F.posexplode(F.expr(sub_expr)).alias("m", "sub"))
+    scored = (
+        subs.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "k",
+            F.expr(_sqdist_spark("sub", "cw")).alias("dist"),
+        )
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k")).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("k"), F.col("b.dist").alias("dist"))
+    )
+    # MSE folds the M per-subspace distances in m-order with plain IEEE
+    # adds: a decimal-cast sum here would round each COMPUTED double at
+    # digit 18, where the engines' double→decimal conversions disagree by
+    # one unit (observed 1-ulp recon_mse flakes); an ordered fold of M=8
+    # doubles is bit-deterministic with no conversion at all
+    return (
+        best.groupBy("vec_id")
+        .agg(F.expr("array_sort(collect_list(struct(m, k, dist)))").alias("bb"))
+        .select(
+            "vec_id",
+            F.expr("md5(to_json(transform(bb, s -> s.k)))").alias("codes_digest"),
+            F.expr(
+                "aggregate(transform(bb, s -> s.dist), CAST(0 AS DOUBLE), "
+                f"(a, x) -> a + x) / {EMB_DIM}"
+            ).alias("recon_mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _s11_sql() -> str:
+    dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), i -> "
+        f"(s.sub[i]::DOUBLE - c.cw[i]::DOUBLE) * (s.sub[i]::DOUBLE - c.cw[i]::DOUBLE)), "
+        f"(a, x) -> a + x)"
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, m,
+         embedding[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sub
+  FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS m)
+), cb AS (
+  SELECT vec_id AS k, m, sub AS cw FROM sub WHERE vec_id < {PQ_K}
+), scored AS (
+  SELECT s.vec_id, s.m, c.k, {dist} AS dist
+  FROM sub s JOIN cb c USING (m)
+), best AS (
+  SELECT vec_id, m, k, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist ASC, k ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       md5(to_json(list(k ORDER BY m))::VARCHAR) AS codes_digest,
+       list_reduce(list(dist ORDER BY m), (a, x) -> a + x)
+         / {EMB_DIM} AS recon_mse
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -811,6 +916,7 @@ QUERIES = {
     "s08_quantized_rerank": s08_quantized_rerank,
     "s09_ann_recall": s09_ann_recall,
     "s10_knn_graph": s10_knn_graph,
+    "s11_pq_quantize": s11_pq_quantize,
 }
 
 ORACLES = {
@@ -824,4 +930,5 @@ ORACLES = {
     "s08_quantized_rerank": _s08_sql(),
     "s09_ann_recall": S09_SQL,
     "s10_knn_graph": S10_SQL,
+    "s11_pq_quantize": _s11_sql(),
 }

@@ -2,10 +2,17 @@
 and its oracle_sql() twin side-by-side, compare rows/schema/values.
 
 Usage: python selfcheck.py [prefix ...]   (e.g. `python selfcheck.py d s t e`)
-"""
+
+Staleness guard: a FULL all-green sweep stamps the testdata mtimes it ran
+against (.verify_stamp.json, per scale dir). On startup, every stamped
+scale whose files changed since its stamp is called out — "the sweep was
+green" claims silently rot when the harness regenerates the parquet
+inputs (round 3 lost its bench to exactly that: events.ts encoding
+changed under a green stamp)."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -14,10 +21,51 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+STAMP_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".verify_stamp.json")
+
+
+def _testdata_mtimes(sf_dir: str) -> dict[str, float]:
+    try:
+        return {
+            f: os.path.getmtime(os.path.join(sf_dir, f))
+            for f in sorted(os.listdir(sf_dir))
+            if f.endswith(".parquet")
+        }
+    except OSError:
+        return {}
+
+
+def check_stamps() -> list[str]:
+    """Scales whose testdata changed since their last all-green sweep."""
+    try:
+        with open(STAMP_FILE) as fh:
+            stamps = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    return [
+        d for d, rec in stamps.items() if _testdata_mtimes(d) != rec["mtimes"]
+    ]
+
+
+def write_stamp(sf_dir: str) -> None:
+    try:
+        with open(STAMP_FILE) as fh:
+            stamps = json.load(fh)
+    except (OSError, ValueError):
+        stamps = {}
+    stamps[sf_dir] = {"mtimes": _testdata_mtimes(sf_dir), "at": time.time()}
+    with open(STAMP_FILE, "w") as fh:
+        json.dump(stamps, fh, indent=1, sort_keys=True)
 
 
 def main() -> int:
     prefixes = tuple(sys.argv[1:])
+    for stale in check_stamps():
+        print(
+            f"  WARNING: testdata under {stale} changed since its last "
+            "all-green sweep — re-run the full selfcheck there before "
+            "trusting prior claims"
+        )
     import duckdb
 
     from __spark_entry__ import oracle_sql, queries
@@ -65,6 +113,8 @@ def main() -> int:
     if leftover:
         failed.append(f"cache-leak({leftover})")
         print(f"  cache-leak: {leftover} persisted RDDs survived the sweep")
+    if not failed and not prefixes:
+        write_stamp(SF_DIR)  # full sweep, all green: stamp what it saw
     print(f"\n{'FAILED: ' + ', '.join(failed) if failed else 'ALL OK'}")
     return 1 if failed else 0
 

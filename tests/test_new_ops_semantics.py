@@ -210,3 +210,69 @@ def test_knn_graph_shape(spark, tmp_path_factory):
     from collections import Counter
 
     assert Counter(r["src_id"] for r in rows) == {i: 2 for i in range(1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: s11 product quantization, e17 path analysis
+# ---------------------------------------------------------------------------
+
+
+def test_s11_codebook_members_reconstruct_exactly(spark):
+    """Every codebook vector (vec_id < PQ_K) must encode to ITSELF in all
+    subspaces (its own subvector is at distance exactly 0) -> recon_mse
+    0.0 and a codes digest of [id]*M."""
+    import hashlib
+    import json
+
+    from floorist_spark.operators.similarity import PQ_K, PQ_M, s11_pq_quantize
+    from tests.conftest import SF_SMOKE
+
+    res = (
+        s11_pq_quantize(spark, SF_SMOKE)
+        .filter(f"vec_id < {PQ_K}")
+        .collect()
+    )
+    assert len(res) == PQ_K
+    for r in res:
+        assert r["recon_mse"] == 0.0
+        expect = json.dumps([r["vec_id"]] * PQ_M, separators=(",", ":"))
+        assert r["codes_digest"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_e17_paths_are_bounded_and_ranked(spark):
+    from floorist_spark.operators.events_analytics import (
+        PATH_LEN,
+        PATH_TOP,
+        e17_path_analysis,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = e17_path_analysis(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= PATH_TOP
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # ranked by frequency
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= PATH_LEN
+
+
+def test_e17_path_splits_on_session_gap(spark, tmp_path):
+    """Two bursts 40 min apart for one user must produce TWO sessions
+    whose paths are the bursts' event orders, not one merged path."""
+    import datetime as dt
+
+    from floorist_spark.operators.events_analytics import e17_path_analysis
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        (1, m(0), 1, "view", 1.0),
+        (2, m(1), 1, "click", 1.0),
+        (3, m(41), 1, "buy", 1.0),   # 40 min gap -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    paths = {r["path"]: r["n_sessions"] for r in e17_path_analysis(spark, d).collect()}
+    assert paths == {"view>click": 1, "buy": 1}

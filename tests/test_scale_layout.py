@@ -99,3 +99,25 @@ def test_no_inferred_generate_filter_recompute_at_scan(spark):
             assert not bad, f"{build.__name__} filter recomputes a lambda:\n" + "\n".join(bad)
     finally:
         release_caches()
+
+
+def test_selfcheck_stamp_roundtrip_and_staleness(tmp_path, monkeypatch):
+    """The staleness guard: a stamped scale reports clean while mtimes are
+    unchanged and stale once any parquet file changes (the round-3 failure
+    mode: testdata regenerated under a green claim)."""
+    import os
+    import selfcheck
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    (d / "events.parquet").write_bytes(b"x")
+    monkeypatch.setattr(selfcheck, "STAMP_FILE", str(tmp_path / "stamp.json"))
+
+    selfcheck.write_stamp(str(d))
+    assert selfcheck.check_stamps() == []
+
+    os.utime(d / "events.parquet", (1, 1))
+    assert selfcheck.check_stamps() == [str(d)]
+
+    selfcheck.write_stamp(str(d))  # re-stamping clears the staleness
+    assert selfcheck.check_stamps() == []
