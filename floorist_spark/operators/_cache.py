@@ -17,6 +17,10 @@ recorded. It is called
 keeping a ~100-query session's executor memory flat instead of accumulating
 cached partitions per query.
 
+A second tier, :func:`memo`, deliberately SURVIVES the per-entry release:
+it holds the few intermediates shared ACROSS entries (the dedup signature
+chain), bounded to one dataset dir at a time — see its docstring.
+
 Caveat: tracked DataFrames include ``localCheckpoint`` results (d09's final
 label table), whose lineage is truncated — after release they can be
 neither read nor recomputed. The contract is therefore: a catalog entry's

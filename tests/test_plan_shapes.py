@@ -93,3 +93,43 @@ def test_c08_digest_only_shuffle(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(doc_id[^\n]*", plan):
         assert "text" not in m.group(0)
     assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_s11_pq_argmin_is_aggregate_not_window(spark):
+    from floorist_spark.operators.similarity import s11_pq_quantize
+
+    plan = _plan(s11_pq_quantize(spark, SF_SMOKE))
+    # the per-subspace argmin is min(struct(dist,k)) — a map-side
+    # combinable aggregate; a Window here would force a full shuffle of
+    # the exploded corpus before any reduction
+    assert "Window" not in plan
+    # the M x K codebook broadcasts; the corpus side never does
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_memoized_pair_chain_reuses_cached_tables(spark):
+    """The verified-pairs memo must hand every consumer (d04's ordered
+    output, d09's edge list) the SAME persisted table — one near-dup
+    pipeline run per dataset — and consumers must read it as an
+    InMemoryTableScan rather than re-deriving the shingle+digest
+    pipeline."""
+    from floorist_spark.operators._cache import release_memos
+    from floorist_spark.operators.dedup import (
+        _verified_pairs,
+        d04_lsh_jaccard_dedup,
+    )
+
+    release_memos()
+    try:
+        p1 = _verified_pairs(spark, SF_SMOKE)
+        p2 = _verified_pairs(spark, SF_SMOKE)
+        assert p1 is p2  # memo hit, not a rebuild
+        # d04's output must read the memoized pairs from cache (the plan
+        # string still PRINTS the cached subtree's lineage, so asserting
+        # on its contents would be vacuous — the load-bearing node is the
+        # InMemoryTableScan at the top)
+        plan = _plan(d04_lsh_jaccard_dedup(spark, SF_SMOKE))
+        assert "InMemoryTableScan" in plan
+    finally:
+        release_memos()
