@@ -839,6 +839,29 @@ WHERE abs(z) >= {Z_THRESHOLD} ORDER BY hour
 # e16 — continuous aggregate (incrementally maintained rollup)
 # ---------------------------------------------------------------------------
 
+def _e16_write_partials(batch_df: DataFrame, batch_id: int, store: str) -> None:
+    """One micro-batch's partial rollup, written IDEMPOTENTLY.
+
+    foreachBatch is at-least-once: a crash between the write and the
+    checkpoint commit replays the batch (same batch_id, same files). A
+    blind append would double-count that replay, so each batch OVERWRITES
+    its own batch_id-keyed partition — the replay rewrites identical
+    content and the merge stays exactly-once per file, as the
+    disjoint-partials proof requires. Module-level so the replay test can
+    drive it directly."""
+    (
+        batch_df.groupBy(
+            F.expr("date_trunc('hour', ts)").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("pn"),
+            F.expr(f"SUM({_VAL_S})").alias("pv"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, f"batch_id={batch_id}"))
+    )
+
+
 def e16_continuous_aggregate(
     spark: SparkSession, sf_dir: str, work: str | None = None
 ) -> DataFrame:
@@ -865,28 +888,13 @@ def e16_continuous_aggregate(
     store = os.path.join(work, "partials")
     ckpt = os.path.join(work, "ckpt")
 
-    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a crash between the write and
-        # the checkpoint commit replays the batch (same batch_id, same
-        # files). A blind append would double-count that replay, so each
-        # batch OVERWRITES its own batch_id-keyed partition — the replay
-        # rewrites identical content and the merge stays exactly-once
-        # per file, as the disjoint-partials proof requires.
-        (
-            batch_df.groupBy(
-                F.expr("date_trunc('hour', ts)").alias("window_start"), "event_type"
-            )
-            .agg(
-                F.count("*").alias("pn"),
-                F.expr(f"SUM({_VAL_S})").alias("pv"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(store, f"batch_id={batch_id}"))
-        )
-
     query = (
         _events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(_upsert)
+        .writeStream.foreachBatch(
+            lambda batch_df, batch_id: _e16_write_partials(
+                batch_df, batch_id, store
+            )
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -73,3 +73,42 @@ def test_continuous_aggregate_across_runs(spark, tmp_path):
     partials = spark.read.parquet(os.path.join(work, "partials"))
     assert partials.count() == 4
     assert partials.agg(F.sum("pn")).collect()[0][0] == 5
+
+
+def test_partial_write_is_idempotent_on_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (same batch_id,
+    same rows — the crash-between-write-and-commit case) must leave the
+    served totals unchanged, and a different batch_id must add exactly
+    its own contribution."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from floorist_spark.operators.events_analytics import _e16_write_partials
+
+    t0 = dt.datetime(2024, 6, 1, 12, 30, 0)
+    batch = spark.createDataFrame(
+        [(1, t0, 1, "view", 2.0), (2, t0, 2, "view", 3.0)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    store = str(tmp_path / "partials")
+
+    def served():
+        return {
+            (r["window_start"], r["event_type"]): (r["n"], float(r["v"]))
+            for r in spark.read.parquet(store)
+            .groupBy("window_start", "event_type")
+            .agg(
+                F.expr("CAST(SUM(pn) AS BIGINT)").alias("n"),
+                F.expr("CAST(CAST(SUM(pv) AS STRING) AS DOUBLE)").alias("v"),
+            )
+            .collect()
+        }
+
+    _e16_write_partials(batch, 0, store)
+    first = served()
+    _e16_write_partials(batch, 0, store)  # replay: same batch_id
+    assert served() == first  # no double count
+
+    _e16_write_partials(batch, 1, store)  # genuinely new batch
+    hour = dt.datetime(2024, 6, 1, 12, 0, 0)
+    assert served()[(hour, "view")] == (4, 10.0)
