@@ -333,13 +333,14 @@ def _sqdist_duck(q: str, c: str) -> str:
     )
 
 
-#: exact order-independent coordinate mean: decimal partial sums (no ties
-#: can occur at scale 18 — a dyadic float times 10^18 is never half-odd),
-#: rendered via STRING so the decimal→double conversion is the same
-#: correctly-rounded op in both engines, then one IEEE divide.
-_COORD_MEAN = (
-    "CAST(CAST(SUM(CAST({x} AS DECIMAL(38,18))) AS STRING) AS DOUBLE) / COUNT(*)"
-)
+#: deterministic coordinate mean: fold the member coordinates in vec_id
+#: order with plain IEEE adds, then one divide. NOT a decimal sum — a
+#: measured 100k-value audit showed Spark (shortest-repr string) and
+#: DuckDB (exact binary expansion) round double→DECIMAL(38,18)
+#: differently on 57% of float32-derived values, so decimal sums of
+#: ANY float-typed input are cross-engine hazards; the ordered fold is
+#: bit-identical by construction. (Member lists are cluster-sized — fine
+#: for the deterministic pinning entry; production trains with MLlib.)
 
 
 def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,8 +351,10 @@ def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Init = the first K vectors (the same hash-free seeding s04's IVF
     uses); each of the T_LLOYD rounds assigns by squared-L2 argmin
     (ties → lowest centroid id) and recomputes every centroid coordinate
-    as an EXACT decimal sum divided once in double — order-independent, so
-    the result is a pure function of the data, not of the partitioning.
+    as a vec_id-ordered IEEE fold divided once — a fixed evaluation
+    order, so the result is a pure function of the data, not of the
+    partitioning (see the coordinate-mean note below for why decimal
+    sums are NOT used here).
 
     Scale shape: per round, one corpus scan against K broadcast centroids
     (s03's plan) plus one (centroid, dim)-grouped aggregate whose
@@ -399,9 +402,17 @@ def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(T_LLOYD):
         rows = (
             assign(list(prev.items()))
-            .select("centroid_id", F.posexplode("embedding").alias("j", "x"))
+            .select(
+                "vec_id", "centroid_id", F.posexplode("embedding").alias("j", "x")
+            )
             .groupBy("centroid_id", "j")
-            .agg(F.expr(_COORD_MEAN.format(x="CAST(x AS DOUBLE)")).alias("v"))
+            .agg(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(vec_id, x))), s -> CAST(s.x AS DOUBLE)), "
+                    "CAST(0 AS DOUBLE), (a, b) -> a + b) / COUNT(*)"
+                ).alias("v")
+            )
             .collect()
         )
         upd: dict[int, dict[int, float]] = {}
@@ -429,7 +440,10 @@ def _s05_sql() -> str:
         f"c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
         f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
     ]
-    mean = _COORD_MEAN.format(x="embedding[j]::DOUBLE")
+    mean = (
+        "list_reduce(list(embedding[j]::DOUBLE ORDER BY vec_id), "
+        "(a, b) -> a + b) / COUNT(*)"
+    )
     for t in range(T_LLOYD):
         parts.append(
             f"""a{t} AS (
