@@ -127,3 +127,23 @@ def test_streaming_watermark_on_every_encoding(spark, encoded_dirs, encoding):
     )
     assert len(want) > 0 and len(want) < len(batch)
     assert rows == want, f"{encoding}: streaming result != closed batch windows"
+
+
+def test_events_value_is_two_decimal_currency():
+    """The event-family oracles sum `value` through DECIMAL(18,6), which
+    is cross-engine-exact ONLY while every value's shortest decimal repr
+    fits the scale — true today because the generator rounds to 2
+    decimals. Spark and DuckDB round double->decimal DIFFERENTLY on
+    general doubles (57% divergence measured on float32-derived values),
+    so if the driver ever regenerates events.value with full-precision
+    doubles this must fail loudly here, not flake the hash gate."""
+    import duckdb
+
+    from tests.conftest import SF_CORRECTNESS
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM "
+        f"read_parquet('{SF_CORRECTNESS}/events.parquet') "
+        "WHERE value IS NOT NULL AND value != round(value, 2)"
+    ).fetchone()[0]
+    assert n == 0, f"{n} events.value rows exceed 2 decimal digits"
