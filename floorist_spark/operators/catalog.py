@@ -82,6 +82,8 @@ GATE_PRIORITY = [
     "s05_kmeans_ivf_assign",
     "s11_pq_quantize",
     "e17_path_analysis",
+    "e18_stream_stream_join",
+    "m08_perceptual_hash",
     "c08_snapshot_diff",
     "c09_stride_interleave",
     "d10_curation_keep",

@@ -989,6 +989,77 @@ GROUP BY path ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# e18 — stream-stream interval join (view → click attribution)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_MIN = 10
+
+
+def e18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the Structured Streaming capability the
+    rest of the family doesn't exercise: attribute every click to each
+    view by the same user within the preceding 10 minutes, with BOTH
+    sides watermarked so the join state is bounded (views older than the
+    watermark minus the interval are evicted; without the time-range
+    condition + watermarks Spark would have to buffer both streams
+    forever). This is the ad-attribution / funnel-stitching primitive.
+
+    Scale shape: one shuffle of each stream on user_id (the join key);
+    state per user is the last 10 minutes of views — watermark-bounded,
+    RocksDB-backed on a real cluster. With one availableNow batch every
+    matching pair is emitted (watermarks only evict state), so the result
+    equals the batch interval join and the entry is hash-gated. The gap
+    is exact integer microseconds — no float drift."""
+    base = _events_stream(spark, sf_dir).withWatermark(
+        "ts", f"{WATERMARK_DELAY_MIN} minutes"
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND v_ts <= c_ts AND "
+            f"v_ts >= c_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+    )
+    query = (
+        joined.select(
+            F.col("c_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.expr("unix_micros(c_ts) - unix_micros(v_ts)").alias("gap_us"),
+        )
+        .writeStream.format("memory")
+        .queryName("e18_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("e18_stream_sink").orderBy("user_id", "click_id", "view_id")
+
+
+E18_SQL = f"""
+SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+ORDER BY c.user_id, click_id, view_id
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1006,6 +1077,7 @@ QUERIES = {
     "e14_hourly_anomaly": e14_hourly_anomaly,
     "e16_continuous_aggregate": e16_continuous_aggregate,
     "e17_path_analysis": e17_path_analysis,
+    "e18_stream_stream_join": e18_stream_stream_join,
 }
 
 ORACLES = {
@@ -1025,4 +1097,5 @@ ORACLES = {
     "e14_hourly_anomaly": E14_SQL,
     "e16_continuous_aggregate": E16_SQL,
     "e17_path_analysis": E17_SQL,
+    "e18_stream_stream_join": E18_SQL,
 }

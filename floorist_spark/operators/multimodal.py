@@ -439,6 +439,78 @@ FROM bytes GROUP BY 1, 2 ORDER BY doc_id, win
 """
 
 
+# ---------------------------------------------------------------------------
+# m08 — perceptual hash (aHash over strided payload samples)
+# ---------------------------------------------------------------------------
+
+#: 60 bits, matching the SimHash family — bit 63 would overflow signed
+#: BIGINT and the d06 pigeonhole machinery is built for 60.
+PHASH_BITS = 60
+
+
+def m08_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash perceptual fingerprint of every binary payload — the
+    image-dedup primitive (pHash/aHash family): sample ``PHASH_BITS``
+    bytes at fixed strides (the 1-D analogue of the 8×8 downscale), set
+    bit i iff sample_i exceeds the sample mean. Near-identical payloads
+    (same prefix, localized edits) agree on most bits, so the SAME
+    pigeonhole chunk join d06 uses for SimHash finds near-dup media pairs
+    without any O(N²) compare — this is the multimodal member of the
+    dedup-signal family d12 merges.
+
+    Computed in PYTHON over Arrow batches (the multimodal family's
+    production shape: swap the stride sampler for a real decode+resize
+    under FLOORIST_REAL_CODECS); the oracle replays the identical integer
+    arithmetic from the hex rendering of the payload. Pure per-row map —
+    no shuffle at any scale."""
+
+    def phash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(b: bytes) -> int:
+            n = len(b)
+            if n == 0:
+                return 0
+            px = [b[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+            mean = sum(px) / float(PHASH_BITS)
+            return sum(1 << i for i in range(PHASH_BITS) if px[i] > mean)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(phash, "doc_id bigint, phash bigint")
+        .orderBy("doc_id")
+    )
+
+
+M08_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), sampled AS (
+  SELECT doc_id, n,
+         list_transform(range(0, {PHASH_BITS}), i ->
+           CAST(concat('0x', substr(hx, (2 * ((i * n) // {PHASH_BITS}))::INT + 1, 2))
+                AS BIGINT)) AS px
+  FROM raw
+)
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_sum(list_transform(range(0, {PHASH_BITS}), i ->
+           CASE WHEN px[i::INT + 1] > list_sum(px) / {PHASH_BITS}.0
+                THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END))
+       END AS BIGINT) AS phash
+FROM sampled ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -447,6 +519,7 @@ QUERIES = {
     "m05_frame_sample": m05_frame_sample,
     "m06_thumbnail": m06_thumbnail,
     "m07_audio_energy": m07_audio_energy,
+    "m08_perceptual_hash": m08_perceptual_hash,
 }
 
 ORACLES = {
@@ -457,4 +530,5 @@ ORACLES = {
     "m05_frame_sample": M05_SQL,
     "m06_thumbnail": M06_SQL,
     "m07_audio_energy": M07_SQL,
+    "m08_perceptual_hash": M08_SQL,
 }

@@ -65,11 +65,26 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
         f"floorist_stream_{table}_{os.path.basename(sf_dir)}_{tag}",
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
-    if os.path.islink(link) and os.path.realpath(link) != src:
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # a directory-shaped table (writer output with part files) must be
+    # exposed as FLAT links — the streaming source does not recurse into
+    # non-partition subdirectories, so linking the directory itself would
+    # silently yield an EMPTY stream
+    if os.path.isdir(src):
+        targets = {
+            f"{table}_{f}": os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        }
+    else:
+        targets = {f"{table}.parquet": src}
+    for name, target in targets.items():
+        link = os.path.join(d, name)
+        if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(
+            target
+        ):
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
     return d
 
 

@@ -276,3 +276,57 @@ def test_e17_path_splits_on_session_gap(spark, tmp_path):
     df.coalesce(1).write.parquet(f"{d}/events.parquet")
     paths = {r["path"]: r["n_sessions"] for r in e17_path_analysis(spark, d).collect()}
     assert paths == {"view>click": 1, "buy": 1}
+
+
+def test_m08_identical_payloads_share_phash(spark, tmp_path):
+    from floorist_spark.operators.multimodal import PHASH_BITS, m08_perceptual_hash
+
+    rows = [
+        (1, "the exact same payload body for perceptual hashing"),
+        (2, "the exact same payload body for perceptual hashing"),
+        (3, "a completely different document with other content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["phash"] for r in m08_perceptual_hash(spark, d).collect()}
+    assert got[1] == got[2]                      # exact dup -> identical hash
+    assert got[1] != got[3]                      # different content differs
+    assert all(0 <= h < (1 << PHASH_BITS) for h in got.values())
+
+
+def test_e18_attributes_clicks_within_window_only(spark, tmp_path):
+    """A click matches every SAME-user view in the preceding 10 minutes —
+    not older views, not other users' views, and not views after it."""
+    import datetime as dt
+
+    from floorist_spark.operators.events_analytics import e18_stream_stream_join
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        (1, m(0), 1, "view", 1.0),     # matched by click 3 (5 min later)
+        (2, m(30), 1, "view", 1.0),    # AFTER click 3, within window of none
+        (3, m(5), 1, "click", 1.0),    # matches view 1 only
+        (4, m(40), 1, "click", 1.0),   # view 2 is 10 min earlier -> boundary
+        (5, m(4), 2, "view", 1.0),     # other user: never matches user 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    # the streaming file source does not recurse into non-partition
+    # subdirectories, so the table must be ONE flat parquet file (same
+    # trick as test_custom_sessionizer._write)
+    import glob
+    import shutil
+
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/_tmp_ev")
+    shutil.move(glob.glob(f"{d}/_tmp_ev/part-*.parquet")[0], f"{d}/events.parquet")
+    shutil.rmtree(f"{d}/_tmp_ev")
+    pairs = {
+        (r["user_id"], r["view_id"], r["click_id"]): r["gap_us"]
+        for r in e18_stream_stream_join(spark, d).collect()
+    }
+    # view 2 at m(30) is exactly 10 min before click 4 -> inclusive bound
+    assert pairs == {(1, 1, 3): 5 * 60 * 1_000_000, (1, 2, 4): 10 * 60 * 1_000_000}

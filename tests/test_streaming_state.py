@@ -97,3 +97,24 @@ def test_stream_dir_distinguishes_same_basename_parents(tmp_path):
     assert os.path.realpath(os.path.join(d_a2, "documents.parquet")).startswith(
         str(tmp_path / "a")
     )
+
+
+def test_stream_dir_flattens_directory_shaped_tables(spark, tmp_path):
+    """A writer-output table (directory of part files) must stream with
+    ALL its rows — the streaming file source does not recurse into
+    subdirectories, so _stream_dir_for links part files flat; before that
+    fix a directory-shaped table silently produced an EMPTY stream."""
+    from floorist_spark.operators.dedup import d01_exact_dedup
+    from floorist_spark.streaming.stateful import d08_streaming_dedup
+
+    rows = [(i, f"text number {i % 5}") for i in range(20)]  # 5 distinct
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    d = str(tmp_path)
+    df.repartition(3).write.parquet(f"{d}/documents.parquet")  # 3 part files
+
+    got = d08_streaming_dedup(spark, d).collect()
+    want = d01_exact_dedup(spark, d).collect()
+    assert len(got) == 5
+    assert sorted(r["keep_doc_id"] for r in got) == sorted(
+        r["keep_doc_id"] for r in want
+    )
