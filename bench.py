@@ -43,6 +43,7 @@ HEADLINE = (
     "d07_embedding_neardup",
     "d10_curation_keep",
     "d11_semantic_dedup",
+    "d15_passage_dedup",
     "s01_cosine_topk_brute",
     "s02_lsh_bucketed_ann",
     "s04_ivf_search",
@@ -54,6 +55,7 @@ HEADLINE = (
     "t08_word_repetition",
     "t09_dup_ngram_fraction",
     "t10_tfidf_topk",
+    "t12_bigram_lm_score",
     "c04_pack_bins",
     "c05_decontamination",
     "c06_mixture_weights",
@@ -64,6 +66,7 @@ HEADLINE = (
     "e06_range_join",
     "e09_funnel",
     "e17_path_analysis",
+    "e19_cooccurrence_lift",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",

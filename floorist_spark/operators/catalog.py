@@ -78,6 +78,11 @@ def _with_cache_release(
 #: quantization, e17 path analysis). Pure ordering — membership and
 #: semantics of every entry are unchanged.
 GATE_PRIORITY = [
+    "d15_passage_dedup",
+    "t12_bigram_lm_score",
+    "c10_quality_weighted_sample",
+    "s12_knn_classify",
+    "e19_cooccurrence_lift",
     "s07_sq8_quantize",
     "s05_kmeans_ivf_assign",
     "s11_pq_quantize",

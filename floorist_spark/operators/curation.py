@@ -671,6 +671,55 @@ SELECT doc_id, status FROM diff WHERE status != 'unchanged' ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c10 — quality-weighted deterministic sample
+# ---------------------------------------------------------------------------
+
+def c10_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted downsample: each document's keep probability is
+    its lexical-diversity score (distinct/total tokens — the DataComp-style
+    "keep higher-quality docs more often" policy), decided by comparing a
+    salted doc-id hash against the weight. The accept test is a pure
+    integer cross-multiplication ``bucket · n_tokens < n_distinct · 65536``
+    — no float anywhere, so the sample is bit-reproducible across engines,
+    runs, and cluster sizes (same property as c01/c02, extended from
+    constant to per-row weights).
+
+    Scale shape: narrow per-row map + filter, zero shuffle — the predicate
+    evaluates inside the scan stage at any corpus size."""
+    b = _bucket_spark("qweight", 65536)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(tf.tokens_spark(tf.norm_spark("text"))).alias("toks"),
+            F.expr(b).alias("bucket"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr("size(array_distinct(toks))").alias("n_distinct"),
+            "bucket",
+        )
+        .filter(F.expr("bucket * n_tokens < n_distinct * 65536"))
+        .orderBy("doc_id")
+    )
+
+
+C10_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({tf.tokens_duck(tf.norm_duck('text'))}) AS n_tokens,
+         len(list_distinct({tf.tokens_duck(tf.norm_duck('text'))})) AS n_distinct,
+         {_bucket_duck("qweight", 65536)} AS bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct, bucket
+FROM s WHERE bucket * n_tokens < n_distinct * 65536
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -681,6 +730,7 @@ QUERIES = {
     "c07_curation_pipeline": c07_curation_pipeline,
     "c08_snapshot_diff": c08_snapshot_diff,
     "c09_stride_interleave": c09_stride_interleave,
+    "c10_quality_weighted_sample": c10_quality_weighted_sample,
 }
 
 ORACLES = {
@@ -693,4 +743,5 @@ ORACLES = {
     "c07_curation_pipeline": _c07_sql(),
     "c08_snapshot_diff": C08_SQL,
     "c09_stride_interleave": _c09_sql(),
+    "c10_quality_weighted_sample": C10_SQL,
 }

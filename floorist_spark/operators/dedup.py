@@ -1055,6 +1055,96 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# d15 — passage-level exact substring dedup (line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+#: non-overlapping passage width in tokens — the dedup unit (real corpora
+#: use lines/paragraphs; the synthetic docs have no line structure, so a
+#: fixed token window stands in; the plan is identical either way)
+PASSAGE_W = 8
+
+
+def d15_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level dedup à la CCNet/RefinedWeb line-dedup (and the
+    substring-dedup motivation of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): split every document into
+    non-overlapping PASSAGE_W-token passages, keep only the globally FIRST
+    occurrence of each distinct passage (order = (doc_id, idx), the corpus
+    position), and report per document how much text survives plus a
+    digest of the cleaned text (scalar-only gate contract — the cleaned
+    string itself would be the real output downstream).
+
+    Scale shape: one narrow scan → posexplode passages → md5 each passage
+    and DROP the text — every exchange in the plan (ownership groupBy,
+    survivor join, per-doc fold) carries (digest, doc_id, idx) only, the
+    d14 digest-only-exchange rule, which is why ``clean_digest`` is a
+    digest-of-digests: fingerprinting kept text directly would drag
+    passage strings through three shuffles. (The cleaned TEXT, when a
+    pipeline materializes it, is a narrow doc_id-join of the keep set
+    against the original scan — no wide shuffle either.) First-owner is
+    min(struct(doc_id, idx)) — map-side combinable, skew-safe: a passage
+    repeated 10M times reduces to one owner row per partition before the
+    exchange. Reference has no text ops at all (new surface, SURVEY
+    §7.2.7)."""
+    toks = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.expr(tf.tokens_spark(_NORM_S)).alias("toks")
+    )
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {PASSAGE_W}.0) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i * {PASSAGE_W} + 1, {PASSAGE_W}))))"
+            )
+        ).alias("idx", "d"),
+    )
+    owners = ch.groupBy("d").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("o")
+    )
+    flagged = ch.join(owners, "d").select(
+        "doc_id",
+        "idx",
+        "d",
+        (
+            (F.col("o.doc_id") == F.col("doc_id")) & (F.col("o.idx") == F.col("idx"))
+        ).alias("keep"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.expr(
+                "md5(concat_ws('', transform(array_sort("
+                "collect_list(IF(keep, struct(idx, d), NULL))), s -> s.d)))"
+            ).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tf.tokens_duck(_NORM_D)} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, i AS idx,
+         md5(array_to_string(toks[(i * {PASSAGE_W} + 1)::INT:(i * {PASSAGE_W} + {PASSAGE_W})::INT], ' ')) AS d
+  FROM toks, LATERAL unnest(range(0, CAST(ceil(len(toks) / {PASSAGE_W}.0) AS BIGINT))) AS t(i)
+), own AS (
+  SELECT d, min(ROW(doc_id, idx)) AS o FROM ch GROUP BY d
+), flagged AS (
+  SELECT ch.doc_id, ch.idx, ch.d,
+         (ROW(ch.doc_id, ch.idx) = own.o) AS keep
+  FROM ch JOIN own USING (d)
+)
+SELECT doc_id, count(*) AS n_passages,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       md5(coalesce(string_agg(d, '' ORDER BY idx) FILTER (WHERE keep), '')) AS clean_digest
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1069,6 +1159,7 @@ QUERIES = {
     "d12_crossmodal_neardup": d12_crossmodal_neardup,
     "d13_minhash_calibration": d13_minhash_calibration,
     "d14_ngram_containment": d14_ngram_containment,
+    "d15_passage_dedup": d15_passage_dedup,
 }
 
 ORACLES = {
@@ -1085,4 +1176,5 @@ ORACLES = {
     "d12_crossmodal_neardup": _d12_sql(),
     "d13_minhash_calibration": _d13_sql(),
     "d14_ngram_containment": _d14_sql(),
+    "d15_passage_dedup": D15_SQL,
 }

@@ -1060,6 +1060,135 @@ ORDER BY c.user_id, click_id, view_id
 """
 
 
+# ---------------------------------------------------------------------------
+# e19 — session-scoped event-type co-occurrence lift
+# ---------------------------------------------------------------------------
+
+def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over sessions: for every unordered event-type
+    pair, how much more often do the two types co-occur in one session
+    than independence predicts — ``lift = P(a,b) / (P(a)·P(b)) =
+    (n_ab · n_sessions) / (n_a · n_b)``. The standard association signal
+    behind "users who error also churn" dashboards, computed here from the
+    same 30-minute session windows as e03.
+
+    Exactness: the lift is ONE IEEE division of two exact BIGINT products
+    (counts at sf0.1 keep both products ≪ 2^53, so the numerator's double
+    cast is exact; a corpus where n_ab·n_s approaches 2^53 — ~10^8
+    sessions with ~10^8 co-occurrences — should divide twice instead:
+    (n_ab / n_a) · (n_s / n_b) costs one more rounding but never
+    overflows).
+
+    Scale shape: sessionization is e03's single user_id-keyed shuffle;
+    distinct (session, type) rows then self-join on the SESSION key — at 5
+    event types each session contributes ≤10 pair rows, so the join output
+    is linear in session count; per-type and total-session counts are
+    map-side-combined aggregates broadcast back onto ≤|types|² rows.
+    The (session, type) table is persisted: four consumers (pair sides,
+    per-type counts, session total) would otherwise each replay the
+    sessionization window — five corpus scans and four user_id exchanges
+    instead of one (verified via .explain, same trap as e14's hourly
+    rollup)."""
+    from pyspark.sql.window import Window
+
+    from floorist_spark.operators._cache import track
+
+    ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    # e17's gaps-and-islands sessionizer — NOT session_window, whose gap
+    # semantics apply per full grouping key: grouping by event_type too
+    # would sessionize each type independently and never co-locate types.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_us.isNull() | (lag_us >= SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    st = track(
+        numbered.select(
+            "user_id", F.col("session_id").alias("ss"), "event_type"
+        )
+        .distinct()
+        .persist()
+    )
+    st.count()  # materialize before the four consumers fork
+    n_s = (
+        st.select("user_id", "ss")
+        .distinct()
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    n_t = st.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = st.select("user_id", "ss", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "ss", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "ss"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(n_t.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(n_t.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_sessions")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+E19_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), st AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+), n_s AS (
+  SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_id FROM st)
+), n_t AS (
+  SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
+  WHERE a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+       (n_ab * n_s.n_sessions)::DOUBLE / (ta.n_t * tb.n_t) AS lift
+FROM pairs
+JOIN n_t ta ON ta.event_type = type_a
+JOIN n_t tb ON tb.event_type = type_b
+CROSS JOIN n_s
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1078,6 +1207,7 @@ QUERIES = {
     "e16_continuous_aggregate": e16_continuous_aggregate,
     "e17_path_analysis": e17_path_analysis,
     "e18_stream_stream_join": e18_stream_stream_join,
+    "e19_cooccurrence_lift": e19_cooccurrence_lift,
 }
 
 ORACLES = {
@@ -1098,4 +1228,5 @@ ORACLES = {
     "e16_continuous_aggregate": E16_SQL,
     "e17_path_analysis": E17_SQL,
     "e18_stream_stream_join": E18_SQL,
+    "e19_cooccurrence_lift": E19_SQL,
 }

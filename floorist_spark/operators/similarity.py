@@ -919,6 +919,99 @@ FROM best GROUP BY vec_id ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s12 — kNN label classification over LSH-bucketed candidates
+# ---------------------------------------------------------------------------
+
+#: neighbors consulted per classification vote
+KNN_VOTE_K = 5
+
+
+def s12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier over the ANN index: each query vector (vec_id < 50)
+    is labeled by majority vote among its KNN_VOTE_K nearest same-bucket
+    neighbors (sign-LSH, s02's candidate generation) — the standard
+    label-propagation / auto-labeling pass a training-data pipeline runs
+    to tag unlabeled documents from a labeled seed set. Every tie is
+    deterministic: neighbor rank breaks (cosine DESC, neighbor_id ASC),
+    the vote breaks (votes DESC, label ASC).
+
+    Scale shape: identical to s02 — one bucket-keyed equi-join (the
+    candidate set is sum(|bucket|·|queries in bucket|), never Q·N), one
+    per-query window over ≤|bucket| rows, one tiny vote aggregate. The
+    exactness of the gate rests on bit-identical cosines (textfrag strict
+    left folds)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label",
+        F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("n_label"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "true_label", "neighbor_id", "n_label",
+            F.expr(_COS_S).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_VOTE_K)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+            "true_label",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+S12_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, label, {_sign_bucket_duck("embedding")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, n_label, count(*) AS votes
+  FROM ranked WHERE rank <= {KNN_VOTE_K}
+  GROUP BY query_id, true_label, n_label
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, n_label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, n_label AS pred_label, votes, true_label,
+       (n_label = true_label) AS correct
+FROM best WHERE vr = 1 ORDER BY query_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -931,6 +1024,7 @@ QUERIES = {
     "s09_ann_recall": s09_ann_recall,
     "s10_knn_graph": s10_knn_graph,
     "s11_pq_quantize": s11_pq_quantize,
+    "s12_knn_classify": s12_knn_classify,
 }
 
 ORACLES = {
@@ -945,4 +1039,5 @@ ORACLES = {
     "s09_ann_recall": S09_SQL,
     "s10_knn_graph": S10_SQL,
     "s11_pq_quantize": _s11_sql(),
+    "s12_knn_classify": S12_SQL,
 }

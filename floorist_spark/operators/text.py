@@ -606,6 +606,98 @@ FROM ex GROUP BY doc_id, dim ORDER BY doc_id, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# t12 — add-one-smoothed bigram LM score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic KenLM-style quality signal (CCNet; Wenzek et al. 2020) with
+    add-one smoothing: p(w2|w1) = (c(w1 w2)+1) / (c(w1 ·)+V), reported as
+    the per-document average bigram probability (an LM-likelihood proxy
+    that needs no transcendentals — log/exp implementations are not
+    pinned cross-engine, single integer-derived IEEE divisions are).
+
+    Scale shape: the LM "training" is ONE map-side-combined groupBy over
+    exploded bigrams (model size = vocabulary-squared upper bound, MBs for
+    real corpora vs TBs of text), broadcast back to the scoring pass; the
+    CONTEXT counts c(w1 ·) come from re-aggregating the already-tiny
+    bigram table — never a second corpus pass — and the tokenized corpus
+    is persisted so the vocabulary count and the two bigram walks
+    (training, scoring) share one scan+normalize. The per-doc reduction
+    is one shuffle on doc_id. Scoring sums are position-ordered IEEE
+    folds so the result is a pure function of the data, not partitioning
+    (see s05's coordinate-mean note)."""
+    from floorist_spark.operators._cache import track
+
+    toks = track(
+        _docs(spark, sf_dir).select("doc_id", F.expr(_TOK_S).alias("toks")).persist()
+    )
+    toks.count()  # one scan feeds vocab + both bigram walks
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(tf.word_ngrams_spark("toks", 2))).alias("pos", "bg"),
+    ).withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = (
+        cb.groupBy(F.expr("split_part(bg, ' ', 1)").alias("w1"))
+        .agg(F.sum("cb").alias("cu"))
+    )
+    v = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    scored = (
+        bg.join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("cu") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(pos, p))), "
+                "s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x) / COUNT(*)"
+            ).alias("avg_p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T12_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS toks FROM documents
+), b AS (
+  SELECT doc_id, {tf.word_ngrams_duck('toks', 2)} AS bgs FROM toks
+), e AS (
+  SELECT doc_id, i AS pos, bgs[i::INT] AS bg,
+         split_part(bgs[i::INT], ' ', 1) AS w1
+  FROM b, LATERAL unnest(range(1, len(bgs) + 1)) AS t(i)
+), cb AS (
+  SELECT bg, count(*) AS cb FROM e GROUP BY bg
+), cu AS (
+  SELECT w1, count(*) AS cu FROM e GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM toks)
+), p AS (
+  SELECT doc_id, pos, (cb.cb + 1)::DOUBLE / (cu.cu + v.v) AS p
+  FROM e JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS avg_p
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -618,6 +710,7 @@ QUERIES = {
     "t09_dup_ngram_fraction": t09_dup_ngram_fraction,
     "t10_tfidf_topk": t10_tfidf_topk,
     "t11_feature_hashing": t11_feature_hashing,
+    "t12_bigram_lm_score": t12_bigram_lm_score,
 }
 
 ORACLES = {
@@ -632,4 +725,5 @@ ORACLES = {
     "t09_dup_ngram_fraction": T09_SQL,
     "t10_tfidf_topk": T10_SQL,
     "t11_feature_hashing": T11_SQL,
+    "t12_bigram_lm_score": T12_SQL,
 }

@@ -133,3 +133,51 @@ def test_memoized_pair_chain_reuses_cached_tables(spark):
         assert "InMemoryTableScan" in plan
     finally:
         release_memos()
+
+
+def test_d15_digest_only_exchanges(spark):
+    from floorist_spark.operators.dedup import d15_passage_dedup
+
+    plan = _plan(d15_passage_dedup(spark, SF_SMOKE))
+    # ownership groupBy, survivor join, and per-doc fold all exchange
+    # (digest, doc_id, idx) — passage text must die in the md5 projection
+    # inside the scan stage (clean_digest is a digest-of-digests for
+    # exactly this reason)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "toks#" not in m.group(0) and "text#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_t12_lm_single_corpus_scan(spark):
+    from floorist_spark.operators.text import t12_bigram_lm_score
+
+    plan = _plan(t12_bigram_lm_score(spark, SF_SMOKE))
+    # the tokenized corpus is persisted: vocab count + both bigram walks
+    # (training aggregate, scoring join) must read the cache, never
+    # re-scan documents; LM/context/vocab tables all broadcast
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_e19_sessionization_cached_once(spark):
+    from floorist_spark.operators.events_analytics import e19_cooccurrence_lift
+
+    plan = _plan(e19_cooccurrence_lift(spark, SF_SMOKE))
+    # the (session, type) table is persisted; its four consumers (two
+    # pair sides, per-type counts, session total) read InMemoryTableScan
+    # instead of replaying the sessionization window
+    assert plan.count("InMemoryTableScan") >= 4
+    # corpus-sized exchanges: the window's user_id shuffle + the distinct
+    # — the pair self-join must NOT add a third corpus repartitioning
+    import re
+
+    uniq = set(
+        re.findall(
+            r"Exchange hashpartitioning\(user_id[^\n]*\[plan_id=(\d+)\]", plan
+        )
+    )
+    assert len(uniq) <= 2, uniq
+    assert "CartesianProduct" not in plan
