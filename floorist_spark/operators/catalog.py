@@ -83,6 +83,7 @@ GATE_PRIORITY = [
     "c10_quality_weighted_sample",
     "s12_knn_classify",
     "e19_cooccurrence_lift",
+    "m09_aspect_bucket_batches",
     "s07_sq8_quantize",
     "s05_kmeans_ivf_assign",
     "s11_pq_quantize",

@@ -511,6 +511,96 @@ FROM sampled ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m09 — aspect-ratio bucketing + sharded batch assignment
+# ---------------------------------------------------------------------------
+
+#: items per training batch within one (bucket, shard)
+AR_BATCH = 8
+#: hash shards per bucket — bounds every row_number window to one shard
+AR_SHARDS = 16
+
+
+def m09_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image-model training (the SDXL-style
+    batching rule: a batch mixes only images of one canonical aspect so
+    resize crops stay minimal): classify every image into one of five
+    aspect buckets and deterministically assign it a batch slot. Bucket
+    thresholds are INTEGER cross-multiplications (``width·1000 <
+    height·625`` ⟺ w/h < 0.625) — no float ratio anywhere, so
+    assignment is engine- and partitioning-independent. Dimensions come
+    from m04's (gated) decode — here the deterministic md5-fake, same
+    arithmetic in the oracle.
+
+    Scale shape: the batch slot is a row_number window partitioned by
+    (bucket, SHARD) where shard = hash(doc_id) % AR_SHARDS — c04's
+    sharded-packing rule: no global per-bucket sort ever materializes on
+    one task; each shard numbers its own items and batches are
+    (bucket, shard, batch) triples, exactly how per-worker batch
+    manifests are built at 100 TB. Everything before the window is a
+    narrow per-row map."""
+    from pyspark.sql.window import Window
+
+    dims = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 4), 16, 10) % 1920 + 1 AS BIGINT)"
+        ).alias("width"),
+        F.expr(
+            "CAST(conv(substring(md5(text), 5, 4), 16, 10) % 1080 + 1 AS BIGINT)"
+        ).alias("height"),
+    )
+    bucketed = dims.select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr(
+            "CASE WHEN width * 1000 < height * 625 THEN '1:2' "
+            "WHEN width * 1000 < height * 875 THEN '3:4' "
+            "WHEN width * 1000 < height * 1166 THEN '1:1' "
+            "WHEN width * 1000 < height * 1667 THEN '4:3' "
+            "ELSE '2:1' END"
+        ).alias("bucket"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 4), 16, 10) "
+            f"% {AR_SHARDS} AS BIGINT)"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        # `div`, not `/`: float division + BIGINT cast truncates in Spark
+        # but rounds half-even in DuckDB — integer division on both sides
+        .withColumn("batch_id", F.expr(f"CAST((rn - 1) div {AR_BATCH} AS BIGINT)"))
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+M09_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS width,
+         CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS height
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, width, height,
+         CASE WHEN width * 1000 < height * 625 THEN '1:2'
+              WHEN width * 1000 < height * 875 THEN '3:4'
+              WHEN width * 1000 < height * 1166 THEN '1:1'
+              WHEN width * 1000 < height * 1667 THEN '4:3'
+              ELSE '2:1' END AS bucket,
+         CAST(concat('0x', substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+           % {AR_SHARDS} AS shard
+  FROM dims
+)
+SELECT doc_id, width, height, bucket, shard,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+            // {AR_BATCH} AS BIGINT) AS batch_id
+FROM bucketed ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -520,6 +610,7 @@ QUERIES = {
     "m06_thumbnail": m06_thumbnail,
     "m07_audio_energy": m07_audio_energy,
     "m08_perceptual_hash": m08_perceptual_hash,
+    "m09_aspect_bucket_batches": m09_aspect_bucket_batches,
 }
 
 ORACLES = {
@@ -531,4 +622,5 @@ ORACLES = {
     "m06_thumbnail": M06_SQL,
     "m07_audio_energy": M07_SQL,
     "m08_perceptual_hash": M08_SQL,
+    "m09_aspect_bucket_batches": M09_SQL,
 }
