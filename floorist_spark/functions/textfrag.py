@@ -34,6 +34,27 @@ def norm_duck(col: str = "text") -> str:
     return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 
 
+# -- salted id-hash buckets --------------------------------------------------
+
+
+def idbucket_spark(salt: str, mod: int, col: str = "doc_id") -> str:
+    """0..mod-1 bucket from the first 4 hex digits of a salted id md5 —
+    the hash-deterministic assignment primitive behind splits, samples,
+    and shards (curation c01/c02/c10, multimodal m09). conv() yields
+    ≤65535, exact in the implicit double."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}:', CAST({col} AS STRING))), 1, 4), 16, 10) "
+        f"% {mod} AS BIGINT)"
+    )
+
+
+def idbucket_duck(salt: str, mod: int, col: str = "doc_id") -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}:', CAST({col} AS VARCHAR))), 1, 4)) "
+        f"AS BIGINT) % {mod}"
+    )
+
+
 # -- character shingles ------------------------------------------------------
 
 

@@ -74,8 +74,8 @@ def _with_cache_release(
 #: newest ~23 operators were validated locally (selfcheck) but never by
 #: the external gate. This list surfaces exactly those, plus the two
 #: entries whose gate status changed in round 5 (s07 digest output, s05
-#: deterministic k-means) and the round-5 additions (s11 product
-#: quantization, e17 path analysis). Pure ordering — membership and
+#: deterministic k-means) and every round-5 addition (d15, t12, c10,
+#: s12, e19, m09, s11, e17, e18, m08). Pure ordering — membership and
 #: semantics of every entry are unchanged.
 GATE_PRIORITY = [
     "d15_passage_dedup",

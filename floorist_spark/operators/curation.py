@@ -54,21 +54,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_spark(salt: str, mod: int) -> str:
-    """0..mod-1 bucket from the first 4 hex digits of a salted doc-id md5.
-    conv() yields ≤65535, exact in the implicit double, same as m02's
-    digest arithmetic."""
-    return (
-        f"CAST(conv(substring(md5(concat('{salt}:', CAST(doc_id AS STRING))), 1, 4), 16, 10) "
-        f"% {mod} AS BIGINT)"
-    )
-
-
-def _bucket_duck(salt: str, mod: int) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('{salt}:', CAST(doc_id AS VARCHAR))), 1, 4)) "
-        f"AS BIGINT) % {mod}"
-    )
+# shared digest-bucket fragments (textfrag owns the one Spark/DuckDB pair)
+_bucket_spark = tf.idbucket_spark
+_bucket_duck = tf.idbucket_duck
 
 
 # ---------------------------------------------------------------------------
@@ -701,7 +689,11 @@ def c10_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("size(array_distinct(toks))").alias("n_distinct"),
             "bucket",
         )
-        .filter(F.expr("bucket * n_tokens < n_distinct * 65536"))
+        # n_distinct is INT (Spark size()); force the product to BIGINT —
+        # INT*INT wraps silently with ANSI off at >=32768 distinct tokens,
+        # while the DuckDB twin (len() -> BIGINT) would not, breaking the
+        # bit-reproducibility contract on exactly the largest documents
+        .filter(F.expr("bucket * n_tokens < CAST(n_distinct AS BIGINT) * 65536"))
         .orderBy("doc_id")
     )
 

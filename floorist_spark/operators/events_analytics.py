@@ -61,6 +61,50 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _sessionized(ev: DataFrame) -> DataFrame:
+    """Append ``session_id`` (per-user 1-based counter) with e03's
+    30-minute gaps-and-islands semantics — the ONE batch definition of "a
+    session", shared by e17 (paths) and e19 (co-occurrence) so a gap-rule
+    change cannot silently break their documented equivalence with e03.
+    One shuffle on user_id; events totally ordered by (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                lag_us.isNull() | (lag_us >= SESSION_GAP_MIN * 60 * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("new_session")
+    )
+
+
+def _sessionize_ctes(cols: str) -> str:
+    """DuckDB twin of :func:`_sessionized`, as the shared
+    ``flagged``/``numbered`` CTE pair over the given column list (Spark
+    windows are end-exclusive: an event exactly at last+gap does NOT
+    merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles."""
+    return f"""flagged AS (
+  SELECT {cols},
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)"""
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table. The streaming file source lists a
     DIRECTORY; the testdata table is a single file, so expose it through a
@@ -155,22 +199,10 @@ def e03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# gaps-and-islands twin: a new session starts when the gap since the
-# previous event is >= 30 min (Spark windows are end-exclusive: an event
-# exactly at last+gap does NOT merge); session_end = last event + gap.
+# gaps-and-islands twin (shared _sessionize_ctes); session_end = last
+# event + gap.
 E03_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-)
+WITH {_sessionize_ctes("user_id, event_id, ts, value")}
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events, {_SUM_VAL}
@@ -310,18 +342,7 @@ def e08_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E08_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-)
+WITH {_sessionize_ctes("user_id, event_id, ts, value")}
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events, {_SUM_VAL}
@@ -936,21 +957,8 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, so the final top-k sorts a tiny distinct-path table, never
     event rows. Determinism: events order by (ts, event_id) — a total
     order — and the top-k tie-breaks on the path string."""
-    from pyspark.sql.window import Window
-
     ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            lag_us.isNull() | (lag_us >= SESSION_GAP_MIN * 60 * 1_000_000), 1
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    numbered = _sessionized(ev)
     paths = numbered.groupBy("user_id", "session_id").agg(
         F.expr(
             "concat_ws('>', slice(transform(array_sort("
@@ -967,18 +975,7 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E17_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-), paths AS (
+WITH {_sessionize_ctes("user_id, event_id, ts, event_type")}, paths AS (
   SELECT user_id, session_id,
          array_to_string((list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
                          '>') AS path
@@ -1089,25 +1086,13 @@ def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization window — five corpus scans and four user_id exchanges
     instead of one (verified via .explain, same trap as e14's hourly
     rollup)."""
-    from pyspark.sql.window import Window
-
     from floorist_spark.operators._cache import track
 
     ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
-    # e17's gaps-and-islands sessionizer — NOT session_window, whose gap
-    # semantics apply per full grouping key: grouping by event_type too
-    # would sessionize each type independently and never co-locate types.
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
-    numbered = ev.withColumn(
-        "new_session",
-        F.when(
-            lag_us.isNull() | (lag_us >= SESSION_GAP_MIN * 60 * 1_000_000), 1
-        ).otherwise(0),
-    ).withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    # _sessionized, NOT session_window: session_window's gap semantics
+    # apply per full grouping key, so grouping by event_type too would
+    # sessionize each type independently and never co-locate types.
+    numbered = _sessionized(ev)
     st = track(
         numbered.select(
             "user_id", F.col("session_id").alias("ss"), "event_type"
@@ -1156,18 +1141,7 @@ def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E19_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-), st AS (
+WITH {_sessionize_ctes("user_id, event_id, ts, event_type")}, st AS (
   SELECT DISTINCT user_id, session_id, event_type FROM numbered
 ), n_s AS (
   SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_id FROM st)

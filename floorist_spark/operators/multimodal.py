@@ -41,6 +41,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table
 
 if TYPE_CHECKING:
@@ -561,10 +562,7 @@ def m09_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN width * 1000 < height * 1667 THEN '4:3' "
             "ELSE '2:1' END"
         ).alias("bucket"),
-        F.expr(
-            f"CAST(conv(substring(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 4), 16, 10) "
-            f"% {AR_SHARDS} AS BIGINT)"
-        ).alias("shard"),
+        F.expr(tf.idbucket_spark("shard", AR_SHARDS)).alias("shard"),
     )
     w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
     return (
@@ -590,8 +588,7 @@ WITH dims AS (
               WHEN width * 1000 < height * 1166 THEN '1:1'
               WHEN width * 1000 < height * 1667 THEN '4:3'
               ELSE '2:1' END AS bucket,
-         CAST(concat('0x', substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
-           % {AR_SHARDS} AS shard
+         {tf.idbucket_duck("shard", AR_SHARDS)} AS shard
   FROM dims
 )
 SELECT doc_id, width, height, bucket, shard,

@@ -415,8 +415,12 @@ def test_c10_weight_monotonicity(spark, tmp_path):
 def test_s12_majority_vote_and_tiebreak(spark):
     """On the real table: every prediction must equal the modal label of
     that query's top-5 bucket neighbors (ties -> lowest label), recomputed
-    here from s02-style candidates independently."""
+    here INDEPENDENTLY in numpy (sign buckets, float64 cosines, the same
+    (cosine DESC, id ASC) ranking and (votes DESC, label ASC) vote)."""
     from collections import Counter
+
+    import numpy as np
+    import pandas as pd
 
     from floorist_spark.operators.similarity import (
         KNN_VOTE_K,
@@ -426,9 +430,41 @@ def test_s12_majority_vote_and_tiebreak(spark):
 
     got = {r["query_id"]: r for r in s12_knn_classify(spark, SF_SMOKE).collect()}
     assert got, "classifier returned no rows"
-    for qid, r in got.items():
-        assert r["votes"] >= 1
-        assert r["correct"] == (r["pred_label"] == r["true_label"])
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    bucket = {
+        vid: sum(1 << j for j in range(8) if v[j] > 0) for vid, v in vecs.items()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = {}
+    for qid in (v for v in vecs if v < 50):
+        cand = sorted(
+            (
+                (-cos(vecs[qid], vecs[nid]), nid)
+                for nid in vecs
+                if nid != qid and bucket[nid] == bucket[qid]
+            )
+        )[:KNN_VOTE_K]
+        if not cand:
+            continue
+        votes = Counter(labels[nid] for _, nid in cand)
+        pred = min(votes, key=lambda lb: (-votes[lb], lb))
+        expected[qid] = (pred, votes[pred])
+
+    assert set(got) == set(expected)
+    for qid, (pred, nvotes) in expected.items():
+        assert got[qid]["pred_label"] == pred, qid
+        assert got[qid]["votes"] == nvotes, qid
+        assert got[qid]["true_label"] == labels[qid]
+        assert got[qid]["correct"] == (pred == labels[qid])
 
 
 def test_e19_lift_detects_planted_cooccurrence(spark, tmp_path):
@@ -466,15 +502,13 @@ def test_e19_lift_detects_planted_cooccurrence(spark, tmp_path):
 def test_m09_batches_are_single_bucket_and_bounded(spark):
     """Every (bucket, shard, batch) group holds at most AR_BATCH items and
     batch ids are dense from 0 within each (bucket, shard)."""
-    from collections import defaultdict
+    from collections import Counter, defaultdict
 
     from floorist_spark.operators.multimodal import (
         AR_BATCH,
         m09_aspect_bucket_batches,
     )
     from tests.conftest import SF_SMOKE
-
-    from collections import Counter
 
     rows = m09_aspect_bucket_batches(spark, SF_SMOKE).collect()
     groups = defaultdict(list)
