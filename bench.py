@@ -67,6 +67,9 @@ HEADLINE = (
     "e09_funnel",
     "e17_path_analysis",
     "e19_cooccurrence_lift",
+    "e20_hll_distinct",
+    "t13_gopher_rules",
+    "c11_bloom_decontaminate",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",

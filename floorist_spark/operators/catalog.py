@@ -78,6 +78,10 @@ def _with_cache_release(
 #: s12, e19, m09, s11, e17, e18, m08). Pure ordering — membership and
 #: semantics of every entry are unchanged.
 GATE_PRIORITY = [
+    "e20_hll_distinct",
+    "e21_cms_heavy_hitters",
+    "t13_gopher_rules",
+    "c11_bloom_decontaminate",
     "d15_passage_dedup",
     "t12_bigram_lm_score",
     "c10_quality_weighted_sample",

@@ -712,6 +712,153 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c11 — Bloom-filter decontamination (O(1)-memory scale path for c05)
+# ---------------------------------------------------------------------------
+
+#: filter size in bit-positions and hash count. 8 Kbit against the ~2.5k
+#: synthetic eval n-grams gives a deliberately high false-positive rate so
+#: the fp-audit columns are non-trivial; production sizes m for ~1% fp
+#: (same plan — only the constants change)
+BLOOM_M = 8192
+BLOOM_K = 2
+
+
+def _bloom_pos_spark(i: int, col: str = "ng") -> str:
+    salted = "concat('bloom" + str(i) + ":', " + col + ")"
+    return f"pmod({tf.base_hash_spark(salted)}, {BLOOM_M})"
+
+
+def _bloom_pos_duck(i: int, col: str = "ng") -> str:
+    salted = "concat('bloom" + str(i) + ":', " + col + ")"
+    return f"{tf.base_hash_duck(salted)} % {BLOOM_M}"
+
+
+def c11_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: a train n-gram is
+    flagged iff ALL k of its hash positions are set by some eval n-gram.
+    Same contamination question as c05, but the broadcast side is bounded
+    by the filter size m — **independent of the eval corpus size** — which
+    is the structure that scales when the "eval set" is itself large
+    (e.g. all benchmark suites ∪ held-out shards). One-sided error by
+    construction: every exact hit is a Bloom hit; the operator emits the
+    exact join alongside to COUNT the false positives the m/k choice buys.
+
+    The filter is represented as a distinct-position table (≤m rows,
+    broadcast) rather than an opaque bitset so the DuckDB oracle computes
+    the identical structure; a production Spark job would fold the same
+    positions into Spark's ``bloom_filter_agg``/DataSketches bitset —
+    identical membership semantics, same one-sided-error contract."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(tf.norm_spark("text"))
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_bucket_spark("split", 100)).alias("bucket"),
+            F.expr(toks).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(
+                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
+            ).alias("ngrams"),
+        )
+    )
+    base = track(base.persist())
+    eval_ng = (
+        base.filter(F.col("bucket") >= VAL_UPTO)
+        .select(F.explode("ngrams").alias("ng"))
+        .distinct()
+    )
+    bloom = eval_ng.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_spark(i)) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    train = (
+        base.filter(F.col("bucket") < TRAIN_UPTO)
+        .select("doc_id", F.explode("ngrams").alias("ng"))
+        .select(
+            "doc_id",
+            "ng",
+            *[
+                F.expr(_bloom_pos_spark(i)).alias(f"pos{i}")
+                for i in range(BLOOM_K)
+            ],
+        )
+    )
+    joined = train.join(
+        F.broadcast(eval_ng.withColumn("hit_exact", F.lit(1))), "ng", "left"
+    )
+    for i in range(BLOOM_K):
+        joined = joined.join(
+            F.broadcast(
+                bloom.select(
+                    F.col("pos").alias(f"pos{i}"), F.lit(1).alias(f"hit{i}")
+                )
+            ),
+            f"pos{i}",
+            "left",
+        )
+    all_hits = " AND ".join(f"hit{i} IS NOT NULL" for i in range(BLOOM_K))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.expr(f"IF({all_hits}, 1, 0)"))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("hit_exact"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+        )
+        .withColumn("n_false_pos", F.expr("n_bloom_hits - n_exact_hits"))
+        .orderBy("doc_id")
+    )
+
+
+C11_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_bucket_duck("split", 100)} AS bucket,
+         {tf.tokens_duck(tf.norm_duck('text'))} AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, bucket,
+         list_distinct({tf.word_ngrams_duck('toks', DECON_NGRAM)}) AS ngrams
+  FROM tok
+), eval_ng AS (
+  SELECT DISTINCT unnest(ngrams) AS ng FROM base WHERE bucket >= {VAL_UPTO}
+), bloom AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_duck(0)} AS pos FROM eval_ng
+    UNION ALL SELECT {_bloom_pos_duck(1)} FROM eval_ng
+  )
+), tp AS (
+  SELECT doc_id, ng, {_bloom_pos_duck(0)} AS pos0, {_bloom_pos_duck(1)} AS pos1
+  FROM (SELECT doc_id, unnest(ngrams) AS ng FROM base
+        WHERE bucket < {TRAIN_UPTO})
+)
+SELECT tp.doc_id,
+  count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_hits,
+  CAST(sum(CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT)
+    - CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM tp
+LEFT JOIN bloom b0 ON tp.pos0 = b0.pos
+LEFT JOIN bloom b1 ON tp.pos1 = b1.pos
+LEFT JOIN eval_ng e ON tp.ng = e.ng
+GROUP BY tp.doc_id ORDER BY tp.doc_id
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -723,6 +870,7 @@ QUERIES = {
     "c08_snapshot_diff": c08_snapshot_diff,
     "c09_stride_interleave": c09_stride_interleave,
     "c10_quality_weighted_sample": c10_quality_weighted_sample,
+    "c11_bloom_decontaminate": c11_bloom_decontaminate,
 }
 
 ORACLES = {
@@ -736,4 +884,5 @@ ORACLES = {
     "c08_snapshot_diff": C08_SQL,
     "c09_stride_interleave": _c09_sql(),
     "c10_quality_weighted_sample": C10_SQL,
+    "c11_bloom_decontaminate": C11_SQL,
 }

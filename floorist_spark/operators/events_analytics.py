@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table, normalize_event_time
 
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
@@ -1163,6 +1164,242 @@ ORDER BY type_a, type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# e20 — HyperLogLog-style distinct-user sketch (deterministic, oracle-gated)
+# ---------------------------------------------------------------------------
+
+#: register count m = 2^6; the base hash is 28 bits (textfrag), so the
+#: geometric part w gets the remaining 22 bits
+_HLL_M = 64
+_HLL_WBITS = 22
+#: alpha_64 * m^2 — written as the literal product so both engines parse
+#: the same correctly-rounded decimal literal and do one exact multiply
+_HLL_ALPHA_M2 = "0.709 * 4096.0"
+
+
+def _hll_rank_case(w: str) -> str:
+    """Rank = 1-based index of the lowest set bit of ``w`` (the FM/HLL
+    geometric observable), or WBITS+1 when w = 0 — pure integer modular
+    arithmetic, identical text in both SQL dialects (no log2/bit-length,
+    which are not pinned cross-engine)."""
+    branches = " ".join(
+        f"WHEN {w} % {1 << j} = {1 << (j - 1)} THEN {j}"
+        for j in range(1, _HLL_WBITS + 1)
+    )
+    return f"CASE {branches} ELSE {_HLL_WBITS + 1} END"
+
+
+def e20_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a deterministic HyperLogLog-style
+    register sketch (Flajolet et al. 2007), with the exact distinct count
+    alongside as the accuracy audit — the pattern s09 uses for ANN recall.
+
+    Why a sketch at 100 TB: exact COUNT(DISTINCT user) shuffles every
+    distinct (type, user) pair; the sketch's state is m=64 registers per
+    group — the (type, register)→max(rank) aggregate partial-aggregates
+    map-side, so the exchange carries at most |types|·64 rows regardless of
+    corpus size. The exact column here is the gate's ground truth;
+    production drops it (or samples it) — the sketch is the scale path.
+
+    Cross-engine exactness: registers hold 2^-rank with rank ∈ [1, 23] and
+    empty registers contribute 2^0, so every addend is an exact power of
+    two spanning 24 exponent bits — the double SUM is exact in ANY
+    accumulation order, which is what makes a parallel Spark aggregate
+    bit-identical to DuckDB's sequential one with no decimal machinery.
+    The estimate is the raw alpha·m²/S (no small-range linear-counting
+    correction: that needs ln(), which is not correctly-rounded-pinned
+    across engines; zero_registers is emitted so a consumer CAN apply it)."""
+    ev = _load_events(spark, sf_dir)
+    h = tf.base_hash_spark("concat('hll:', CAST(user_id AS STRING))")
+    ranked = (
+        ev.select("event_type", F.expr(h).alias("h"))
+        .select(
+            "event_type",
+            F.expr(f"pmod(h, {_HLL_M})").alias("reg"),
+            F.expr(f"h div {_HLL_M}").alias("w"),
+        )
+        .select("event_type", "reg", F.expr(_hll_rank_case("w")).alias("r"))
+    )
+    sk = (
+        ranked.groupBy("event_type", "reg")
+        .agg(F.max("r").alias("m_j"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr(
+                    "CAST(1 AS DOUBLE) / "
+                    "CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)"
+                )
+            ).alias("s_present"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    est = f"({_HLL_ALPHA_M2}) / (s_present + ({_HLL_M} - n_present))"
+    return (
+        ex.join(sk, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_distinct",
+            F.expr(f"CAST({_HLL_M} - n_present AS BIGINT)").alias(
+                "zero_registers"
+            ),
+            F.expr(est).alias("hll_estimate"),
+            F.expr(f"(({est}) - exact_distinct) / exact_distinct").alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+E20_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         {tf.base_hash_duck("concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h % {_HLL_M} AS reg,
+         {_hll_rank_case(f"(h // {_HLL_M})")} AS r
+  FROM h
+), regs AS (
+  SELECT event_type, reg, max(r) AS m_j FROM ranked GROUP BY event_type, reg
+), sk AS (
+  SELECT event_type, count(*) AS n_present,
+         sum(CAST(1 AS DOUBLE) /
+             CAST((CAST(1 AS BIGINT) << CAST(m_j AS INT)) AS DOUBLE))
+           AS s_present
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, n_events, exact_distinct,
+       CAST({_HLL_M} - n_present AS BIGINT) AS zero_registers,
+       ({_HLL_ALPHA_M2}) / (s_present + ({_HLL_M} - n_present)) AS hll_estimate,
+       ((({_HLL_ALPHA_M2}) / (s_present + ({_HLL_M} - n_present)))
+          - exact_distinct) / exact_distinct AS rel_error
+FROM ex JOIN sk USING (event_type) ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# e21 — count-min-sketch heavy hitters (deterministic, oracle-gated)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOP = 20
+
+
+def _cms_pairs_spark() -> str:
+    """(row, position) pairs for the CMS: all four rows' positions come
+    from disjoint 4-hex slices of ONE md5 digest column ``dg`` — one
+    digest pass per event instead of d salted passes (the same
+    one-md5-then-derive trick as the MinHash affine family)."""
+    arms = ", ".join(
+        f"struct(CAST({d} AS INT) AS d, "
+        f"CAST(conv(substring(dg, {1 + 4 * d}, 4), 16, 10) AS BIGINT) "
+        f"% {_CMS_W} AS pos)"
+        for d in range(_CMS_D)
+    )
+    return f"array({arms})"
+
+
+def _cms_arms_duck(prefix_cols: str, src: str) -> str:
+    """UNION ALL arms mirroring :func:`_cms_pairs_spark` (constant substr
+    offsets per arm keep the oracle trivially auditable)."""
+    return " UNION ALL ".join(
+        f"SELECT {prefix_cols}CAST({d} AS INT) AS d, "
+        f"CAST(concat('0x', substr(dg, {1 + 4 * d}, 4)) AS BIGINT) "
+        f"% {_CMS_W} AS pos FROM {src}"
+        for d in range(_CMS_D)
+    )
+
+
+def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch estimated event count (Cormode &
+    Muthukrishnan 2005), with the exact count and the sketch's
+    overestimate as the audit columns.
+
+    Why a sketch at 100 TB: the CMS state is a fixed d×w = 4×256 integer
+    grid — the (row, position) count aggregate partial-aggregates
+    map-side and the exchange carries ≤1024 rows total, independent of
+    cardinality; the grid then BROADCASTS to score any candidate stream.
+    The candidate set here is the exact per-user table (which doubles as
+    ground truth for the gate); production feeds candidates from a sample
+    or prior-window heavy hitters, never a full distinct.
+
+    Determinism: counts are integers, the estimate is min over 4
+    integers, and the top-20 is totally ordered by (estimate DESC,
+    user_id) — Spark executes the orderBy+limit as a distributed
+    TakeOrdered (per-partition partial top-k, no global sort)."""
+    ev = _load_events(spark, sf_dir)
+    dg = "md5(concat('cms:', CAST(user_id AS STRING)))"
+    sketch = (
+        ev.select(F.expr(dg).alias("dg"))
+        .select(F.explode(F.expr(_cms_pairs_spark())).alias("s"))
+        .select("s.d", "s.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = (
+        exact.withColumn("dg", F.expr(dg))
+        .select(
+            "user_id",
+            "exact_count",
+            F.explode(F.expr(_cms_pairs_spark())).alias("s"),
+        )
+        .select("user_id", "exact_count", "s.d", "s.pos")
+        .join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("cms_estimate"), "user_id")
+        .limit(_CMS_TOP)
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            F.expr("cms_estimate - exact_count").alias("overestimate"),
+        )
+        .orderBy(F.desc("cms_estimate"), "user_id")
+    )
+
+
+E21_SQL = f"""
+WITH dig AS (
+  SELECT md5(concat('cms:', CAST(user_id AS VARCHAR))) AS dg FROM events
+), pairs AS (
+  {_cms_arms_duck("", "dig")}
+), sketch AS (
+  SELECT d, pos, count(*) AS cnt FROM pairs GROUP BY d, pos
+), ex AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+), cd AS (
+  SELECT user_id, exact_count,
+         md5(concat('cms:', CAST(user_id AS VARCHAR))) AS dg
+  FROM ex
+), cpos AS (
+  {_cms_arms_duck("user_id, exact_count, ", "cd")}
+), est AS (
+  SELECT user_id, exact_count, min(cnt) AS cms_estimate
+  FROM cpos JOIN sketch USING (d, pos)
+  GROUP BY user_id, exact_count
+)
+SELECT user_id, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overestimate
+FROM est ORDER BY cms_estimate DESC, user_id LIMIT {_CMS_TOP}
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1182,6 +1419,8 @@ QUERIES = {
     "e17_path_analysis": e17_path_analysis,
     "e18_stream_stream_join": e18_stream_stream_join,
     "e19_cooccurrence_lift": e19_cooccurrence_lift,
+    "e20_hll_distinct": e20_hll_distinct,
+    "e21_cms_heavy_hitters": e21_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -1203,4 +1442,6 @@ ORACLES = {
     "e17_path_analysis": E17_SQL,
     "e18_stream_stream_join": E18_SQL,
     "e19_cooccurrence_lift": E19_SQL,
+    "e20_hll_distinct": E20_SQL,
+    "e21_cms_heavy_hitters": E21_SQL,
 }

@@ -698,6 +698,96 @@ FROM p GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t13 — Gopher-style rule-based quality filter (composed keep decision)
+# ---------------------------------------------------------------------------
+
+#: rule thresholds (Rae et al. 2021 "Gopher" §A1.1 shape; word-count floor
+#: lowered to fit the short synthetic docs — production swaps constants,
+#: same plan)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA = 0.8
+
+
+def t13_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality filter à la Gopher/C4: word-count
+    bounds, mean-word-length band, alphabetic-token fraction, and the
+    composed ``keep`` decision — the cheap first gate a 100 TB corpus goes
+    through before any model-based scoring (t02/t12 are the later,
+    costlier stages; d-family dedup runs on what survives).
+
+    Scale shape: a narrow per-row map over one scan — no shuffle, no
+    state, embarrassingly parallel; the predicate columns are all
+    integer counts and single int/int divisions (bit-identical doubles),
+    and the flags are emitted as 0/1 INTs so the keep decision is a pure
+    integer product. The token array is materialized ONCE per row before
+    the lambda metrics read it (the [[spark-hof-lambda-recompute]] trap:
+    an inlined split+normalize would re-run per element)."""
+    base = _docs(spark, sf_dir).select("doc_id", F.expr(_TOK_S).alias("toks"))
+    mwl = (
+        "CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"
+        " AS DOUBLE) / size(toks)"
+    )
+    alpha = "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS DOUBLE) / size(toks)"
+    return (
+        base.select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+            F.expr(mwl).alias("mean_word_len"),
+            F.expr(alpha).alias("alpha_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "alpha_frac",
+            F.expr(
+                f"CAST(n_words >= {GOPHER_MIN_WORDS} "
+                f"AND n_words <= {GOPHER_MAX_WORDS} AS INT)"
+            ).alias("pass_word_count"),
+            F.expr(
+                f"CAST(mean_word_len >= {GOPHER_MIN_MWL} "
+                f"AND mean_word_len <= {GOPHER_MAX_MWL} AS INT)"
+            ).alias("pass_mean_len"),
+            F.expr(f"CAST(alpha_frac >= {GOPHER_MIN_ALPHA} AS INT)").alias(
+                "pass_alpha"
+            ),
+        )
+        .withColumn("keep", F.expr("pass_word_count * pass_mean_len * pass_alpha"))
+        .orderBy("doc_id")
+    )
+
+
+T13_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+      AS mean_word_len,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+      / len(toks) AS alpha_frac
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac,
+  CAST(n_words >= {GOPHER_MIN_WORDS}
+       AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS pass_word_count,
+  CAST(mean_word_len >= {GOPHER_MIN_MWL}
+       AND mean_word_len <= {GOPHER_MAX_MWL} AS INT) AS pass_mean_len,
+  CAST(alpha_frac >= {GOPHER_MIN_ALPHA} AS INT) AS pass_alpha,
+  CAST(n_words >= {GOPHER_MIN_WORDS}
+       AND n_words <= {GOPHER_MAX_WORDS} AS INT)
+    * CAST(mean_word_len >= {GOPHER_MIN_MWL}
+           AND mean_word_len <= {GOPHER_MAX_MWL} AS INT)
+    * CAST(alpha_frac >= {GOPHER_MIN_ALPHA} AS INT) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -711,6 +801,7 @@ QUERIES = {
     "t10_tfidf_topk": t10_tfidf_topk,
     "t11_feature_hashing": t11_feature_hashing,
     "t12_bigram_lm_score": t12_bigram_lm_score,
+    "t13_gopher_rules": t13_gopher_rules,
 }
 
 ORACLES = {
@@ -726,4 +817,5 @@ ORACLES = {
     "t10_tfidf_topk": T10_SQL,
     "t11_feature_hashing": T11_SQL,
     "t12_bigram_lm_score": T12_SQL,
+    "t13_gopher_rules": T13_SQL,
 }

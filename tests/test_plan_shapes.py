@@ -181,3 +181,51 @@ def test_e19_sessionization_cached_once(spark):
     )
     assert len(uniq) <= 2, uniq
     assert "CartesianProduct" not in plan
+
+
+def test_e20_hll_register_bounded_exchange(spark):
+    from floorist_spark.operators.events_analytics import e20_hll_distinct
+
+    plan = _plan(e20_hll_distinct(spark, SF_SMOKE))
+    # the sketch path must partial-aggregate map-side so the exchange
+    # carries at most |types|*64 register rows; the (event_type, reg)
+    # grouping shuffles exactly once
+    assert plan.count("Exchange hashpartitioning(event_type") >= 1
+    # partial + final HashAggregate on both the register and rollup levels
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_e21_cms_sketch_broadcasts(spark):
+    from floorist_spark.operators.events_analytics import e21_cms_heavy_hitters
+
+    plan = _plan(e21_cms_heavy_hitters(spark, SF_SMOKE))
+    # the <=1024-row sketch grid must broadcast to the candidate side
+    assert "BroadcastExchange" in plan
+    # global top-20 must be TakeOrdered (per-partition partial top-k),
+    # never a full global Sort of the estimates
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t13_gopher_no_shuffle(spark):
+    from floorist_spark.operators.text import t13_gopher_rules
+
+    plan = _plan(t13_gopher_rules(spark, SF_SMOKE))
+    # a pure per-row filter map: no hash exchange, no join, no aggregate —
+    # only the fan-out repartition and the output order's range exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_c11_bloom_broadcasts_filter_not_corpus(spark):
+    from floorist_spark.operators.curation import c11_bloom_decontaminate
+
+    plan = _plan(c11_bloom_decontaminate(spark, SF_SMOKE))
+    # the position table (bounded by BLOOM_M) and the eval n-gram audit
+    # side broadcast; the train side must never be the built side
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only corpus-sized hash exchange is the per-doc rollup
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "CartesianProduct" not in plan
