@@ -70,9 +70,12 @@ HEADLINE = (
     "e20_hll_distinct",
     "t13_gopher_rules",
     "c11_bloom_decontaminate",
+    "c12_passage_chunks",
+    "e22_zorder_layout",
     "m01_binary_ingest",
     "m03_byte_histogram",
     "m05_frame_sample",
+    "m10_contrastive_pairs",
 )
 
 

@@ -859,6 +859,78 @@ GROUP BY tp.doc_id ORDER BY tp.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c12 — sliding-window passage chunking (retrieval/training passage extract)
+# ---------------------------------------------------------------------------
+
+#: chunk window and stride in tokens; stride < window ⇒ 50% overlap — the
+#: standard retrieval-training chunking shape (production uses e.g.
+#: 512/256 over BPE tokens; same plan, only the constants change)
+CHUNK_W = 32
+CHUNK_STRIDE = 16
+
+
+def c12_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into overlapping CHUNK_W-token passages at
+    CHUNK_STRIDE steps — the passage-extraction pass that feeds retrieval
+    corpora and fixed-context training sets (the overlapping complement
+    of d15's non-overlapping dedup passages and c04's bin packing).
+    Emits per chunk the (start_tok, n_tokens) pointer into the source
+    document plus a digest of the chunk text.
+
+    Scale shape: a pure per-row flatMap over one scan — no join, no
+    aggregate, no shuffle except the output order's range exchange; rows
+    fan out ~size/stride per document and every emitted row carries a
+    DIGEST, not the chunk text (the d14/d15 digest-only-exchange rule).
+    Downstream materialization of chunk TEXT is a narrow doc_id join of
+    the (start_tok, n_tokens) pointers back against the document scan, so
+    the wide strings never enter an exchange here. The token array is
+    materialized once per row before the chunk transform reads it (the
+    [[spark-hof-lambda-recompute]] trap)."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tf.tokens_spark(tf.norm_spark("text"))).alias("toks")
+    )
+    chunks = (
+        f"transform(sequence(0, (size(toks) - 1) div {CHUNK_STRIDE}), "
+        f"i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W}))"
+    )
+    return (
+        base.select("doc_id", F.posexplode(F.expr(chunks)).alias("idx", "ctoks"))
+        .select(
+            "doc_id",
+            F.expr("CAST(idx AS BIGINT)").alias("chunk_idx"),
+            F.expr(f"CAST(idx * {CHUNK_STRIDE} + 1 AS BIGINT)").alias(
+                "start_tok"
+            ),
+            F.expr("CAST(size(ctoks) AS BIGINT)").alias("n_tokens"),
+            F.expr("md5(concat_ws(' ', ctoks))").alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+C12_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {tf.tokens_duck(tf.norm_duck('text'))} AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) - 1) // {CHUNK_STRIDE} + 1)) AS i
+  FROM tok
+), ch AS (
+  SELECT doc_id, i,
+         list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                    i * {CHUNK_STRIDE} + {CHUNK_W}) AS ctoks
+  FROM idx
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_digest
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -871,6 +943,7 @@ QUERIES = {
     "c09_stride_interleave": c09_stride_interleave,
     "c10_quality_weighted_sample": c10_quality_weighted_sample,
     "c11_bloom_decontaminate": c11_bloom_decontaminate,
+    "c12_passage_chunks": c12_passage_chunks,
 }
 
 ORACLES = {
@@ -885,4 +958,5 @@ ORACLES = {
     "c09_stride_interleave": _c09_sql(),
     "c10_quality_weighted_sample": C10_SQL,
     "c11_bloom_decontaminate": C11_SQL,
+    "c12_passage_chunks": C12_SQL,
 }

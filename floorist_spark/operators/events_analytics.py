@@ -1400,6 +1400,122 @@ FROM est ORDER BY cms_estimate DESC, user_id LIMIT {_CMS_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# e22 — Z-order (Morton) multi-dimensional layout with locality audit
+# ---------------------------------------------------------------------------
+
+#: bits per dimension (16 buckets each) and output file count: file_id
+#: drops the low 4 Morton bits, so each file covers a 4x4 tile of the
+#: (day_bucket, user_bucket) grid — production scales bits/files up, same
+#: plan
+_Z_BITS = 4
+_Z_FILES = 16
+
+
+def _z_interleave(d: str, u: str, intdiv: str) -> str:
+    """Morton-interleave two _Z_BITS-bit buckets (d gets odd bit
+    positions, u even) with pure integer div/mod arithmetic — identical
+    text in both dialects apart from the integer-division operator
+    (``div`` Spark / ``//`` DuckDB); bitwise builtins are deliberately
+    avoided so the fragment stays pinned cross-engine."""
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(({d} {intdiv} {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        terms.append(f"(({u} {intdiv} {1 << j}) % 2) * {1 << (2 * j)}")
+    return " + ".join(terms)
+
+
+def e22_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment over (event day, user bucket) with a
+    per-file locality audit — the data-layout pass that makes BOTH a
+    time-range filter and a user point-lookup prune files at scan time,
+    where a single-dimension sort prunes only its own dimension (Morton
+    curves: Orenstein & Merrett 1984; the clustering trick behind
+    Delta/Iceberg Z-ORDER). day_bucket is a RANGE bucket of the day
+    offset (time filters hit contiguous buckets); user_bucket is the
+    salted id-hash bucket (point lookups hit one bucket).
+
+    The audit output proves the locality property the layout exists for:
+    each of the 16 files covers at most a 4x4 tile of the 16x16
+    (day_bucket, user_bucket) grid — n_day_buckets <= 4 and
+    n_user_buckets <= 4, against 16 for the dimension a lexicographic
+    sort leaves unsorted — and zkey ranges are disjoint per file
+    (min/max columns), which is what lets a reader map a predicate to a
+    zkey interval set and skip whole files.
+
+    Scale shape: one narrow scan; the day-span bounds are a 1-row
+    broadcast (e11's pattern); the per-file rollup is the only corpus
+    exchange, map-side combined after collapsing to distinct grid cells.
+    The real writer is ``repartitionByRange(zkey)`` + the F5 sink — this
+    operator is the assignment + audit half the gate can hash."""
+    ev = _load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_num"),
+    )
+    bounds = ev.groupBy().agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    )
+    nb = 1 << _Z_BITS
+    d_bucket = f"least({nb - 1}, ((day_num - lo) * {nb}) div (hi - lo + 1))"
+    u_bucket = tf.idbucket_spark("zorder", nb, "user_id")
+    zkey = _z_interleave("d_bucket", "u_bucket", "div")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(d_bucket).alias("d_bucket"),
+            F.expr(u_bucket).alias("u_bucket"),
+        )
+        .select(
+            "d_bucket",
+            "u_bucket",
+            F.expr(f"CAST({zkey} AS BIGINT)").alias("zkey"),
+        )
+        .withColumn("file_id", F.expr(f"CAST(zkey div {nb} AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("d_bucket").alias("n_day_buckets"),
+            F.countDistinct("u_bucket").alias("n_user_buckets"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _e22_sql() -> str:
+    nb = 1 << _Z_BITS
+    zkey = _z_interleave("d_bucket", "u_bucket", "//")
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_num
+  FROM events
+), bounds AS (
+  SELECT min(day_num) AS lo, max(day_num) AS hi FROM ev
+), bucketed AS (
+  SELECT least({nb - 1}, ((day_num - lo) * {nb}) // (hi - lo + 1)) AS d_bucket,
+         {tf.idbucket_duck("zorder", nb, "user_id")} AS u_bucket
+  FROM ev, bounds
+), z AS (
+  SELECT d_bucket, u_bucket, CAST({zkey} AS BIGINT) AS zkey FROM bucketed
+)
+SELECT CAST(zkey // {nb} AS BIGINT) AS file_id,
+       count(*) AS n_events,
+       count(DISTINCT d_bucket) AS n_day_buckets,
+       count(DISTINCT u_bucket) AS n_user_buckets,
+       min(zkey) AS min_zkey,
+       max(zkey) AS max_zkey
+FROM z GROUP BY file_id ORDER BY file_id
+"""
+
+
+E22_SQL = _e22_sql()
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1421,6 +1537,7 @@ QUERIES = {
     "e19_cooccurrence_lift": e19_cooccurrence_lift,
     "e20_hll_distinct": e20_hll_distinct,
     "e21_cms_heavy_hitters": e21_cms_heavy_hitters,
+    "e22_zorder_layout": e22_zorder_layout,
 }
 
 ORACLES = {
@@ -1444,4 +1561,5 @@ ORACLES = {
     "e19_cooccurrence_lift": E19_SQL,
     "e20_hll_distinct": E20_SQL,
     "e21_cms_heavy_hitters": E21_SQL,
+    "e22_zorder_layout": E22_SQL,
 }

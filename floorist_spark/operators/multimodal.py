@@ -598,6 +598,110 @@ FROM bucketed ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m10 — contrastive pair construction (CLIP/DPR-style negatives)
+# ---------------------------------------------------------------------------
+
+#: negatives per anchor and the hard-negative cosine threshold (synthetic
+#: embeddings cluster by label, so a hash-random negative sometimes lands
+#: in the anchor's cluster — those are the "hard" ones worth oversampling;
+#: production raises K and mines hards from an ANN index, same plan)
+NEG_K = 4
+HARD_NEG_COS = 0.15
+
+
+def m10_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive training pairs across the text↔embedding
+    modality boundary: each document (anchor, with its aligned embedding
+    as the positive — testdata ids align doc_id == vec_id, the d12
+    convention) gets NEG_K hash-chosen negatives, with the anchor↔negative
+    cosine as the hard-negative audit — the pair-construction pass behind
+    CLIP/DPR-style contrastive training (Radford et al. 2021; Karpukhin
+    et al. 2020 §3's in-batch + hard negatives).
+
+    Negative choice is closed-form arithmetic, not sampling:
+    ``neg = (anchor + 1 + h % (n-1)) % n`` with a salted per-rank hash —
+    guaranteed ≠ anchor, uniform over the other n-1 ids, and reproducible
+    across runs/engines/cluster sizes (the curation-family
+    hash-determinism rule; rand()-based negative sampling is not
+    auditable). Scale shape: the corpus count is a 1-row broadcast; pair
+    fan-out is a per-row Generate; both embedding fetches are equi-joins
+    on the id (co-partitioned shuffles, no broadcast of the corpus); rows
+    carry a text DIGEST, never the text."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("md5(text)").alias("text_digest")
+    )
+    nrow = emb.groupBy().agg(F.count("*").alias("n"))
+    h = tf.base_hash_spark(
+        "concat('neg:', CAST(j AS STRING), ':', CAST(doc_id AS STRING))"
+    )
+    pairs = (
+        docs.join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .withColumnRenamed("embedding", "anchor_emb")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "text_digest",
+            "anchor_emb",
+            "n",
+            F.explode(F.expr(f"sequence(0, {NEG_K - 1})")).alias("j"),
+        )
+        .withColumn(
+            "neg_id",
+            F.expr(f"CAST((doc_id + 1 + pmod({h}, n - 1)) % n AS BIGINT)"),
+        )
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("neg_emb")
+    )
+    return (
+        pairs.join(neg, "neg_id")
+        .select(
+            "doc_id",
+            F.expr("CAST(j AS BIGINT)").alias("neg_rank"),
+            "neg_id",
+            "text_digest",
+            F.expr(tf.cosine_spark("anchor_emb", "neg_emb")).alias(
+                "neg_cosine"
+            ),
+        )
+        .withColumn(
+            "is_hard", F.expr(f"CAST(neg_cosine >= {HARD_NEG_COS} AS INT)")
+        )
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+M10_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+), nn AS (
+  SELECT count(*) AS n FROM emb
+), anchors AS (
+  SELECT d.doc_id, md5(d.text) AS text_digest, e.embedding AS anchor_emb
+  FROM documents d JOIN emb e ON d.doc_id = e.vec_id
+), pairs AS (
+  SELECT a.doc_id, a.text_digest, a.anchor_emb,
+         unnest(range(0, {NEG_K})) AS j, n
+  FROM anchors a, nn
+), keyed AS (
+  SELECT doc_id, text_digest, anchor_emb, j,
+         (doc_id + 1 + ({tf.base_hash_duck(
+             "concat('neg:', CAST(j AS VARCHAR), ':', CAST(doc_id AS VARCHAR))"
+         )} % (n - 1))) % n AS neg_id
+  FROM pairs
+)
+SELECT k.doc_id, CAST(k.j AS BIGINT) AS neg_rank,
+       CAST(k.neg_id AS BIGINT) AS neg_id, k.text_digest,
+       {tf.cosine_duck("k.anchor_emb", "e.embedding")} AS neg_cosine,
+       CAST({tf.cosine_duck("k.anchor_emb", "e.embedding")}
+            >= {HARD_NEG_COS} AS INT) AS is_hard
+FROM keyed k JOIN emb e ON k.neg_id = e.vec_id
+ORDER BY k.doc_id, neg_rank
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -608,6 +712,7 @@ QUERIES = {
     "m07_audio_energy": m07_audio_energy,
     "m08_perceptual_hash": m08_perceptual_hash,
     "m09_aspect_bucket_batches": m09_aspect_bucket_batches,
+    "m10_contrastive_pairs": m10_contrastive_pairs,
 }
 
 ORACLES = {
@@ -620,4 +725,5 @@ ORACLES = {
     "m07_audio_energy": M07_SQL,
     "m08_perceptual_hash": M08_SQL,
     "m09_aspect_bucket_batches": M09_SQL,
+    "m10_contrastive_pairs": M10_SQL,
 }

@@ -788,6 +788,56 @@ FROM m ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t14 — language-ID confusion matrix (classifier QA audit)
+# ---------------------------------------------------------------------------
+
+def t14_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of t03's language predictions against the gold
+    ``lang`` label, with per-gold-class totals and fractions — the QA
+    audit a pipeline runs before trusting a classifier to route a 100 TB
+    corpus (mirrors s09's recall-audit pattern: cheap heuristic, exact
+    ground truth, measured disagreement).
+
+    Scale shape: the per-doc prediction is t03's shuffle-free per-row
+    map; the cell rollup is a map-side-combined aggregate whose output is
+    bounded by |langs|² regardless of corpus size, and the per-gold
+    totals are a window over those ≤36 cells — no second scan, no join.
+    frac_of_gold is one int/int division (bit-identical double)."""
+    from pyspark.sql.window import Window
+
+    pred = t03_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    w = Window.partitionBy("gold_lang")
+    return (
+        pred.groupBy(
+            F.col("lang").alias("gold_lang"), F.col("predicted_lang")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("gold_total", F.sum("n_docs").over(w))
+        .withColumn(
+            "frac_of_gold", F.expr("CAST(n_docs AS DOUBLE) / gold_total")
+        )
+        .orderBy("gold_lang", "predicted_lang")
+    )
+
+
+T14_SQL = f"""
+WITH pred AS (
+  SELECT lang AS gold_lang, CASE {_DUCK_CASES} ELSE 'und' END AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT gold_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY gold_lang, predicted_lang
+)
+SELECT gold_lang, predicted_lang, n_docs,
+       CAST(sum(n_docs) OVER (PARTITION BY gold_lang) AS BIGINT) AS gold_total,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY gold_lang) AS BIGINT)
+         AS frac_of_gold
+FROM cells ORDER BY gold_lang, predicted_lang
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -802,6 +852,7 @@ QUERIES = {
     "t11_feature_hashing": t11_feature_hashing,
     "t12_bigram_lm_score": t12_bigram_lm_score,
     "t13_gopher_rules": t13_gopher_rules,
+    "t14_langid_confusion": t14_langid_confusion,
 }
 
 ORACLES = {
@@ -818,4 +869,5 @@ ORACLES = {
     "t11_feature_hashing": T11_SQL,
     "t12_bigram_lm_score": T12_SQL,
     "t13_gopher_rules": T13_SQL,
+    "t14_langid_confusion": T14_SQL,
 }

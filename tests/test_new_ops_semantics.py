@@ -519,3 +519,111 @@ def test_m09_batches_are_single_bucket_and_bounded(spark):
         c = Counter(ids)
         assert all(v <= AR_BATCH for v in c.values())
         assert set(c) == set(range(max(c) + 1))
+
+
+# -- round-5 additions: c12 chunking, e22 z-order, t14 confusion ------------
+
+
+def test_c12_chunk_geometry(spark, tmp_path):
+    """A 40-token doc chunks at starts 1/17/33 with lengths 32/24/8
+    (window 32, stride 16): full coverage, 16-token overlap between
+    consecutive full windows, and the digest is md5 of the chunk text."""
+    import hashlib
+
+    from floorist_spark.operators.curation import c12_passage_chunks
+
+    words = [f"w{i:02d}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id BIGINT, text STRING"
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    rows = c12_passage_chunks(spark, out).collect()
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in rows] == [
+        (0, 1, 32),
+        (1, 17, 24),
+        (2, 33, 8),
+    ]
+    first = " ".join(words[:32])
+    assert rows[0].chunk_digest == hashlib.md5(first.encode()).hexdigest()
+
+
+def test_e22_zorder_locality(spark):
+    """The property the layout exists for: every file covers at most a
+    4x4 tile of the 16x16 (day, user) bucket grid, and zkey ranges are
+    the disjoint 16-key intervals [16*file_id, 16*file_id+15]."""
+    from floorist_spark.operators.events_analytics import e22_zorder_layout
+
+    rows = e22_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no files assigned"
+    for r in rows:
+        assert 1 <= r.n_day_buckets <= 4
+        assert 1 <= r.n_user_buckets <= 4
+        assert 16 * r.file_id <= r.min_zkey <= r.max_zkey <= 16 * r.file_id + 15
+
+
+def test_e22_morton_bijection(spark):
+    """The arithmetic interleave matches the reference Morton code for
+    every (d, u) pair in the 16x16 grid — and is therefore a bijection."""
+    from floorist_spark.operators.events_analytics import _z_interleave
+
+    def py_morton(d, u):
+        z = 0
+        for j in range(4):
+            z |= ((d >> j) & 1) << (2 * j + 1)
+            z |= ((u >> j) & 1) << (2 * j)
+        return z
+
+    expr = _z_interleave("d_bucket", "u_bucket", "div")
+    got = {
+        (r.d, r.u): r.z
+        for r in spark.sql(
+            "SELECT d_bucket AS d, u_bucket AS u, "
+            f"{expr} AS z "
+            "FROM (SELECT explode(sequence(0, 15)) AS d_bucket) "
+            "CROSS JOIN (SELECT explode(sequence(0, 15)) AS u_bucket)"
+        ).collect()
+    }
+    want = {(d, u): py_morton(d, u) for d in range(16) for u in range(16)}
+    assert got == want
+    assert len(set(want.values())) == 256
+
+
+def test_t14_confusion_is_a_partition(spark):
+    """Cell counts partition the corpus: per-gold fractions sum to 1,
+    gold_total is consistent across a gold class, and the matrix total
+    equals the document count."""
+    from floorist_spark.operators.text import t14_langid_confusion
+    from floorist_spark.session import load_table
+
+    rows = t14_langid_confusion(spark, "/root/testdata/sf0.001").collect()
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_gold: dict = {}
+    for r in rows:
+        by_gold.setdefault(r.gold_lang, []).append(r)
+    for gold, cells in by_gold.items():
+        assert len({c.gold_total for c in cells}) == 1
+        assert sum(c.n_docs for c in cells) == cells[0].gold_total
+        assert abs(sum(c.frac_of_gold for c in cells) - 1.0) < 1e-12
+
+
+def test_m10_negative_coverage_and_validity(spark):
+    """Every anchor gets exactly NEG_K negatives ranked 0..K-1, no
+    negative equals its anchor, and the choice is deterministic across
+    runs (hash arithmetic, not sampling)."""
+    from floorist_spark.operators.multimodal import (
+        NEG_K,
+        m10_contrastive_pairs,
+    )
+
+    rows = m10_contrastive_pairs(spark, "/root/testdata/sf0.001").collect()
+    by_anchor: dict = {}
+    for r in rows:
+        assert r.neg_id != r.doc_id
+        by_anchor.setdefault(r.doc_id, []).append(r.neg_rank)
+    assert all(sorted(v) == list(range(NEG_K)) for v in by_anchor.values())
+    again = m10_contrastive_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert [(r.doc_id, r.neg_rank, r.neg_id) for r in rows] == [
+        (r.doc_id, r.neg_rank, r.neg_id) for r in again
+    ]

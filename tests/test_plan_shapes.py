@@ -229,3 +229,51 @@ def test_c11_bloom_broadcasts_filter_not_corpus(spark):
     # the only corpus-sized hash exchange is the per-doc rollup
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_c12_chunking_no_shuffle(spark):
+    from floorist_spark.operators.curation import c12_passage_chunks
+
+    plan = _plan(c12_passage_chunks(spark, SF_SMOKE))
+    # a pure per-row flatMap: posexplode fans out chunks with no hash
+    # exchange, join, or aggregate; only the output order's range exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" in plan  # the chunk fan-out is a Generate, not a join
+
+
+def test_e22_zorder_broadcast_bounds_single_rollup(spark):
+    from floorist_spark.operators.events_analytics import e22_zorder_layout
+
+    plan = _plan(e22_zorder_layout(spark, SF_SMOKE))
+    # the 1-row day-span bounds must broadcast to the corpus side
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the rollup shuffles on file_id only: one expand-phase exchange for
+    # the distinct-bucket counts (keys bounded by the 16x16 grid) plus
+    # the final per-file aggregate — nothing keyed on raw events
+    assert plan.count("Exchange hashpartitioning(file_id") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_t14_confusion_cells_bounded_window(spark):
+    from floorist_spark.operators.text import t14_langid_confusion
+
+    plan = _plan(t14_langid_confusion(spark, SF_SMOKE))
+    # per-doc prediction is shuffle-free; the only exchanges are the cell
+    # rollup and the tiny per-gold window over <=|langs|^2 cells
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m10_pairs_broadcast_count_no_cartesian(spark):
+    from floorist_spark.operators.multimodal import m10_contrastive_pairs
+
+    plan = _plan(m10_contrastive_pairs(spark, SF_SMOKE))
+    # the 1-row corpus count must broadcast; negative fan-out is a
+    # Generate (arithmetic, not a sampling shuffle); no cross product
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
