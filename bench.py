@@ -69,6 +69,7 @@ HEADLINE = (
     "e19_cooccurrence_lift",
     "e20_hll_distinct",
     "t13_gopher_rules",
+    "t15_bpe_merges",
     "c11_bloom_decontaminate",
     "c12_passage_chunks",
     "e22_zorder_layout",

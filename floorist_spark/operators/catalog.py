@@ -78,6 +78,7 @@ def _with_cache_release(
 #: s12, e19, m09, s11, e17, e18, m08). Pure ordering — membership and
 #: semantics of every entry are unchanged.
 GATE_PRIORITY = [
+    "t15_bpe_merges",
     "m10_contrastive_pairs",
     "c12_passage_chunks",
     "e22_zorder_layout",

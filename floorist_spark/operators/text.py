@@ -838,6 +838,154 @@ FROM cells ORDER BY gold_lang, predicted_lang
 """
 
 
+# ---------------------------------------------------------------------------
+# t15 — BPE-style merge training (iterative pair counting)
+# ---------------------------------------------------------------------------
+
+#: merge rounds learned (production learns 10k-50k; each round has the
+#: same plan, so the constant only scales the loop)
+BPE_ROUNDS = 6
+#: token alphabet admitted into merge candidates: corpus tokens are
+#: normalized [a-z0-9]; '@' admits already-merged symbols so merges
+#: compose hierarchically (the property that makes BPE BPE)
+_BPE_TOKEN_RE = "^[a-z0-9@]+$"
+
+
+def _bpe_pairs_spark() -> str:
+    """Adjacent (a, b) symbol pairs of ``toks`` (empty for 1-token docs —
+    the greatest+slice guard, shingles' trick)."""
+    return (
+        "slice(transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> struct(try_element_at(toks, i) AS a, "
+        "try_element_at(toks, i + 1) AS b)), "
+        "1, greatest(size(toks) - 1, 0))"
+    )
+
+
+def _bpe_apply_spark(a: str, b: str, merged: str) -> str:
+    """One greedy leftmost merge pass over ``toks`` as a position-parallel
+    map: position i is DROPPED when (i-1, i) matched, REWRITTEN to the
+    merged symbol when (i, i+1) matches, kept otherwise. Greedy
+    left-to-right and this simultaneous rule coincide because the trainer
+    only learns a != b pairs (matches cannot overlap), which is what
+    makes the application embarrassingly parallel instead of a
+    sequential fold."""
+    return (
+        f"filter(transform(sequence(1, size(toks)), i -> "
+        f"CASE WHEN i > 1 AND try_element_at(toks, greatest(i - 1, 1)) = '{a}' "
+        f"AND try_element_at(toks, i) = '{b}' THEN CAST(NULL AS STRING) "
+        f"WHEN try_element_at(toks, i) = '{a}' AND i < size(toks) "
+        f"AND try_element_at(toks, i + 1) = '{b}' THEN '{merged}' "
+        f"ELSE try_element_at(toks, i) END), x -> x IS NOT NULL)"
+    )
+
+
+def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top BPE_ROUNDS byte-pair-encoding merges over the
+    whitespace-symbol corpus (Sennrich et al. 2016 — the tokenizer
+    training step of every LLM data pipeline): per round, count adjacent
+    symbol pairs, take the deterministic argmax (count DESC, then (a, b)
+    lexicographic — rank ties never flake), rewrite the corpus with the
+    merged symbol, repeat. Self-pairs (a == b) are excluded so the merge
+    application is a position-parallel map (see ``_bpe_apply_spark``);
+    merged symbols re-enter later rounds, so merges compose
+    hierarchically.
+
+    Scale shape: each round is ONE corpus pass — pair counts are a
+    map-side-combined aggregate (the exchange carries distinct pairs,
+    not positions) and the argmax is orderBy+limit(1), executed as a
+    distributed TakeOrdered; the driver holds exactly one row per round
+    (the d09 bounded-loop discipline). Merge application is a per-row
+    map with the pair inlined as a literal — no join, no second shuffle.
+    At 100 TB production counts pairs on a corpus SAMPLE and applies
+    merges lazily at tokenization time; the plan per round is unchanged.
+    Non-ASCII/quote symbols are excluded from candidates by
+    ``_BPE_TOKEN_RE`` (also what keeps literal inlining injection-safe)."""
+    from floorist_spark.operators._cache import track
+
+    corpus = track(
+        _docs(spark, sf_dir).select(F.expr(_TOK_S).alias("toks")).persist()
+    )
+    rows: list[tuple] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        best = (
+            corpus.select(F.explode(F.expr(_bpe_pairs_spark())).alias("p"))
+            .select("p.a", "p.b")
+            .filter(
+                f"a != b AND a rlike '{_BPE_TOKEN_RE}' "
+                f"AND b rlike '{_BPE_TOKEN_RE}'"
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merged = f"{a}@@{b}"
+        rows.append((rnd, a, b, cnt, merged))
+        corpus = track(
+            corpus.select(
+                F.expr(_bpe_apply_spark(a, b, merged)).alias("toks")
+            ).persist()
+        )
+    return spark.createDataFrame(
+        rows,
+        "round BIGINT, tok_a STRING, tok_b STRING, "
+        "pair_count BIGINT, merged STRING",
+    ).orderBy("round")
+
+
+def _t15_sql() -> str:
+    """Unrolled oracle: one (pairs → argmax → rewrite) CTE stage per
+    round; the 1-row best-pair table cross-joins into the rewrite so the
+    lambda references plain columns."""
+    stages = [f"c0 AS (SELECT {_TOK_D} AS toks FROM documents)"]
+    selects = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        stages.append(
+            f"""p{r} AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+        FROM {prev})
+  WHERE toks[i] <> toks[i + 1]
+    AND regexp_matches(toks[i], '{_BPE_TOKEN_RE}')
+    AND regexp_matches(toks[i + 1], '{_BPE_TOKEN_RE}')
+)"""
+        )
+        stages.append(
+            f"b{r} AS (SELECT a, b, count(*) AS cnt FROM p{r} "
+            f"GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        stages.append(
+            f"""c{r} AS (
+  SELECT list_filter(list_transform(range(1, len(toks) + 1), i ->
+    CASE WHEN i > 1 AND toks[i - 1] = b{r}.a AND toks[i] = b{r}.b THEN NULL
+         WHEN toks[i] = b{r}.a AND i < len(toks) AND toks[i + 1] = b{r}.b
+           THEN b{r}.a || '@@' || b{r}.b
+         ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+  FROM {prev}, b{r}
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, a AS tok_a, b AS tok_b, "
+            f"cnt AS pair_count, a || '@@' || b AS merged FROM b{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+T15_SQL = _t15_sql()
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -853,6 +1001,7 @@ QUERIES = {
     "t12_bigram_lm_score": t12_bigram_lm_score,
     "t13_gopher_rules": t13_gopher_rules,
     "t14_langid_confusion": t14_langid_confusion,
+    "t15_bpe_merges": t15_bpe_merges,
 }
 
 ORACLES = {
@@ -870,4 +1019,5 @@ ORACLES = {
     "t12_bigram_lm_score": T12_SQL,
     "t13_gopher_rules": T13_SQL,
     "t14_langid_confusion": T14_SQL,
+    "t15_bpe_merges": T15_SQL,
 }

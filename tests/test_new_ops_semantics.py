@@ -627,3 +627,55 @@ def test_m10_negative_coverage_and_validity(spark):
     assert [(r.doc_id, r.neg_rank, r.neg_id) for r in rows] == [
         (r.doc_id, r.neg_rank, r.neg_id) for r in again
     ]
+
+
+def test_t15_bpe_merge_sequence(spark, tmp_path):
+    """A tiny corpus with a known merge order: round 1 ties on count=2
+    between (cat,sat) and (the,cat) and must break to (cat,sat) by the
+    lexicographic (a,b) rule; round 2's best involves the round-1 merged
+    symbol, proving merges compose hierarchically."""
+    from floorist_spark.operators.text import t15_bpe_merges
+
+    docs = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "a cat sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    rows = t15_bpe_merges(spark, out).collect()
+    assert (rows[0].tok_a, rows[0].tok_b, rows[0].pair_count) == (
+        "cat",
+        "sat",
+        2,
+    )
+    assert rows[0].merged == "cat@@sat"
+    assert (rows[1].tok_a, rows[1].tok_b, rows[1].pair_count) == (
+        "a",
+        "cat@@sat",
+        1,
+    )
+
+
+def test_t15_apply_merge_edge_cases(spark):
+    """The position-parallel merge application matches greedy leftmost
+    scan on the overlap-adjacent shapes: 'a b b', 'a b a b', 'a a b'."""
+    from floorist_spark.operators.text import _bpe_apply_spark
+
+    cases = {
+        ("a", "b", "b"): ["a@@b", "b"],
+        ("a", "b", "a", "b"): ["a@@b", "a@@b"],
+        ("a", "a", "b"): ["a", "a@@b"],
+        ("x", "a", "b", "y"): ["x", "a@@b", "y"],
+        ("b", "a"): ["b", "a"],
+    }
+    import pyspark.sql.functions as F
+
+    for toks, want in cases.items():
+        got = (
+            spark.createDataFrame([(list(toks),)], "toks array<string>")
+            .select(F.expr(_bpe_apply_spark("a", "b", "a@@b")).alias("out"))
+            .collect()[0]["out"]
+        )
+        assert got == want, (toks, got, want)
