@@ -68,6 +68,9 @@ HEADLINE = (
     "e17_path_analysis",
     "e19_cooccurrence_lift",
     "e20_hll_distinct",
+    "e23_rolling_active",
+    "c13_data_card",
+    "s13_filtered_ann",
     "t13_gopher_rules",
     "t15_bpe_merges",
     "c11_bloom_decontaminate",

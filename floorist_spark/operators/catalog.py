@@ -75,9 +75,15 @@ def _with_cache_release(
 #: the external gate. This list surfaces exactly those, plus the two
 #: entries whose gate status changed in round 5 (s07 digest output, s05
 #: deterministic k-means) and every round-5 addition (d15, t12, c10,
-#: s12, e19, m09, s11, e17, e18, m08). Pure ordering — membership and
+#: s12, e19, m09, s11, e17, e18, m08, and the late-round-5 analytics
+#: five: e23, e24, c13, t16, s13). Pure ordering — membership and
 #: semantics of every entry are unchanged.
 GATE_PRIORITY = [
+    "e23_rolling_active",
+    "e24_growth_accounting",
+    "c13_data_card",
+    "t16_zipf_audit",
+    "s13_filtered_ann",
     "t15_bpe_merges",
     "m10_contrastive_pairs",
     "c12_passage_chunks",

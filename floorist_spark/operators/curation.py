@@ -931,6 +931,87 @@ FROM ch ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# c13 — dataset card (per-slice corpus statistics)
+# ---------------------------------------------------------------------------
+
+def c13_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) slice of the release "data card": document and
+    token counts, corpus shares, mean tokens per document, and exact
+    interpolated p50/p90 document lengths — the summary table every
+    dataset release publishes and every mixture decision reads.
+
+    Scale shape: ONE corpus scan feeding a map-side-combined aggregate on
+    the tiny (lang, source) key; the quantile pair is a single sort-based
+    aggregate computing both percentiles in one pass (q32's machinery —
+    at 100 TB swap in approx_percentile's mergeable sketch with the same
+    plan shape). Corpus totals are a 1-row aggregate OF the per-slice
+    table (never a second scan) broadcast back over O(slices) rows.
+    Percentile interpolation of BIGINTs and int/int shares are
+    bit-identical cross-engine (q32 precedent)."""
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    per_slice = (
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            "source",
+            "n_chars",
+            F.expr(f"CAST({ntok} AS BIGINT)").alias("n_toks"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.expr("percentile(n_chars, array(0.5, 0.9))").alias("p"),
+        )
+    )
+    totals = per_slice.groupBy().agg(
+        F.sum("n_docs").alias("corpus_docs"),
+        F.sum("total_tokens").alias("corpus_tokens"),
+    )
+    return (
+        per_slice.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("CAST(total_tokens AS DOUBLE) / n_docs").alias("mean_tokens"),
+            F.expr("element_at(p, 1)").alias("p50_chars"),
+            F.expr("element_at(p, 2)").alias("p90_chars"),
+            F.expr("CAST(n_docs AS DOUBLE) / corpus_docs").alias("doc_share"),
+            F.expr("CAST(total_tokens AS DOUBLE) / corpus_tokens").alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+C13_SQL = f"""
+WITH per_slice AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(sum(len({tf.tokens_duck(tf.norm_duck('text'))})) AS BIGINT) AS total_tokens,
+         quantile_cont(n_chars, [0.5, 0.9]) AS p
+  FROM documents
+  GROUP BY lang, source
+), totals AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs,
+         CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens
+  FROM per_slice
+)
+SELECT lang, source, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+       p[1] AS p50_chars,
+       p[2] AS p90_chars,
+       CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share,
+       CAST(total_tokens AS DOUBLE) / corpus_tokens AS token_share
+FROM per_slice, totals
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -944,6 +1025,7 @@ QUERIES = {
     "c10_quality_weighted_sample": c10_quality_weighted_sample,
     "c11_bloom_decontaminate": c11_bloom_decontaminate,
     "c12_passage_chunks": c12_passage_chunks,
+    "c13_data_card": c13_data_card,
 }
 
 ORACLES = {
@@ -959,4 +1041,5 @@ ORACLES = {
     "c10_quality_weighted_sample": C10_SQL,
     "c11_bloom_decontaminate": C11_SQL,
     "c12_passage_chunks": C12_SQL,
+    "c13_data_card": C13_SQL,
 }

@@ -1516,6 +1516,170 @@ FROM z GROUP BY file_id ORDER BY file_id
 E22_SQL = _e22_sql()
 
 
+# ---------------------------------------------------------------------------
+# e23 — rolling active users (DAU / trailing-7-day WAU / stickiness)
+# ---------------------------------------------------------------------------
+
+def e23_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per activity day: distinct daily actives (DAU), distinct actives in
+    the trailing 7-day window (WAU), and the DAU/WAU stickiness ratio —
+    the rolling-distinct metric a plain windowed SUM cannot express
+    (distinct users across 7 days ≠ sum of 7 daily distinct counts).
+
+    Scale shape: the corpus collapses to distinct (user, day) pairs FIRST
+    (map-side-combined hash agg — bounded by users x days, not raw
+    events); each pair then fans out to the <=7 report days it contributes
+    to via ``sequence()``+explode, and a second pair-distinct makes the
+    final per-day count a plain COUNT(*). All exchanges carry 12-byte
+    pairs; nothing corpus-sized is ever re-shuffled. The day-keyed
+    DAU<->WAU join is tiny (one row per calendar day) and broadcasts.
+    Stickiness is an int/int IEEE divide — bit-identical cross-engine."""
+    ud = (
+        _load_events(spark, sf_dir)
+        .select("user_id", F.expr("CAST(ts AS DATE)").alias("day"))
+        .distinct()
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+    ).distinct()
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau_7d"))
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(F.broadcast(wau), "day")
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            F.expr("CAST(dau AS DOUBLE) / wau_7d").alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+E23_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), contrib AS (
+  SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day
+  FROM ud, (SELECT UNNEST(range(0, 7)) AS x)
+), wau AS (
+  SELECT day, count(*) AS wau_7d FROM contrib GROUP BY day
+), dau AS (
+  SELECT day, count(*) AS dau FROM ud GROUP BY day
+)
+SELECT day, dau, wau_7d, CAST(dau AS DOUBLE) / wau_7d AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# e24 — weekly growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+def e24_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle ledger: each active (user, ISO week) is
+    classified against the user's previous active week — first-ever week
+    is ``new``, consecutive week is ``retained``, a gap is
+    ``resurrected`` — and a user active in week w but absent in w+1 is
+    counted as ``churned`` at w+1 (only for weeks the data can attest:
+    w+1 <= the corpus's last week). Both engines truncate to ISO Monday,
+    so week keys agree byte-for-byte.
+
+    Scale shape: distinct (user, week) pairs first (map-side-combined —
+    bounded by users x weeks); ONE shuffle on user_id computes lag and
+    lead in the same per-user sorted pass (both classifications reuse the
+    partitioning); the last-week bound is a 1-row broadcast. The final
+    conditional-count aggregate is map-side combined on the tiny week
+    key. Counts are exact BIGINTs — no floats anywhere."""
+    from pyspark.sql.window import Window
+
+    uw = (
+        _load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    mx = uw.groupBy().agg(F.max("week").alias("max_week"))
+    status = seq.select(
+        "week",
+        F.expr(
+            "CASE WHEN prev_week IS NULL THEN 'new' "
+            "WHEN prev_week = date_sub(week, 7) THEN 'retained' "
+            "ELSE 'resurrected' END"
+        ).alias("status"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            F.expr(
+                "(next_week IS NULL OR next_week > date_add(week, 7)) "
+                "AND date_add(week, 7) <= max_week"
+            )
+        )
+        .select(F.expr("date_add(week, 7)").alias("week"), F.lit("churned").alias("status"))
+    )
+    return (
+        status.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.expr("CAST(sum(IF(status = 'new', 1, 0)) AS BIGINT)").alias("n_new"),
+            F.expr("CAST(sum(IF(status = 'retained', 1, 0)) AS BIGINT)").alias(
+                "n_retained"
+            ),
+            F.expr("CAST(sum(IF(status = 'resurrected', 1, 0)) AS BIGINT)").alias(
+                "n_resurrected"
+            ),
+            F.expr("CAST(sum(IF(status = 'churned', 1, 0)) AS BIGINT)").alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+E24_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), mx AS (
+  SELECT max(week) AS max_week FROM uw
+), seq AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM uw
+), status AS (
+  SELECT week,
+         CASE WHEN prev_week IS NULL THEN 'new'
+              WHEN prev_week = week - 7 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM seq
+  UNION ALL
+  SELECT week + 7 AS week, 'churned' AS status
+  FROM seq, mx
+  WHERE (next_week IS NULL OR next_week > week + 7) AND week + 7 <= max_week
+)
+SELECT week,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM status
+GROUP BY week
+ORDER BY week
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1538,6 +1702,8 @@ QUERIES = {
     "e20_hll_distinct": e20_hll_distinct,
     "e21_cms_heavy_hitters": e21_cms_heavy_hitters,
     "e22_zorder_layout": e22_zorder_layout,
+    "e23_rolling_active": e23_rolling_active,
+    "e24_growth_accounting": e24_growth_accounting,
 }
 
 ORACLES = {
@@ -1562,4 +1728,6 @@ ORACLES = {
     "e20_hll_distinct": E20_SQL,
     "e21_cms_heavy_hitters": E21_SQL,
     "e22_zorder_layout": E22_SQL,
+    "e23_rolling_active": E23_SQL,
+    "e24_growth_accounting": E24_SQL,
 }

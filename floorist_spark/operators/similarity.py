@@ -1012,6 +1012,88 @@ FROM best WHERE vr = 1 ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s13 — metadata-filtered ANN (pre-filter + bucketed search)
+# ---------------------------------------------------------------------------
+
+def s13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: each query's top-3 among corpus vectors
+    sharing the query's ``label`` — the "metadata predicate + ANN"
+    composition every vector store is asked for. The strategy is
+    PRE-filtering: the label predicate becomes part of the join key
+    instead of a post-search discard, so a selective filter cannot starve
+    the result (post-filtering top-k then dropping mismatches returns
+    fewer than k).
+
+    Scale shape: the index key is the (label, bucket) pair — one shuffle
+    co-locates the predicate AND the sign-LSH bucket, so candidates per
+    query are |bucket ∩ label| (selectivity multiplies with the LSH
+    reduction; s02 gets only the LSH factor). This is exactly a
+    label-partitioned LSH index: at 100 TB the corpus would be written
+    bucketed by (label, bucket) and the search becomes a co-located
+    storage join with zero corpus shuffle per query batch.
+
+    The bucket is 4-bit (vs s02's 8): the label predicate already cuts
+    candidates by the label cardinality, so the combined key keeps
+    comparable occupancy — index resolution composes with filter
+    selectivity, the knob a production index tunes per-label."""
+    bucket4_s = (
+        "aggregate(sequence(0, 3), 0, (acc, j) -> "
+        "acc + IF(element_at(embedding, j + 1) > 0, shiftleft(1, j), 0))"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(bucket4_s).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, ["label", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "label", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_BUCKET4_D = (
+    "CAST(list_sum(list_transform(range(0, 4), j -> "
+    "CASE WHEN embedding[(j + 1)::INT] > 0 THEN (1 << j::INT) ELSE 0 END)) AS INTEGER)"
+)
+
+S13_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, label, {_BUCKET4_D} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c USING (label, bucket)
+  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, label, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1025,6 +1107,7 @@ QUERIES = {
     "s10_knn_graph": s10_knn_graph,
     "s11_pq_quantize": s11_pq_quantize,
     "s12_knn_classify": s12_knn_classify,
+    "s13_filtered_ann": s13_filtered_ann,
 }
 
 ORACLES = {
@@ -1040,4 +1123,5 @@ ORACLES = {
     "s10_knn_graph": S10_SQL,
     "s11_pq_quantize": _s11_sql(),
     "s12_knn_classify": S12_SQL,
+    "s13_filtered_ann": S13_SQL,
 }

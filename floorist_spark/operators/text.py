@@ -986,6 +986,69 @@ def _t15_sql() -> str:
 T15_SQL = _t15_sql()
 
 
+# ---------------------------------------------------------------------------
+# t16 — Zipf-law frequency audit (corpus QA)
+# ---------------------------------------------------------------------------
+
+def t16_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head of the corpus frequency distribution with its Zipf product:
+    top-50 tokens by count with rank, corpus share, and rank x count —
+    the product Zipf's law predicts to be roughly constant. A head whose
+    products swing wildly (or a top rank dominated by markup/boilerplate
+    tokens) is the classic smell of a scraped corpus needing cleaning;
+    this audit is the standard first look at any new crawl.
+
+    Scale shape: explode -> map-side-combined token counts (vocabulary-
+    sized output, not corpus-sized); the top-50 is orderBy+limit, which
+    Spark executes as per-partition TakeOrdered + a 50-row driver merge —
+    never a full sort. The rank window and the corpus-total broadcast
+    then touch only 50 rows. All columns are exact integers except the
+    int/int share division."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_TOK_S)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.groupBy().agg(F.sum("cnt").alias("corpus_tokens"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(50)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.expr("CAST(rank * cnt AS BIGINT)").alias("zipf_product"),
+            F.expr("CAST(cnt AS DOUBLE) / corpus_tokens").alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+T16_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST({_TOK_D}) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS corpus_tokens FROM counts
+), top AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank
+  FROM counts ORDER BY cnt DESC, token LIMIT 50
+)
+SELECT rank, token, cnt,
+       CAST(rank * cnt AS BIGINT) AS zipf_product,
+       CAST(cnt AS DOUBLE) / corpus_tokens AS share
+FROM top, total
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1002,6 +1065,7 @@ QUERIES = {
     "t13_gopher_rules": t13_gopher_rules,
     "t14_langid_confusion": t14_langid_confusion,
     "t15_bpe_merges": t15_bpe_merges,
+    "t16_zipf_audit": t16_zipf_audit,
 }
 
 ORACLES = {
@@ -1020,4 +1084,5 @@ ORACLES = {
     "t13_gopher_rules": T13_SQL,
     "t14_langid_confusion": T14_SQL,
     "t15_bpe_merges": T15_SQL,
+    "t16_zipf_audit": T16_SQL,
 }
