@@ -76,8 +76,14 @@ def _with_cache_release(
 #: entries whose gate status changed in round 5 (s07 digest output, s05
 #: deterministic k-means) and every round-5 addition (d15, t12, c10,
 #: s12, e19, m09, s11, e17, e18, m08, and the late-round-5 analytics
-#: five: e23, e24, c13, t16, s13). Pure ordering — membership and
-#: semantics of every entry are unchanged.
+#: five: e23, e24, c13, t16, s13). The window holds 50 slots and must
+#: keep one representative of EVERY family (q's representative is the
+#: round-robin head right after the priority block), so this list is
+#: capped at 49 — with more never-gated entries than slots, the newest
+#: additions (e25, t17, s14, c14, d16: strongest local evidence,
+#: weakest external claim) wait for the next round's rotation, when the
+#: entries validated this round rotate out. Pure ordering — membership
+#: and semantics of every entry are unchanged.
 GATE_PRIORITY = [
     "e23_rolling_active",
     "e24_growth_accounting",

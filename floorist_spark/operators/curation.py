@@ -1012,6 +1012,99 @@ ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# c14 — epoch-capped token-budget allocation per language slice
+# ---------------------------------------------------------------------------
+
+#: upsampling cap: no slice repeats more than this many epochs
+MAX_EPOCHS = 4
+
+
+def c14_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation under a repetition cap: with a training
+    budget equal to the corpus size and a UNIFORM target share per
+    language, each slice is allocated ``min(budget/L, MAX_EPOCHS ×
+    its tokens)`` — the "don't repeat small slices more than N epochs"
+    rule every data-constrained training run applies (the Muennighoff
+    et al. 2023 repeat-degradation regime, arXiv:2305.16264). The output
+    reports ideal vs capped allocation, resulting epochs, and the
+    unfilled deficit a planner would re-spread over uncapped slices.
+
+    Distinct from c06: c06 computes temperature-scaled SAMPLING WEIGHTS
+    (a distribution); c14 turns a target distribution into concrete
+    per-slice token BUDGETS with a feasibility cap — the next pipeline
+    stage downstream of c06's weights.
+
+    Scale shape: identical to c06's — one scan, one map-side-combined
+    aggregate on the language key, a 1-row broadcast of (budget, L);
+    every downstream expression runs on O(#languages) rows. Allocation
+    arithmetic: exact BIGINT ``DIV`` for the ideal share, BIGINT
+    ``least`` for the cap — floats appear only in the final epochs/share
+    ratios (one int/int IEEE division each, bit-identical cross-engine)."""
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.expr(f"CAST({ntok} AS BIGINT)").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("lang_tokens"), F.count("*").alias("n_docs"))
+    )
+    totals = per_lang.groupBy().agg(
+        F.sum("lang_tokens").alias("budget"),
+        F.count("*").alias("n_langs"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.expr("CAST(lang_tokens AS DOUBLE) / budget").alias(
+                "natural_share"
+            ),
+            F.expr("CAST(budget DIV n_langs AS BIGINT)").alias("ideal_alloc"),
+            F.expr(
+                f"CAST(least(budget DIV n_langs, {MAX_EPOCHS}L * lang_tokens) "
+                "AS BIGINT)"
+            ).alias("capped_alloc"),
+            F.expr(
+                f"CAST(greatest(budget DIV n_langs - {MAX_EPOCHS}L * lang_tokens, 0L) "
+                "AS BIGINT)"
+            ).alias("deficit"),
+            F.expr(
+                f"CAST(least(budget DIV n_langs, {MAX_EPOCHS}L * lang_tokens) "
+                "AS DOUBLE) / lang_tokens"
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+C14_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(len({tf.tokens_duck(tf.norm_duck('text'))})) AS BIGINT)
+           AS lang_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang
+), totals AS (
+  SELECT CAST(sum(lang_tokens) AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+       CAST(lang_tokens AS DOUBLE) / budget AS natural_share,
+       CAST(budget // n_langs AS BIGINT) AS ideal_alloc,
+       CAST(least(budget // n_langs, {MAX_EPOCHS} * lang_tokens) AS BIGINT)
+         AS capped_alloc,
+       CAST(greatest(budget // n_langs - {MAX_EPOCHS} * lang_tokens, 0)
+            AS BIGINT) AS deficit,
+       CAST(least(budget // n_langs, {MAX_EPOCHS} * lang_tokens) AS DOUBLE)
+         / lang_tokens AS epochs
+FROM per_lang, totals
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1026,6 +1119,7 @@ QUERIES = {
     "c11_bloom_decontaminate": c11_bloom_decontaminate,
     "c12_passage_chunks": c12_passage_chunks,
     "c13_data_card": c13_data_card,
+    "c14_epoch_allocation": c14_epoch_allocation,
 }
 
 ORACLES = {
@@ -1042,4 +1136,5 @@ ORACLES = {
     "c11_bloom_decontaminate": C11_SQL,
     "c12_passage_chunks": C12_SQL,
     "c13_data_card": C13_SQL,
+    "c14_epoch_allocation": C14_SQL,
 }

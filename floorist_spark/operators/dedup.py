@@ -1145,6 +1145,58 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d16 — soft dedup (cluster-size downweighting instead of dropping)
+# ---------------------------------------------------------------------------
+
+def d16_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of d10's hard keep-one-per-cluster decision,
+    every document survives with sampling weight 1/|its near-dup cluster|
+    — so each duplicate GROUP contributes exactly one document's worth of
+    expected training mass (the "weight, don't drop" alternative
+    discussed alongside SemDeDup-style pruning; hard dedup is the
+    MAX_EPOCHS→0 special case). Downstream, c10's weighted sampling
+    consumes exactly this column shape.
+
+    Scale shape: d09's connected components (served from the session's
+    memoized signature chain — the d03→d04→d09 build runs once per
+    sf_dir) + ONE added shuffle on cluster_id for the member count; the
+    weight is a 1/int IEEE division. Emitting all docs keeps this a
+    narrow projection of the cluster table — no quality join needed
+    (d10 pays that; here weights are quality-agnostic by design)."""
+    from pyspark.sql.window import Window
+
+    clusters = d09_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.expr("CAST(1 AS DOUBLE) / n_members").alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d16_sql() -> str:
+    # share d09's CTE chain up to the recursive `reach`
+    ctes = D09_SQL[: D09_SQL.rindex("SELECT doc AS doc_id")].strip().rstrip()
+    return f"""
+{ctes}
+, clusters AS (
+  SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY cluster_id) AS weight
+FROM clusters
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1160,6 +1212,7 @@ QUERIES = {
     "d13_minhash_calibration": d13_minhash_calibration,
     "d14_ngram_containment": d14_ngram_containment,
     "d15_passage_dedup": d15_passage_dedup,
+    "d16_soft_dedup_weights": d16_soft_dedup_weights,
 }
 
 ORACLES = {
@@ -1177,4 +1230,5 @@ ORACLES = {
     "d13_minhash_calibration": _d13_sql(),
     "d14_ngram_containment": _d14_sql(),
     "d15_passage_dedup": D15_SQL,
+    "d16_soft_dedup_weights": _d16_sql(),
 }

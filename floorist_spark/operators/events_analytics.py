@@ -1680,6 +1680,124 @@ ORDER BY week
 """
 
 
+# ---------------------------------------------------------------------------
+# e25 — last-touch conversion attribution with a lookback window
+# ---------------------------------------------------------------------------
+
+#: marketing touchpoints that can claim a conversion
+TOUCH_TYPES = ("click", "view")
+#: a touch older than this cannot claim the purchase
+ATTRIB_LOOKBACK_DAYS = 7
+
+
+def e25_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every ``purchase`` is credited
+    to the same user's most recent STRICTLY PRECEDING touch event
+    (``click``/``view``), provided the touch is within a 7-day lookback;
+    a purchase with no prior touch reports ``none``, one whose only touch
+    has aged out reports ``expired``. Output is the channel-level ledger:
+    conversions per attributed touch type plus the mean touch→purchase
+    delay — the table every marketing-spend decision reads.
+
+    Scale shape: ONE shuffle on user_id; the per-user timeline is a
+    single window pass where ``last(_, ignorenulls)`` over a
+    rows-preceding frame carries the most recent touch forward — per-user
+    state is one (type, ts) pair, never an event array, so whale users
+    cost O(their events), not O(events²). The channel aggregate is
+    map-side combined on a ≤3-key column. Determinism: the frame orders
+    by (ts, event_id) — a total order — and the mean delay is a
+    BIGINT-microsecond sum divided once, the same fixed IEEE expression
+    in both engines."""
+    from pyspark.sql.window import Window
+
+    touch_in = ", ".join(f"'{t}'" for t in TOUCH_TYPES)
+    ev = _load_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(f"IF(event_type IN ({touch_in}), event_type, NULL)").alias("tt"),
+        F.expr(f"IF(event_type IN ({touch_in}), ts, NULL)").alias("tts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        ev.withColumn("last_touch", F.last("tt", ignorenulls=True).over(w))
+        .withColumn("last_touch_ts", F.last("tts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "CASE WHEN last_touch_ts IS NULL THEN 'none' "
+                f"WHEN ts > last_touch_ts + INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY "
+                "THEN 'expired' ELSE last_touch END"
+            ).alias("channel"),
+            F.expr(
+                "IF(last_touch_ts IS NOT NULL "
+                f"AND ts <= last_touch_ts + INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY, "
+                "unix_micros(ts) - unix_micros(last_touch_ts), NULL)"
+            ).alias("delay_us"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("delay_us").alias("total_delay_us"),
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            "total_delay_us",
+            F.expr(
+                "CAST(total_delay_us AS DOUBLE) / 1000000.0 / n_conversions"
+            ).alias("avg_delay_s"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _e25_sql() -> str:
+    touch_in = ", ".join(f"'{t}'" for t in TOUCH_TYPES)
+    lb = ATTRIB_LOOKBACK_DAYS
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IN ({touch_in}) THEN event_type END AS tt,
+         CASE WHEN event_type IN ({touch_in}) THEN ts END AS tts
+  FROM events
+), carried AS (
+  SELECT *,
+         last_value(tt IGNORE NULLS) OVER w AS last_touch,
+         last_value(tts IGNORE NULLS) OVER w AS last_touch_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN last_touch_ts IS NULL THEN 'none'
+              WHEN ts > last_touch_ts + INTERVAL {lb} DAY THEN 'expired'
+              ELSE last_touch END AS channel,
+         CASE WHEN last_touch_ts IS NOT NULL
+                   AND ts <= last_touch_ts + INTERVAL {lb} DAY
+              THEN epoch_us(ts) - epoch_us(last_touch_ts) END AS delay_us
+  FROM carried
+  WHERE event_type = 'purchase'
+)
+SELECT channel,
+       count(*) AS n_conversions,
+       CAST(sum(delay_us) AS BIGINT) AS total_delay_us,
+       CAST(sum(delay_us) AS DOUBLE) / 1000000.0 / count(*) AS avg_delay_s
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+E25_SQL = _e25_sql()
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1704,6 +1822,7 @@ QUERIES = {
     "e22_zorder_layout": e22_zorder_layout,
     "e23_rolling_active": e23_rolling_active,
     "e24_growth_accounting": e24_growth_accounting,
+    "e25_attribution": e25_attribution,
 }
 
 ORACLES = {
@@ -1730,4 +1849,5 @@ ORACLES = {
     "e22_zorder_layout": E22_SQL,
     "e23_rolling_active": E23_SQL,
     "e24_growth_accounting": E24_SQL,
+    "e25_attribution": E25_SQL,
 }

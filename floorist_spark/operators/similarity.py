@@ -1094,6 +1094,92 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s14 — LSH index health audit (bucket occupancy + candidate-pair cost)
+# ---------------------------------------------------------------------------
+
+def s14_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational audit of the s02 sign-LSH index: bucket count,
+    occupancy percentiles, the worst bucket, and the candidate-pair cost
+    Σ c·(c−1)/2 the self-join would pay — plus the share of that cost
+    concentrated in the single largest bucket. This is the pre-join
+    cardinality estimate the d03 degenerate-bucket cap consumes: a
+    top-bucket pair share near 1.0 says one hot bucket owns the join and
+    the cap/quarantine path must fire BEFORE the shuffle is launched.
+
+    Scale shape: one corpus scan → map-side-combined count per bucket
+    (output is at most 256 rows here; at most 2^bits generally) → a
+    single-partition final aggregate over that tiny table. The quantile
+    pair is exact interpolated percentile over ≤2^bits values (c13/q32
+    machinery). Nothing corpus-sized ever shuffles — the scan reduces to
+    (bucket, count) immediately. All ratios are int-derived IEEE
+    divisions, bit-identical cross-engine."""
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.expr(_sign_bucket_spark("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy()
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("cnt").alias("n_vectors"),
+            F.max("cnt").alias("max_bucket"),
+            F.expr("percentile(cnt, array(0.5, 0.9))").alias("p"),
+            F.expr("CAST(sum(cnt * (cnt - 1) DIV 2) AS BIGINT)").alias(
+                "cand_pairs"
+            ),
+            F.expr("CAST(max(cnt * (cnt - 1) DIV 2) AS BIGINT)").alias(
+                "max_bucket_pairs"
+            ),
+        )
+        .select(
+            "n_buckets",
+            "n_vectors",
+            "max_bucket",
+            F.expr("element_at(p, 1)").alias("p50_bucket"),
+            F.expr("element_at(p, 2)").alias("p90_bucket"),
+            F.expr("CAST(n_vectors AS DOUBLE) / n_buckets").alias(
+                "mean_occupancy"
+            ),
+            F.expr("CAST(max_bucket * n_buckets AS DOUBLE) / n_vectors").alias(
+                "skew_ratio"
+            ),
+            "cand_pairs",
+            F.expr(
+                "IF(cand_pairs > 0, "
+                "CAST(max_bucket_pairs AS DOUBLE) / cand_pairs, NULL)"
+            ).alias("top_bucket_pair_share"),
+        )
+    )
+
+
+S14_SQL = f"""
+WITH counts AS (
+  SELECT {_sign_bucket_duck("embedding")} AS bucket, count(*) AS cnt
+  FROM embeddings GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(cnt) AS BIGINT) AS n_vectors,
+         CAST(max(cnt) AS BIGINT) AS max_bucket,
+         quantile_cont(cnt, [0.5, 0.9]) AS p,
+         CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS cand_pairs,
+         CAST(max(cnt * (cnt - 1) // 2) AS BIGINT) AS max_bucket_pairs
+  FROM counts
+)
+SELECT n_buckets, n_vectors, max_bucket,
+       p[1] AS p50_bucket, p[2] AS p90_bucket,
+       CAST(n_vectors AS DOUBLE) / n_buckets AS mean_occupancy,
+       CAST(max_bucket * n_buckets AS DOUBLE) / n_vectors AS skew_ratio,
+       cand_pairs,
+       CASE WHEN cand_pairs > 0
+            THEN CAST(max_bucket_pairs AS DOUBLE) / cand_pairs
+       END AS top_bucket_pair_share
+FROM agg
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1108,6 +1194,7 @@ QUERIES = {
     "s11_pq_quantize": s11_pq_quantize,
     "s12_knn_classify": s12_knn_classify,
     "s13_filtered_ann": s13_filtered_ann,
+    "s14_index_health": s14_index_health,
 }
 
 ORACLES = {
@@ -1124,4 +1211,5 @@ ORACLES = {
     "s11_pq_quantize": _s11_sql(),
     "s12_knn_classify": S12_SQL,
     "s13_filtered_ann": S13_SQL,
+    "s14_index_health": S14_SQL,
 }

@@ -1049,6 +1049,90 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# t17 — lexical diversity (type-token ratio + Simpson index)
+# ---------------------------------------------------------------------------
+
+def t17_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity quality signals: distinct-type
+    count, type-token ratio, and the Simpson diversity index
+    1 − Σ(cᵢ/n)² (probability two tokens drawn without replacement of
+    position are different types) — the transcendental-free stand-in for
+    token entropy (this catalog bans log/exp in gated outputs because
+    libm last-ulp behavior is engine-dependent; Simpson is pure rational
+    arithmetic and ranks repetitive/boilerplate docs the same way).
+
+    Scale shape: ZERO shuffle — the per-document type histogram never
+    materializes. Tokens are sorted per row and folded once: extending a
+    run of length r to r+1 adds (r+1)²−r² = 2r+1 to Σc², so the fold
+    carries only (prev token, run length, Σc², types) — O(1) state per
+    document, all inside whole-stage codegen. At 100 TB this is an
+    embarrassingly parallel scan; the explode→groupBy(doc, token)
+    alternative would shuffle the entire tokenized corpus twice."""
+    fold = (
+        f"aggregate(array_sort({_TOK_S}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "             'sum2', 0L, 'types', 0L), "
+        "(acc, t) -> IF(t = acc.prev, "
+        "  named_struct('prev', t, 'run', acc.run + 1L, "
+        "               'sum2', acc.sum2 + 2L * acc.run + 1L, "
+        "               'types', acc.types), "
+        "  named_struct('prev', t, 'run', 1L, "
+        "               'sum2', acc.sum2 + 1L, 'types', acc.types + 1L)))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size({_TOK_S}) AS BIGINT)").alias("n_tokens"),
+            F.expr(fold).alias("acc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("acc.types").alias("n_types"),
+            # explicit empty-doc guard: divide-by-zero semantics differ
+            # across engines (Spark NULL, DuckDB ieee inf), so neither is
+            # allowed to reach the gate
+            F.expr(
+                "IF(n_tokens > 0, CAST(acc.types AS DOUBLE) / n_tokens, NULL)"
+            ).alias("ttr"),
+            F.expr(
+                "IF(n_tokens > 0, "
+                "1.0 - CAST(acc.sum2 AS DOUBLE) / (n_tokens * n_tokens), NULL)"
+            ).alias("simpson"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: oracle mirrors the SEMANTICS with the plain relational shape (unnest →
+#: per-(doc, token) counts); only results must match, not plans
+T17_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_D}) AS token FROM documents
+), hist AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * c) AS BIGINT) AS sum2
+  FROM hist GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       coalesce(a.n_types, CAST(0 AS BIGINT)) AS n_types,
+       CASE WHEN a.n_tokens > 0
+            THEN CAST(a.n_types AS DOUBLE) / a.n_tokens END AS ttr,
+       CASE WHEN a.n_tokens > 0
+            THEN 1.0 - CAST(a.sum2 AS DOUBLE) / (a.n_tokens * a.n_tokens)
+       END AS simpson
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1066,6 +1150,7 @@ QUERIES = {
     "t14_langid_confusion": t14_langid_confusion,
     "t15_bpe_merges": t15_bpe_merges,
     "t16_zipf_audit": t16_zipf_audit,
+    "t17_token_diversity": t17_token_diversity,
 }
 
 ORACLES = {
@@ -1085,4 +1170,5 @@ ORACLES = {
     "t14_langid_confusion": T14_SQL,
     "t15_bpe_merges": T15_SQL,
     "t16_zipf_audit": T16_SQL,
+    "t17_token_diversity": T17_SQL,
 }

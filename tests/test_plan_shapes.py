@@ -277,3 +277,55 @@ def test_m10_pairs_broadcast_count_no_cartesian(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t17_fold_is_shuffle_free(spark):
+    from floorist_spark.operators.text import t17_token_diversity
+
+    plan = _plan(t17_token_diversity(spark, SF_SMOKE))
+    # the diversity fold is per-row: NO hash-partitioned exchange at all —
+    # only the ingest fan-out (round-robin) and the output sort's range
+    # exchange may appear. A (doc_id, token) groupBy sneaking back in
+    # would show up as hashpartitioning.
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    # the per-doc histogram must never materialize
+    assert "Generate" not in plan  # no explode
+
+
+def test_s14_exchanges_carry_bucket_counts_only(spark):
+    from floorist_spark.operators.similarity import s14_index_health
+
+    plan = _plan(s14_index_health(spark, SF_SMOKE))
+    # one partial->final aggregate chain on the bucket key; the embedding
+    # array dies in the bucket projection before any exchange
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "embedding" not in m.group(0), m.group(0)
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_e25_single_corpus_shuffle(spark):
+    from floorist_spark.operators.events_analytics import e25_attribution
+
+    plan = _plan(e25_attribution(spark, SF_SMOKE))
+    # corpus-sized data shuffles exactly once, on user_id for the
+    # carry-forward window; the channel aggregate then operates on
+    # purchase rows keyed by a <=4-value column
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_d16_reuses_memoized_chain_one_added_shuffle(spark):
+    from floorist_spark.operators.dedup import (
+        d09_dedup_clusters,
+        d16_soft_dedup_weights,
+    )
+
+    # warm the session memo exactly as a catalog consumer would
+    d09_dedup_clusters(spark, SF_SMOKE).count()
+    plan = _plan(d16_soft_dedup_weights(spark, SF_SMOKE))
+    # the only NEW work over d09's label table is the cluster-size window
+    assert plan.count("Exchange hashpartitioning(cluster_id") == 1

@@ -1,0 +1,193 @@
+"""Crafted-case semantics tests for the second round-5 analytics batch
+(e25 attribution, t17 token diversity, s14 index health, c14 epoch
+allocation, d16 soft-dedup weights) — the oracle gate pins Spark==DuckDB;
+these pin the INTENT on inputs engineered to hit each rule."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from floorist_spark.operators.curation import c14_epoch_allocation
+from floorist_spark.operators.dedup import d16_soft_dedup_weights
+from floorist_spark.operators.events_analytics import e25_attribution
+from floorist_spark.operators.similarity import s14_index_health
+from floorist_spark.operators.text import t17_token_diversity
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events covering every e25 attribution branch."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # u1: view then click then purchase -> LAST touch (click) wins,
+        # delay exactly 90 s
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(seconds=60), 1, "click"),
+        (3, t0 + dt.timedelta(seconds=150), 1, "purchase"),
+        # u2: purchase with no prior touch at all -> 'none' (the later
+        # view must NOT attribute backwards in time)
+        (4, t0, 2, "purchase"),
+        (5, t0 + dt.timedelta(hours=1), 2, "view"),
+        # u3: only touch is 8 days before the purchase -> 'expired'
+        (6, t0, 3, "view"),
+        (7, t0 + dt.timedelta(days=8), 3, "purchase"),
+        # u4: view exactly at the 7-day boundary -> still attributed
+        # (<= lookback), delay = 7 days
+        (8, t0, 4, "view"),
+        (9, t0 + dt.timedelta(days=7), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    out = str(tmp_path_factory.mktemp("events_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_attribution_channels(spark, events_dir):
+    got = {r["channel"]: r for r in e25_attribution(spark, events_dir).collect()}
+    assert set(got) == {"click", "view", "none", "expired"}
+    assert got["click"]["n_conversions"] == 1
+    assert got["click"]["avg_delay_s"] == 90.0
+    # u4's boundary purchase: inclusive lookback, 7-day delay
+    assert got["view"]["n_conversions"] == 1
+    assert got["view"]["avg_delay_s"] == 7 * 86400.0
+    # unattributed rows carry NULL delay, not 0
+    assert got["none"]["n_conversions"] == 1
+    assert got["none"]["total_delay_us"] is None
+    assert got["expired"]["n_conversions"] == 1
+    assert got["expired"]["avg_delay_s"] is None
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    rows = [
+        (1, "a a b", "en", "web", 5),  # n=3 types=2
+        (2, "x x x x", "en", "web", 7),  # fully repetitive
+        (3, "p q r s", "de", "web", 7),  # fully diverse
+        (4, "", "de", "web", 0),  # empty doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path_factory.mktemp("docs_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_token_diversity_values(spark, docs_dir):
+    got = {r["doc_id"]: r for r in t17_token_diversity(spark, docs_dir).collect()}
+    d1 = got[1]
+    assert d1["n_tokens"] == 3 and d1["n_types"] == 2
+    assert d1["ttr"] == 2 / 3
+    # counts 2,1 -> sum2 = 5 -> simpson = 1 - 5/9
+    assert d1["simpson"] == 1.0 - 5.0 / 9.0
+    # fully repetitive doc: simpson 0 (two draws always equal)
+    assert got[2]["simpson"] == 1.0 - 16.0 / 16.0 == 0.0
+    # fully diverse doc: simpson = 1 - n/n^2 = 3/4
+    assert got[3]["simpson"] == 1.0 - 4.0 / 16.0
+    # the catalog tokenizer maps '' to [''] (both engines agree), so an
+    # empty doc is ONE empty-string token — degenerate but well-defined,
+    # and never the NULL/inf divide the zero-guard protects against
+    assert got[4]["n_tokens"] == 1 and got[4]["n_types"] == 1
+    assert got[4]["ttr"] == 1.0 and got[4]["simpson"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    """Two occupied sign-buckets: one with 3 vectors, one with 1."""
+    rows = [
+        (0, [1.0] * 8, 0),
+        (1, [0.5] * 8, 0),
+        (2, [2.0] * 8, 0),
+        (3, [-1.0] + [1.0] * 7, 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    out = str(tmp_path_factory.mktemp("emb_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_index_health_summary(spark, emb_dir):
+    row = s14_index_health(spark, emb_dir).collect()[0]
+    assert row["n_buckets"] == 2 and row["n_vectors"] == 4
+    assert row["max_bucket"] == 3
+    # bucket sizes {1, 3}: interpolated p50 = 2.0, p90 = 2.8
+    assert row["p50_bucket"] == 2.0
+    assert abs(row["p90_bucket"] - 2.8) < 1e-12
+    assert row["mean_occupancy"] == 2.0
+    assert row["skew_ratio"] == 1.5
+    # pairs: 3*2/2 = 3 from the hot bucket, 0 from the singleton
+    assert row["cand_pairs"] == 3
+    assert row["top_bucket_pair_share"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def mix_docs_dir(spark, tmp_path_factory):
+    """en: 12 tokens (cap slack), de: 1 token (cap binds at 4 epochs)."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6", "en", "web", 17),
+        (2, "w1 w2 w3 w4 w5 w6", "en", "web", 17),
+        (3, "solo", "de", "web", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path_factory.mktemp("mix_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_epoch_allocation_cap(spark, mix_docs_dir):
+    got = {r["lang"]: r for r in c14_epoch_allocation(spark, mix_docs_dir).collect()}
+    # budget = 13 tokens, L = 2 -> ideal 6 each (integer division)
+    en, de = got["en"], got["de"]
+    assert en["lang_tokens"] == 12 and de["lang_tokens"] == 1
+    assert en["ideal_alloc"] == 6 and de["ideal_alloc"] == 6
+    # en: cap 4*12 = 48 not binding -> full 6, under one epoch
+    assert en["capped_alloc"] == 6 and en["deficit"] == 0
+    assert en["epochs"] == 0.5
+    # de: cap 4*1 = 4 binds -> 4 allocated, 2 unfilled, exactly MAX_EPOCHS
+    assert de["capped_alloc"] == 4 and de["deficit"] == 2
+    assert de["epochs"] == 4.0
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(spark, tmp_path_factory):
+    """Planted near-dup clusters: docs 0-2 identical, 3-4 identical, 5
+    unique — 40-word texts so the 5-token shingle chain has material."""
+    base = (
+        "concat_ws(' ', transform(sequence(1, 40), j -> "
+        "substring(md5(concat(CAST({k} AS STRING), ':', CAST(j AS STRING))), 1, 8)))"
+    )
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"CASE WHEN id <= 2 THEN {base.format(k=100)} "
+            f"WHEN id <= 4 THEN {base.format(k=200)} "
+            f"ELSE {base.format(k=300)} END"
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(359).cast("bigint").alias("n_chars"),
+    )
+    out = str(tmp_path_factory.mktemp("dup_r5c"))
+    docs.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_soft_dedup_weights(spark, dup_docs_dir):
+    got = {r["doc_id"]: r for r in d16_soft_dedup_weights(spark, dup_docs_dir).collect()}
+    assert len(got) == 6  # soft dedup DROPS nothing
+    for i in (0, 1, 2):
+        assert got[i]["cluster_id"] == 0 and got[i]["n_members"] == 3
+        assert got[i]["weight"] == 1.0 / 3.0
+    for i in (3, 4):
+        assert got[i]["cluster_id"] == 3 and got[i]["n_members"] == 2
+        assert got[i]["weight"] == 0.5
+    assert got[5]["n_members"] == 1 and got[5]["weight"] == 1.0
+    # expected training mass per cluster = exactly one document
+    assert sum(r["weight"] for r in got.values()) == 3.0
