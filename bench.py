@@ -76,6 +76,10 @@ HEADLINE = (
     "s14_index_health",
     "t17_token_diversity",
     "d16_soft_dedup_weights",
+    "d17_incremental_dedup",
+    "d18_dup_graph_triangles",
+    "e26_alert_throttle",
+    "m11_scene_cuts",
     "t13_gopher_rules",
     "t15_bpe_merges",
     "c11_bloom_decontaminate",

@@ -266,13 +266,17 @@ def _duck_bands() -> str:
     # bands_all -> bands applies the MAX_BAND_BUCKET degenerate-bucket cap
     # (window count per (band, sig)), mirroring the Spark side exactly
     return f"""
-    WITH docs AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents),
+    WITH docs AS MATERIALIZED (
+      -- MATERIALIZED: docs (the shingle+digest pass, the expensive part
+      -- of every dedup oracle) is referenced by bands AND the Jaccard
+      -- joins; DuckDB inlines plain CTEs per reference
+      SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents),
     bands_all AS (
       SELECT doc_id, band, sigarr[band + 1] AS sig FROM (
         SELECT doc_id, [{sigs}] AS sigarr FROM docs
       ), (SELECT unnest(range(0, {NBANDS})) AS band)
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, band, sig FROM (
         SELECT doc_id, band, sig,
                count(*) OVER (PARTITION BY band, sig) AS bsz
@@ -1146,6 +1150,215 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# d17 — incremental dedup: new arrivals vs. the existing corpus index
+# ---------------------------------------------------------------------------
+
+#: docs with doc_id % ARRIVAL_MOD == 0 play the "arriving batch"; the rest
+#: are the already-indexed corpus
+ARRIVAL_MOD = 5
+
+
+def d17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-index) near-dup detection — the PRODUCTION
+    dedup mode: a small arriving batch (here docs with
+    ``doc_id % 5 == 0``) is checked against the existing corpus index
+    WITHOUT re-pairing the index against itself. Every arrival reports
+    whether it duplicates an indexed doc, which one (best Jaccard, ties
+    to the lowest index id), and the score; non-dup arrivals pass
+    through with NULLs — the rows a nightly ingest would append.
+
+    Scale shape: the asymmetry is the point — candidates are an
+    equi-join of the ARRIVAL band rows (small: one day's crawl) against
+    the INDEX band rows on (band, sig), so cost is |arrivals| × bucket
+    occupancy, never |index|²; at 100 TB the index side is the
+    checkpointed signature table (see ``_hashed_shingles``) read back
+    bucketed on (band, sig), making the probe a co-located storage join,
+    and a small-enough batch broadcasts. Signatures/shingles come from
+    the same session memo the d03–d16 chain shares; the degenerate-
+    bucket cap applies before the probe exactly as in d03. The Jaccard
+    verify touches candidate pairs only."""
+    from pyspark.sql.window import Window
+
+    bands = _band_rows(spark, sf_dir)
+    arr_bands = bands.filter(F.expr(f"doc_id % {ARRIVAL_MOD} = 0"))
+    idx_bands = bands.filter(F.expr(f"doc_id % {ARRIVAL_MOD} != 0"))
+    cand = (
+        arr_bands.alias("a")
+        .join(idx_bands.alias("b"), ["band", "sig"])
+        .select(
+            F.col("a.doc_id").alias("arrival_id"),
+            F.col("b.doc_id").alias("index_id"),
+        )
+        .distinct()
+    )
+    hashed = _hashed_shingles(spark, sf_dir)
+    scored = (
+        cand.join(hashed.alias("da"), cand.arrival_id == F.col("da.doc_id"))
+        .join(hashed.alias("db"), cand.index_id == F.col("db.doc_id"))
+        .select(
+            "arrival_id",
+            "index_id",
+            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("arrival_id").orderBy(
+        F.desc("jaccard"), F.asc("index_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("arrival_id", "index_id", "jaccard")
+    )
+    arrivals = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr(f"doc_id % {ARRIVAL_MOD} = 0"))
+        .select("doc_id")
+    )
+    return (
+        arrivals.join(best, arrivals.doc_id == best.arrival_id, "left")
+        .select(
+            "doc_id",
+            F.expr("index_id IS NOT NULL").alias("is_dup"),
+            F.col("index_id").alias("dup_of"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d17_sql() -> str:
+    return f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS arrival_id, b.doc_id AS index_id
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id % {ARRIVAL_MOD} = 0 AND b.doc_id % {ARRIVAL_MOD} != 0
+),
+scored AS (
+  SELECT arrival_id, index_id, {tf.jaccard_duck("da.hs", "db.hs")} AS jaccard
+  FROM cand JOIN docs da ON arrival_id = da.doc_id
+            JOIN docs db ON index_id = db.doc_id
+),
+best AS (
+  SELECT arrival_id, index_id, jaccard,
+         row_number() OVER (PARTITION BY arrival_id
+                            ORDER BY jaccard DESC, index_id ASC) AS rn
+  FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id,
+       b.index_id IS NOT NULL AS is_dup,
+       b.index_id AS dup_of,
+       b.jaccard AS best_jaccard
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.arrival_id AND b.rn = 1
+WHERE d.doc_id % {ARRIVAL_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d18 — near-dup graph triangle census (cluster cohesion audit)
+# ---------------------------------------------------------------------------
+
+def d18_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural audit of the verified near-dup graph: edge count, wedge
+    count (open 2-paths), triangle count, and the global clustering
+    coefficient 3·triangles/wedges. TRUE duplicate clusters are
+    near-cliques (every member pairwise-similar ⇒ coefficient → 1.0); a
+    low coefficient means chains of borderline pairs — exactly the graphs
+    where d09's transitive closure over-merges, so this single row is the
+    go/no-go check before trusting cluster-level dedup decisions.
+
+    Scale shape: the classic distributed triangle count — edges oriented
+    low→high id (each triangle counted once), wedges from a self-join on
+    the middle vertex, closed by a second equi-join against the edge
+    list. Near-dup graphs are SPARSE (degree ≈ cluster size), so the
+    wedge table is Σ deg² — bounded by the d03 bucket cap; AQE handles
+    the residual skew. Edges come from the session-memoized verified-pair
+    table; every count is an exact BIGINT and the coefficient one
+    int/int IEEE division."""
+    edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    closing = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"])
+    # wedge count = sum over vertices of deg·(deg−1)/2 (undirected degree)
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    stats = deg.groupBy().agg(
+        F.expr("CAST(sum(deg * (deg - 1) DIV 2) AS BIGINT)").alias("n_wedges")
+    )
+    counts = edges.groupBy().agg(F.count("*").alias("n_edges"))
+    tri_count = tri.groupBy().agg(F.count("*").alias("n_triangles"))
+    return (
+        counts.crossJoin(F.broadcast(tri_count))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            # 3·tri is exact BIGINT; ONE double division keeps the
+            # coefficient bit-identical cross-engine (a decimal literal
+            # like 3.0 would drag both engines into decimal arithmetic
+            # with engine-specific scale rules)
+            F.expr(
+                "IF(n_wedges > 0, "
+                "CAST(3 * n_triangles AS DOUBLE) / n_wedges, NULL)"
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def _d18_sql() -> str:
+    # reuse d04's verified-pair chain up to `scored`
+    ctes = D04_SQL[: D04_SQL.rindex("SELECT doc_a, doc_b, jaccard")].strip().rstrip()
+    return f"""
+{ctes}
+, edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: edges is referenced five times below
+  -- and DuckDB inlines plain CTEs per reference, which would re-run the
+  -- whole band+Jaccard chain each time (~200 s x 5 at sf0.1)
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+wedges AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM edges e1 JOIN edges e2 ON e1.doc_b = e2.doc_a
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w JOIN edges e ON w.a = e.doc_a AND w.c = e.doc_b
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+  ) GROUP BY v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg)
+         AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+       CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0
+            THEN CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
+                 / (SELECT sum(deg * (deg - 1) // 2) FROM deg)
+       END AS clustering_coeff
+"""
+
+
+# ---------------------------------------------------------------------------
 # d16 — soft dedup (cluster-size downweighting instead of dropping)
 # ---------------------------------------------------------------------------
 
@@ -1213,6 +1426,8 @@ QUERIES = {
     "d14_ngram_containment": d14_ngram_containment,
     "d15_passage_dedup": d15_passage_dedup,
     "d16_soft_dedup_weights": d16_soft_dedup_weights,
+    "d17_incremental_dedup": d17_incremental_dedup,
+    "d18_dup_graph_triangles": d18_dup_graph_triangles,
 }
 
 ORACLES = {
@@ -1231,4 +1446,6 @@ ORACLES = {
     "d14_ngram_containment": _d14_sql(),
     "d15_passage_dedup": D15_SQL,
     "d16_soft_dedup_weights": _d16_sql(),
+    "d17_incremental_dedup": _d17_sql(),
+    "d18_dup_graph_triangles": _d18_sql(),
 }

@@ -702,6 +702,123 @@ ORDER BY k.doc_id, neg_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# m11 — video scene-cut detection (frame-delta analysis)
+# ---------------------------------------------------------------------------
+
+#: frame signature = top-7 md5 hex chars (28 bits); a cut is a frame
+#: whose signature differs from its predecessor in >= CUT_BITS bits.
+#: Random 28-bit sigs differ in ~14 bits (σ≈2.6), so 18 marks genuinely
+#: dissimilar frames while real consecutive frames (near-identical
+#: payload) differ in 0.
+CUT_BITS = 18
+
+
+def m11_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the fake-video frame series: consecutive
+    frame signatures (m05's 256-char blocks) are compared by Hamming
+    distance; a jump >= CUT_BITS bits is a cut — the shot-boundary pass
+    every video-training pipeline runs before frame sampling (sample
+    per-shot, not per-second). Output per doc: frame count, cut count,
+    mean shot length, and a digest of the cut positions (scalar-only
+    gate contract; the real pipeline keeps the positions column).
+
+    Scale shape: pure per-row ``mapInPandas`` — the frame series never
+    leaves its row, state per doc is the previous frame's 28-bit
+    signature, no shuffle at any corpus size (a real decoder plugs into
+    the same loop reading the container's keyframe index). The mean shot
+    length is an int/int IEEE division; everything else is exact
+    integers/digests — DuckDB replays the arithmetic bit-for-bit."""
+
+    def detect(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nfr, ncut, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                txt = payload.decode("utf-8")
+                n = -(-len(txt) // FRAME_CHARS)
+                prev, cuts = None, []
+                for fi in range(n):
+                    frame = txt[fi * FRAME_CHARS : (fi + 1) * FRAME_CHARS]
+                    sig = int(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()[:7], 16
+                    )
+                    if prev is not None and bin(sig ^ prev).count("1") >= CUT_BITS:
+                        cuts.append(fi)
+                    prev = sig
+                ids.append(doc_id)
+                nfr.append(n)
+                ncut.append(len(cuts))
+                digests.append(
+                    hashlib.md5(",".join(map(str, cuts)).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "n_cuts": ncut,
+                    "cuts_md5": digests,
+                }
+            )
+
+    schema = "doc_id bigint, n_frames bigint, n_cuts bigint, cuts_md5 string"
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(detect, schema)
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_cuts",
+            F.expr(
+                "IF(n_frames > 0, "
+                "CAST(n_frames AS DOUBLE) / (n_cuts + 1), NULL)"
+            ).alias("mean_shot_frames"),
+            "cuts_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+M11_SQL = f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT)))
+           AS frame_idx,
+         text
+  FROM documents
+), sigs AS (
+  SELECT doc_id, frame_idx,
+         CAST(concat('0x', substr(md5(substr(text,
+              CAST(frame_idx * {FRAME_CHARS} + 1 AS BIGINT), {FRAME_CHARS})),
+              1, 7)) AS BIGINT) AS sig
+  FROM frames
+), deltas AS (
+  SELECT doc_id, frame_idx, sig,
+         lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM sigs
+), cuts AS (
+  SELECT doc_id, frame_idx FROM deltas
+  WHERE prev IS NOT NULL AND bit_count(xor(sig, prev)) >= {CUT_BITS}
+), agg AS (
+  SELECT s.doc_id,
+         CAST(count(DISTINCT s.frame_idx) AS BIGINT) AS n_frames,
+         CAST(count(c.frame_idx) AS BIGINT) AS n_cuts,
+         md5(string_agg(c.frame_idx, ',' ORDER BY c.frame_idx)) AS cuts_md5_raw
+  FROM sigs s LEFT JOIN cuts c USING (doc_id, frame_idx)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_frames, n_cuts,
+       CASE WHEN n_frames > 0
+            THEN CAST(n_frames AS DOUBLE) / (n_cuts + 1) END AS mean_shot_frames,
+       coalesce(cuts_md5_raw, md5('')) AS cuts_md5
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -713,6 +830,7 @@ QUERIES = {
     "m08_perceptual_hash": m08_perceptual_hash,
     "m09_aspect_bucket_batches": m09_aspect_bucket_batches,
     "m10_contrastive_pairs": m10_contrastive_pairs,
+    "m11_scene_cuts": m11_scene_cuts,
 }
 
 ORACLES = {
@@ -726,4 +844,5 @@ ORACLES = {
     "m08_perceptual_hash": M08_SQL,
     "m09_aspect_bucket_batches": M09_SQL,
     "m10_contrastive_pairs": M10_SQL,
+    "m11_scene_cuts": M11_SQL,
 }

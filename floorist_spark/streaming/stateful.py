@@ -351,11 +351,190 @@ HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE)
 ORDER BY user_id, session_start
 """
 
+# ---------------------------------------------------------------------------
+# e26 — streaming alert throttle (TTL cooldown with true state eviction)
+# ---------------------------------------------------------------------------
+#
+# The notification/alerting primitive: per (user, event_type), emit an
+# event only if no emission happened within the trailing cooldown —
+# deterministically, the greedy anchor chain over (ts, event_id) order:
+# the first event is kept, every later event is kept iff its timestamp is
+# >= the previous KEPT event + TTL. dropDuplicatesWithinWatermark cannot
+# express this (its kept representative is arrival-order-dependent); the
+# custom state function makes it a pure function of the data.
+
+#: cooldown between kept events per (user_id, event_type) key
+THROTTLE_TTL_US = 72 * 3600 * 1_000_000
+
+_E26_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("kept_us", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+#: anchor = last kept timestamp; buf = events still above the watermark
+#: (unprocessable: an earlier event could still arrive). Bounded by the
+#: watermark horizon — never the stream.
+_E26_STATE = StructType(
+    [
+        StructField("anchor_us", LongType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+    ]
+)
+
+
+def _throttle(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-key throttle. Greedy-chain correctness requires processing
+    events in FINAL time order, so an event is folded only once the
+    watermark passes it (no earlier event can still arrive); younger
+    events wait in a watermark-bounded buffer and a timeout re-delivers
+    them when the watermark moves. State eviction: once the anchor is
+    older than wm − TTL and the buffer is empty, the key's state is
+    REMOVED — any future event (necessarily >= wm) would be kept
+    regardless, so the anchor carries no information. That bound is what
+    keeps the state store finite on an unbounded stream."""
+    import pandas as pd
+
+    if state.exists:
+        anchor, buf_us, buf_eid = state.get
+        buf = list(zip(buf_us, buf_eid))
+    else:
+        anchor, buf = None, []
+
+    frames = list(pdfs)
+    if frames:
+        merged = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        buf.extend(
+            zip(merged["us"].astype("int64"), merged["event_id"].astype("int64"))
+        )
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ripe = [(int(us), int(eid)) for us, eid in buf if us <= wm_us]
+    buf = [(int(us), int(eid)) for us, eid in buf if us > wm_us]
+
+    kept = []
+    for us, eid in ripe:
+        if anchor is None or us >= anchor + THROTTLE_TTL_US:
+            kept.append((us, eid))
+            anchor = us
+
+    if not buf and (anchor is None or anchor + THROTTLE_TTL_US <= wm_us):
+        state.remove()
+    else:
+        state.update((anchor, [u for u, _ in buf], [e for _, e in buf]))
+        if buf:
+            state.setTimeoutTimestamp(max(buf[0][0] // 1000, wm_us // 1000 + 1))
+        else:
+            # nothing buffered: wake when the anchor itself expires so the
+            # state can be evicted instead of lingering forever
+            state.setTimeoutTimestamp(
+                max((anchor + THROTTLE_TTL_US) // 1000, wm_us // 1000 + 1)
+            )
+
+    if kept:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(kept),
+                "event_type": [key[1]] * len(kept),
+                "kept_us": [u for u, _ in kept],
+                "event_id": [e for _, e in kept],
+            }
+        )
+
+
+def e26_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TTL throttle over the events stream: one shuffle on the
+    (user_id, event_type) key, state = one anchor + the watermark-bounded
+    tail. With an availableNow pass the final watermark is max(ts) −
+    10 min (ms-truncated), so the emitted anchor set is a deterministic
+    prefix of the greedy chain — hash-checkable against the recursive-CTE
+    oracle below."""
+    from floorist_spark.operators.events_analytics import _events_stream
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+    )
+    kept = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _throttle,
+        _E26_OUT,
+        _E26_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        kept.writeStream.format("memory")
+        .queryName("e26_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("e26_stream_sink")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("timestamp_micros(kept_us)").alias("kept_ts"),
+            "event_id",
+        )
+        .orderBy("user_id", "event_type", "kept_ts")
+    )
+
+
+#: greedy anchor chain per key via recursive CTE: each kept row joins to
+#: its unique successor (the earliest event >= anchor + TTL); the final
+#: filter mirrors the operator's ms-truncated watermark cutoff (only
+#: anchors the stream could have flushed are emitted)
+E26_SQL = f"""
+WITH RECURSIVE kept AS (
+  SELECT user_id, event_type, ts, event_id FROM events e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = e.user_id AND p.event_type = e.event_type
+      AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id)))
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id
+  FROM kept k JOIN events n
+    ON n.user_id = k.user_id AND n.event_type = k.event_type
+   AND epoch_us(n.ts) >= epoch_us(k.ts) + {THROTTLE_TTL_US}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = k.user_id AND p.event_type = k.event_type
+      AND epoch_us(p.ts) >= epoch_us(k.ts) + {THROTTLE_TTL_US}
+      AND (p.ts < n.ts OR (p.ts = n.ts AND p.event_id < n.event_id)))
+)
+SELECT user_id, event_type, ts AS kept_ts, event_id
+FROM kept
+WHERE epoch_us(ts) <= (SELECT (epoch_us(max(ts)) // 1000
+                               - {WATERMARK_DELAY_MIN} * 60000) * 1000
+                       FROM events)
+ORDER BY user_id, event_type, kept_ts
+"""
+
+
 QUERIES = {
     "d08_streaming_dedup": d08_streaming_dedup,
     "e15_custom_sessionizer": e15_custom_sessionizer,
+    "e26_alert_throttle": e26_alert_throttle,
 }
 ORACLES = {
     "d08_streaming_dedup": D08_SQL,
     "e15_custom_sessionizer": E15_SQL,
+    "e26_alert_throttle": E26_SQL,
 }

@@ -191,3 +191,115 @@ def test_soft_dedup_weights(spark, dup_docs_dir):
     assert got[5]["n_members"] == 1 and got[5]["weight"] == 1.0
     # expected training mass per cluster = exactly one document
     assert sum(r["weight"] for r in got.values()) == 3.0
+
+
+def test_incremental_dedup_arrivals_vs_index(spark, dup_docs_dir):
+    from floorist_spark.operators.dedup import d17_incremental_dedup
+
+    rows = {r["doc_id"]: r for r in d17_incremental_dedup(spark, dup_docs_dir).collect()}
+    # arrivals are doc_id % 5 == 0 -> docs 0 and 5; the rest is the index
+    assert set(rows) == {0, 5}
+    # doc0 duplicates indexed docs 1 and 2 (identical text, jaccard 1.0);
+    # best match ties break to the LOWEST index id
+    assert rows[0]["is_dup"] is True
+    assert rows[0]["dup_of"] == 1 and rows[0]["best_jaccard"] == 1.0
+    # doc5 is unique -> passes through with NULLs
+    assert rows[5]["is_dup"] is False
+    assert rows[5]["dup_of"] is None and rows[5]["best_jaccard"] is None
+
+
+@pytest.fixture(scope="module")
+def throttle_events_dir(spark, tmp_path_factory):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # u1/click: kept at t0; +1h suppressed; exactly +72h kept again
+        (1, t0, 1, "click"),
+        (2, t0 + dt.timedelta(hours=1), 1, "click"),
+        (3, t0 + dt.timedelta(hours=72), 1, "click"),
+        # u1/view: independent key -> kept despite u1/click's cooldown
+        (4, t0 + dt.timedelta(hours=1), 1, "view"),
+        # u2/click: single event inside the final watermark hold
+        # (10 min before max ts) -> must NOT be emitted
+        (5, t0 + dt.timedelta(days=30, minutes=-5), 2, "click"),
+        # watermark driver: pushes max(ts) so earlier anchors flush
+        (6, t0 + dt.timedelta(days=30), 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    out = str(tmp_path_factory.mktemp("thr_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_alert_throttle_cooldown_and_watermark(spark, throttle_events_dir):
+    from floorist_spark.streaming.stateful import e26_alert_throttle
+
+    rows = e26_alert_throttle(spark, throttle_events_dir).collect()
+    kept = {(r["user_id"], r["event_type"], r["event_id"]) for r in rows}
+    # u1/click: first kept, +1h suppressed, +72h (boundary inclusive) kept
+    assert (1, "click", 1) in kept and (1, "click", 3) in kept
+    assert (1, "click", 2) not in kept
+    # per-key independence
+    assert (1, "view", 4) in kept
+    # u2's anchor sits above the final watermark (max ts - 10 min): held
+    assert (2, "click", 5) not in kept
+    # the watermark driver itself is held too (its ts IS max ts)
+    assert (3, "view", 6) not in kept
+
+
+@pytest.fixture(scope="module")
+def video_docs_dir(spark, tmp_path_factory):
+    from floorist_spark.operators.multimodal import FRAME_CHARS
+
+    # doc1: two IDENTICAL frames -> zero signature delta -> no cut
+    # doc2: one frame -> no deltas at all
+    # doc3: two frames of unrelated content -> cut iff hamming >= CUT_BITS
+    #       (expected value computed in the test with the same public rule)
+    rows = [
+        (1, "a" * FRAME_CHARS + "a" * FRAME_CHARS, "en", "web", 512),
+        (2, "b" * 10, "en", "web", 10),
+        (3, "c" * FRAME_CHARS + "d" * FRAME_CHARS, "en", "web", 512),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path_factory.mktemp("vid_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_scene_cuts(spark, video_docs_dir):
+    import hashlib
+
+    from floorist_spark.operators.multimodal import (
+        CUT_BITS,
+        FRAME_CHARS,
+        m11_scene_cuts,
+    )
+
+    got = {r["doc_id"]: r for r in m11_scene_cuts(spark, video_docs_dir).collect()}
+    # identical frames: no cut, one 2-frame shot
+    assert got[1]["n_frames"] == 2 and got[1]["n_cuts"] == 0
+    assert got[1]["mean_shot_frames"] == 2.0
+    assert got[1]["cuts_md5"] == hashlib.md5(b"").hexdigest()
+    # single frame: trivially cutless
+    assert got[2]["n_frames"] == 1 and got[2]["n_cuts"] == 0
+    # unrelated frames: expected from the definition itself
+    sig = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+    ham = bin(sig("c" * FRAME_CHARS) ^ sig("d" * FRAME_CHARS)).count("1")
+    want = 1 if ham >= CUT_BITS else 0
+    assert got[3]["n_cuts"] == want
+
+
+def test_dup_graph_triangles(spark, dup_docs_dir):
+    from floorist_spark.operators.dedup import d18_dup_graph_triangles
+
+    row = d18_dup_graph_triangles(spark, dup_docs_dir).collect()[0]
+    # cluster {0,1,2} -> 3 edges + 1 triangle; cluster {3,4} -> 1 edge
+    assert row["n_edges"] == 4
+    # degrees 2,2,2,1,1 -> wedges = 3x1
+    assert row["n_wedges"] == 3
+    assert row["n_triangles"] == 1
+    # the triangle closes every wedge: perfect clique cohesion
+    assert row["clustering_coeff"] == 1.0
