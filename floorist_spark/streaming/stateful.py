@@ -408,14 +408,24 @@ def _throttle(
     else:
         anchor, buf = None, []
 
+    wm_us = state.getCurrentWatermarkMs() * 1000
     frames = list(pdfs)
     if frames:
         merged = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        # applyInPandasWithState does NOT drop late rows itself — an
+        # arriving event at or below the watermark must be discarded HERE,
+        # or it would retroactively steal an anchor the chain already
+        # committed (pinned by the cross-batch test). State-buffered
+        # events below the watermark are the opposite case: they arrived
+        # on time and are now safe to fold.
         buf.extend(
-            zip(merged["us"].astype("int64"), merged["event_id"].astype("int64"))
+            (int(us), int(eid))
+            for us, eid in zip(
+                merged["us"].astype("int64"), merged["event_id"].astype("int64")
+            )
+            if us > wm_us
         )
 
-    wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort()
     ripe = [(int(us), int(eid)) for us, eid in buf if us <= wm_us]
     buf = [(int(us), int(eid)) for us, eid in buf if us > wm_us]

@@ -118,3 +118,82 @@ def test_stream_dir_flattens_directory_shaped_tables(spark, tmp_path):
     assert sorted(r["keep_doc_id"] for r in got) == sorted(
         r["keep_doc_id"] for r in want
     )
+
+
+@pytest.fixture
+def throttle_two_batch_dir(spark, tmp_path):
+    """Two micro-batches for the e26 throttle with the cooldown chain
+    SPLIT across the batch boundary, plus a planted late event that would
+    corrupt the chain if the watermark did not drop it."""
+    import datetime as dt
+
+    d = f"file://{tmp_path}/events_stream"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    batch1 = [
+        (1, t0, 1, "click"),            # u1 anchor
+        (2, t0 + h, 1, "click"),        # inside cooldown -> suppressed
+        (10, t0, 2, "click"),           # u2 anchor
+        (90, t0 + h, 9, "view"),        # watermark driver #1
+    ]
+    batch2 = [
+        (3, t0 + 73 * h, 1, "click"),   # past cooldown -> kept
+        # LATE: below the batch-2 watermark (t0+1h - 10min) AND earlier
+        # than u2's anchor — if not dropped it would steal the anchor
+        (11, t0 - h, 2, "click"),
+        (91, t0 + 200 * h, 9, "view"),  # watermark driver #2
+    ]
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(d)
+    return d, t0
+
+
+def test_throttle_chain_survives_batch_boundary(spark, throttle_two_batch_dir):
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from floorist_spark.streaming.stateful import (
+        _E26_OUT,
+        _E26_STATE,
+        _throttle,
+    )
+
+    d, t0 = throttle_two_batch_dir
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id", "event_type", "ts",
+            F.expr("unix_micros(ts)").alias("us"), "event_id",
+        )
+    )
+    kept = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _throttle, _E26_OUT, _E26_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("throttle_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # genuinely multi-batch
+
+    out = spark.table("throttle_test_sink").toPandas()
+    got = {(int(r.user_id), r.event_type, int(r.event_id)) for r in out.itertuples()}
+    # u1's chain spans the boundary: anchor from batch 1, the +73h kept
+    # event from batch 2, the +1h event suppressed by batch-1 state
+    assert (1, "click", 1) in got and (1, "click", 3) in got
+    assert (1, "click", 2) not in got
+    # the late batch-2 event was DROPPED, not anchored: u2 keeps event 10
+    assert (2, "click", 10) in got
+    assert (2, "click", 11) not in got
+    # watermark driver #2 sits above the final watermark -> held
+    assert (9, "view", 90) in got and (9, "view", 91) not in got
+    assert len(got) == 4
