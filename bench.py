@@ -69,11 +69,13 @@ HEADLINE = (
     "e19_cooccurrence_lift",
     "e20_hll_distinct",
     "e23_rolling_active",
+    "e24_growth_accounting",
     "e25_attribution",
     "c13_data_card",
     "c14_epoch_allocation",
     "s13_filtered_ann",
     "s14_index_health",
+    "t16_zipf_audit",
     "t17_token_diversity",
     "d16_soft_dedup_weights",
     "d17_incremental_dedup",

@@ -299,6 +299,28 @@ ORDER BY doc_a, doc_b
 # d04 — LSH candidates + exact Jaccard verify
 # ---------------------------------------------------------------------------
 
+def _score_candidates(
+    hashed: DataFrame, cand: DataFrame, left: str, right: str
+) -> DataFrame:
+    """Join both sides' hashed shingle sets onto a candidate-pair table
+    and keep pairs at/above JACCARD_THRESHOLD — the verify stage shared
+    by the symmetric (d04 self-pair) and asymmetric (d17 batch-vs-index)
+    paths, so the threshold and the integer-set Jaccard live in exactly
+    one Spark site."""
+    a = hashed.alias("da")
+    b = hashed.alias("db")
+    return (
+        cand.join(a, cand[left] == F.col("da.doc_id"))
+        .join(b, cand[right] == F.col("db.doc_id"))
+        .select(
+            left,
+            right,
+            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates that passed the exact
     Jaccard >= 0.8 verify. Memoized: d04 returns it ordered, d09 clusters
@@ -317,18 +339,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        a = hashed.alias("da")
-        b = hashed.alias("db")
-        return (
-            cand.join(a, cand.doc_a == F.col("da.doc_id"))
-            .join(b, cand.doc_b == F.col("db.doc_id"))
-            .select(
-                "doc_a",
-                "doc_b",
-                F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        )
+        return _score_candidates(hashed, cand, "doc_a", "doc_b")
 
     return memo(spark, "dedup_verified_pairs", sf_dir, build)
 
@@ -1191,16 +1202,8 @@ def d17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hashed = _hashed_shingles(spark, sf_dir)
-    scored = (
-        cand.join(hashed.alias("da"), cand.arrival_id == F.col("da.doc_id"))
-        .join(hashed.alias("db"), cand.index_id == F.col("db.doc_id"))
-        .select(
-            "arrival_id",
-            "index_id",
-            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    scored = _score_candidates(
+        _hashed_shingles(spark, sf_dir), cand, "arrival_id", "index_id"
     )
     w = Window.partitionBy("arrival_id").orderBy(
         F.desc("jaccard"), F.asc("index_id")
@@ -1300,8 +1303,12 @@ def d18_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
+    # coalesce: on an edge-free graph (clean corpus) the degree table is
+    # empty and sum() yields NULL — the count columns say 0, so must this
     stats = deg.groupBy().agg(
-        F.expr("CAST(sum(deg * (deg - 1) DIV 2) AS BIGINT)").alias("n_wedges")
+        F.expr(
+            "CAST(coalesce(sum(deg * (deg - 1) DIV 2), 0) AS BIGINT)"
+        ).alias("n_wedges")
     )
     counts = edges.groupBy().agg(F.count("*").alias("n_edges"))
     tri_count = tri.groupBy().agg(F.count("*").alias("n_triangles"))
@@ -1347,14 +1354,16 @@ deg AS (
     SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
   ) GROUP BY v
 )
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-       (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg)
-         AS n_wedges,
-       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
-       CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0
-            THEN CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
-                 / (SELECT sum(deg * (deg - 1) // 2) FROM deg)
+-- single-row aggregates computed ONCE each (a repeated subquery would
+-- re-run the wedge/triangle joins per reference — plain CTEs inline)
+SELECT ec.n_edges, wc.n_wedges, tc.n_triangles,
+       CASE WHEN wc.n_wedges > 0
+            THEN CAST(3 * tc.n_triangles AS DOUBLE) / wc.n_wedges
        END AS clustering_coeff
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges) ec,
+     (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+        AS n_wedges FROM deg) wc,
+     (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri) tc
 """
 
 

@@ -810,12 +810,18 @@ WITH frames AS (
   FROM sigs s LEFT JOIN cuts c USING (doc_id, frame_idx)
   GROUP BY s.doc_id
 )
-SELECT doc_id, n_frames, n_cuts,
-       CASE WHEN n_frames > 0
-            THEN CAST(n_frames AS DOUBLE) / (n_cuts + 1) END AS mean_shot_frames,
-       coalesce(cuts_md5_raw, md5('')) AS cuts_md5
-FROM agg
-ORDER BY doc_id
+-- LEFT JOIN back to documents: a zero-frame (empty-text) doc generates
+-- no frames rows but the Spark side still emits its (0, 0, NULL, md5(''))
+-- row — dropping it here would row-count-mismatch the gate
+SELECT d.doc_id,
+       coalesce(a.n_frames, CAST(0 AS BIGINT)) AS n_frames,
+       coalesce(a.n_cuts, CAST(0 AS BIGINT)) AS n_cuts,
+       CASE WHEN a.n_frames > 0
+            THEN CAST(a.n_frames AS DOUBLE) / (a.n_cuts + 1)
+       END AS mean_shot_frames,
+       coalesce(a.cuts_md5_raw, md5('')) AS cuts_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """
 
 

@@ -1084,13 +1084,17 @@ def t17_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select(
             "doc_id",
-            F.expr(f"CAST(size({_TOK_S}) AS BIGINT)").alias("n_tokens"),
+            # coalesce: NULL text → NULL token array → size/fold NULL;
+            # the oracle's LEFT JOIN + coalesce reports 0 there, so must we
+            F.expr(f"CAST(coalesce(size({_TOK_S}), 0) AS BIGINT)").alias(
+                "n_tokens"
+            ),
             F.expr(fold).alias("acc"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            F.expr("acc.types").alias("n_types"),
+            F.expr("coalesce(acc.types, 0L)").alias("n_types"),
             # explicit empty-doc guard: divide-by-zero semantics differ
             # across engines (Spark NULL, DuckDB ieee inf), so neither is
             # allowed to reach the gate

@@ -441,7 +441,14 @@ def _throttle(
     else:
         state.update((anchor, [u for u, _ in buf], [e for _, e in buf]))
         if buf:
-            state.setTimeoutTimestamp(max(buf[0][0] // 1000, wm_us // 1000 + 1))
+            # arm one ms EARLY: event-time timeouts fire only when the
+            # watermark advances STRICTLY beyond the armed timestamp, so
+            # arming exactly at buf[0]'s ms would never fire for an event
+            # whose ms equals the final watermark — the oracle's `<=`
+            # cutoff would include it and the gate would mismatch
+            state.setTimeoutTimestamp(
+                max(buf[0][0] // 1000 - 1, wm_us // 1000 + 1)
+            )
         else:
             # nothing buffered: wake when the anchor itself expires so the
             # state can be evicted instead of lingering forever

@@ -303,3 +303,65 @@ def test_dup_graph_triangles(spark, dup_docs_dir):
     assert row["n_triangles"] == 1
     # the triangle closes every wedge: perfect clique cohesion
     assert row["clustering_coeff"] == 1.0
+
+
+def test_scene_cuts_empty_doc_survives(spark, tmp_path_factory):
+    import hashlib
+
+    from floorist_spark.operators.multimodal import m11_scene_cuts
+
+    rows = [(1, "", "en", "web", 0), (2, "x" * 10, "en", "web", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path_factory.mktemp("vid_empty_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"]: r for r in m11_scene_cuts(spark, out).collect()}
+    # the zero-frame doc is EMITTED, not dropped (oracle LEFT JOINs to match)
+    assert got[1]["n_frames"] == 0 and got[1]["n_cuts"] == 0
+    assert got[1]["mean_shot_frames"] is None
+    assert got[1]["cuts_md5"] == hashlib.md5(b"").hexdigest()
+    assert got[2]["n_frames"] == 1
+
+
+def test_token_diversity_null_text(spark, tmp_path_factory):
+    rows = [(1, None, "en", "web", 0), (2, "a b", "en", "web", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path_factory.mktemp("nulltext_r5c"))
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"]: r for r in t17_token_diversity(spark, out).collect()}
+    # NULL text reports ZERO counts (the oracle's LEFT JOIN convention),
+    # with the ratio columns NULL via the zero-token guard
+    assert got[1]["n_tokens"] == 0 and got[1]["n_types"] == 0
+    assert got[1]["ttr"] is None and got[1]["simpson"] is None
+    assert got[2]["n_tokens"] == 2
+
+
+def test_triangles_edge_free_graph(spark, tmp_path_factory):
+    from pyspark.sql import functions as F2
+
+    from floorist_spark.operators.dedup import d18_dup_graph_triangles
+
+    base = (
+        "concat_ws(' ', transform(sequence(1, 40), j -> "
+        "substring(md5(concat(CAST({k} AS STRING), ':', CAST(j AS STRING))), 1, 8)))"
+    )
+    docs = spark.range(3).select(
+        F2.col("id").alias("doc_id"),
+        F2.expr(
+            f"CASE WHEN id = 0 THEN {base.format(k=1)} "
+            f"WHEN id = 1 THEN {base.format(k=2)} ELSE {base.format(k=3)} END"
+        ).alias("text"),
+        F2.lit("en").alias("lang"),
+        F2.lit("synthetic").alias("source"),
+        F2.lit(359).cast("bigint").alias("n_chars"),
+    )
+    out = str(tmp_path_factory.mktemp("nodup_r5c"))
+    docs.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    row = d18_dup_graph_triangles(spark, out).collect()[0]
+    # all-unique corpus: zero everything, coefficient NULL (not NaN/inf),
+    # and wedges 0 (not NULL) to match the oracle's coalesce
+    assert row["n_edges"] == 0 and row["n_wedges"] == 0
+    assert row["n_triangles"] == 0 and row["clustering_coeff"] is None

@@ -141,6 +141,10 @@ def throttle_two_batch_dir(spark, tmp_path):
         # LATE: below the batch-2 watermark (t0+1h - 10min) AND earlier
         # than u2's anchor — if not dropped it would steal the anchor
         (11, t0 - h, 2, "click"),
+        # EXACTLY at the final watermark (t0+200h - 10min): the oracle's
+        # <= cutoff includes it, so the timeout must fire for it too
+        # (armed one ms early — strictly-beyond firing semantics)
+        (40, t0 + 200 * h - dt.timedelta(minutes=10), 4, "click"),
         (91, t0 + 200 * h, 9, "view"),  # watermark driver #2
     ]
     schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
@@ -196,4 +200,7 @@ def test_throttle_chain_survives_batch_boundary(spark, throttle_two_batch_dir):
     assert (2, "click", 11) not in got
     # watermark driver #2 sits above the final watermark -> held
     assert (9, "view", 90) in got and (9, "view", 91) not in got
-    assert len(got) == 4
+    # the boundary event (ts == final watermark) IS emitted — the
+    # inclusive cutoff the recursive oracle uses
+    assert (4, "click", 40) in got
+    assert len(got) == 5
