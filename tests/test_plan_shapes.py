@@ -329,3 +329,38 @@ def test_d16_reuses_memoized_chain_one_added_shuffle(spark):
     plan = _plan(d16_soft_dedup_weights(spark, SF_SMOKE))
     # the only NEW work over d09's label table is the cluster-size window
     assert plan.count("Exchange hashpartitioning(cluster_id") == 1
+
+
+def test_d17_asymmetric_probe_no_cartesian(spark):
+    from floorist_spark.operators.dedup import d17_incremental_dedup
+
+    plan = _plan(d17_incremental_dedup(spark, SF_SMOKE))
+    # the batch-vs-index candidate join keys on (band, sig) — a plan
+    # regression to a cross product would be quadratic in the index
+    assert "CartesianProduct" not in plan
+    # exchanges never carry shingle arrays (sh dies before any shuffle of
+    # the candidate pair table)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", plan):
+        assert ", sh#" not in m.group(0)
+
+
+def test_d18_wedge_join_keyed(spark):
+    from floorist_spark.operators.dedup import d18_dup_graph_triangles
+
+    plan = _plan(d18_dup_graph_triangles(spark, SF_SMOKE))
+    # wedge build and triangle close are equi-joins; the 1-row count
+    # tables broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_m11_scene_cuts_no_shuffle(spark):
+    from floorist_spark.operators.multimodal import m11_scene_cuts
+
+    plan = _plan(m11_scene_cuts(spark, SF_SMOKE))
+    # pure per-row frame pass: no hash exchange, no join, no explode
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "Generate" not in plan
