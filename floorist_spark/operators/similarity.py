@@ -101,8 +101,10 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 def s02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3: candidates restricted to the query's sign-LSH
-    bucket (expected N/256 of the corpus per bucket). The join keys on the
-    bucket — shuffle partitions by bucket, candidate count is
+    bucket (expected N/256 of the corpus per bucket). The bounded query
+    side broadcasts explicitly (not left to AQE statistics, which at
+    small SF happily build the CORPUS side — wrong at scale), so the
+    corpus streams through with ZERO shuffle; candidate count is
     sum(|bucket|·|queries in bucket|), never Q·N."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", F.expr(_sign_bucket_spark("embedding")).alias("bucket")
@@ -119,7 +121,7 @@ def s02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -208,7 +210,7 @@ def s04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        q.join(c, "centroid_id")
+        F.broadcast(q).join(c, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -276,7 +278,7 @@ def s06_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
         .distinct()
@@ -624,7 +626,7 @@ def s08_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("approx_cosine"), F.asc("neighbor_id")
     )
     pool = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -960,7 +962,7 @@ def s12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
     return (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "true_label", "neighbor_id", "n_label",
@@ -1061,7 +1063,7 @@ def s13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        q.join(c, ["label", "bucket"])
+        F.broadcast(q).join(c, ["label", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "label", "neighbor_id", F.expr(_COS_S).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
