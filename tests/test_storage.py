@@ -197,3 +197,23 @@ def test_verify_access_denied_with_failed_probe_reraises(spark, monkeypatch):
     monkeypatch.setattr(client, "_fs", lambda uri: fs)
     with pytest.raises(RuntimeError, match="AccessDenied"):
         client.verify()
+
+
+def test_append_schema_evolution_readback_contract(spark, storage):
+    """A floorplan query that GAINS a column between scheduled runs lands
+    mixed-schema files on the same append prefix (the reference's pandas
+    sink behaves identically). Pin the read-back contract: a plain read
+    resolves a single file's schema, while mergeSchema=true recovers the
+    union with NULLs for the old files — the recipe consumers of an
+    evolved dump prefix must use."""
+    target = f"{storage.base_uri}/evolved"
+    run1 = spark.range(3).selectExpr("id AS a")
+    run2 = spark.range(3, 5).selectExpr("id AS a", "id * 10 AS b")
+    storage.write_parquet(run1, target, parity=True)
+    storage.write_parquet(run2, target, parity=True)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(target)
+    assert sorted(c.lower() for c in merged.columns) == ["a", "b"]
+    rows = {r["a"]: r["b"] for r in merged.collect()}
+    assert rows[4] == 40 and rows[0] is None  # old files surface NULL b
+    assert merged.count() == 5
