@@ -813,12 +813,20 @@ def e14_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.crossJoin(F.broadcast(stats))
-        # degenerate-corpus guard, in EXACT integer arithmetic so both
-        # engines agree: population variance > 0 ⟺ n·Σc² > (Σc)². With
-        # zero variance Spark's Divide yields NULL where DuckDB yields
+        # degenerate-corpus guard, in EXACT arithmetic so both engines
+        # agree: population variance > 0 ⟺ n·Σc² > (Σc)². With zero
+        # variance Spark's Divide yields NULL where DuckDB yields
         # inf/NaN — filtering first keeps the engines from ever scoring
-        # the undefined case (no hour is an outlier of a flat corpus)
-        .filter(F.expr("ss * n_hours > s * s"))
+        # the undefined case. DECIMAL(38,0) (HUGEINT in the oracle)
+        # because (Σc)² overflows BIGINT past ~3e9 total events — at the
+        # scale this module targets, a wrapped product would silently
+        # drop EVERY hour; 38 digits hold (9.2e18)² exactly
+        .filter(
+            F.expr(
+                "CAST(ss AS DECIMAL(38,0)) * n_hours "
+                "> CAST(s AS DECIMAL(38,0)) * s"
+            )
+        )
         .withColumn("mean_events", F.expr("CAST(s AS DOUBLE) / n_hours"))
         .withColumn(
             "z",
@@ -850,7 +858,9 @@ WITH hourly AS (
                   - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours))
            AS z
   FROM hourly, stats
-  WHERE ss * n_hours > s * s  -- zero-variance guard, mirrors the Spark side
+  -- zero-variance guard, mirrors the Spark side; HUGEINT (128-bit) keeps
+  -- the squared sum exact where BIGINT would overflow past ~3e9 events
+  WHERE CAST(ss AS HUGEINT) * n_hours > CAST(s AS HUGEINT) * s
 )
 SELECT hour, n_events, mean_events, z FROM scored
 WHERE abs(z) >= {Z_THRESHOLD} ORDER BY hour

@@ -496,10 +496,15 @@ WITH raw AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
   FROM documents
 ), sampled AS (
+  -- the n=0 guard must wrap px ITSELF: an empty payload yields hx='' and
+  -- CAST('0x' AS BIGINT) errors — guarding only the consumer (below)
+  -- still evaluates the cast here
   SELECT doc_id, n,
-         list_transform(range(0, {PHASH_BITS}), i ->
-           CAST(concat('0x', substr(hx, (2 * ((i * n) // {PHASH_BITS}))::INT + 1, 2))
-                AS BIGINT)) AS px
+         CASE WHEN n = 0 THEN [] ELSE
+           list_transform(range(0, {PHASH_BITS}), i ->
+             CAST(concat('0x', substr(hx, (2 * ((i * n) // {PHASH_BITS}))::INT + 1, 2))
+                  AS BIGINT))
+         END AS px
   FROM raw
 )
 SELECT doc_id,

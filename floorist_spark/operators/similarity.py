@@ -39,17 +39,19 @@ _COS_S = tf.cosine_spark("q_emb", "c_emb")
 _COS_D = tf.cosine_duck("q.embedding", "c.embedding")
 
 
-def _sign_bucket_spark(col: str) -> str:
-    """8-bit bucket from the signs of the first 8 coordinates."""
+def _sign_bucket_spark(col: str, bits: int = 8) -> str:
+    """``bits``-bit bucket from the signs of the first ``bits`` coords —
+    index resolution is the knob (s13 composes a coarser 4-bit bucket
+    with its label predicate; everything else uses the 8-bit default)."""
     return (
-        f"aggregate(sequence(0, 7), 0, (acc, j) -> "
+        f"aggregate(sequence(0, {bits - 1}), 0, (acc, j) -> "
         f"acc + IF(element_at({col}, j + 1) > 0, shiftleft(1, j), 0))"
     )
 
 
-def _sign_bucket_duck(col: str) -> str:
+def _sign_bucket_duck(col: str, bits: int = 8) -> str:
     return (
-        f"CAST(list_sum(list_transform(range(0, 8), j -> "
+        f"CAST(list_sum(list_transform(range(0, {bits}), j -> "
         f"CASE WHEN {col}[(j + 1)::INT] > 0 THEN (1 << j::INT) ELSE 0 END)) AS INTEGER)"
     )
 
@@ -1039,15 +1041,11 @@ def s13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by the label cardinality, so the combined key keeps
     comparable occupancy — index resolution composes with filter
     selectivity, the knob a production index tunes per-label."""
-    bucket4_s = (
-        "aggregate(sequence(0, 3), 0, (acc, j) -> "
-        "acc + IF(element_at(embedding, j + 1) > 0, shiftleft(1, j), 0))"
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         "label",
-        F.expr(bucket4_s).alias("bucket"),
+        F.expr(_sign_bucket_spark("embedding", bits=4)).alias("bucket"),
     )
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
@@ -1072,14 +1070,10 @@ def s13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET4_D = (
-    "CAST(list_sum(list_transform(range(0, 4), j -> "
-    "CASE WHEN embedding[(j + 1)::INT] > 0 THEN (1 << j::INT) ELSE 0 END)) AS INTEGER)"
-)
-
 S13_SQL = f"""
 WITH b AS (
-  SELECT vec_id, embedding, label, {_BUCKET4_D} AS bucket
+  SELECT vec_id, embedding, label,
+         {_sign_bucket_duck("embedding", bits=4)} AS bucket
   FROM embeddings
 ), scored AS (
   SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,

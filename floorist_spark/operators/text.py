@@ -906,6 +906,11 @@ def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = track(
         _docs(spark, sf_dir).select(F.expr(_TOK_S).alias("toks")).persist()
     )
+    # peak cache = 2 corpus copies (current + its lineage parent), not
+    # BPE_ROUNDS+1: once round r's pair-count pass has materialized
+    # corpus r's cache, corpus r-1 is dead and freed here — at larger
+    # scale factors 7 simultaneously-persisted corpus copies would spill
+    prev = None
     rows: list[tuple] = []
     for rnd in range(1, BPE_ROUNDS + 1):
         best = (
@@ -921,16 +926,22 @@ def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # the collect above materialized `corpus`'s cache, so its parent
+        # (read only through that cache from here on) can be released
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merged = f"{a}@@{b}"
         rows.append((rnd, a, b, cnt, merged))
-        corpus = track(
+        new_corpus = track(
             corpus.select(
                 F.expr(_bpe_apply_spark(a, b, merged)).alias("toks")
             ).persist()
         )
+        prev, corpus = corpus, new_corpus
     return spark.createDataFrame(
         rows,
         "round BIGINT, tok_a STRING, tok_b STRING, "

@@ -77,6 +77,17 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
         }
     else:
         targets = {f"{table}.parquet": src}
+    # prune SYMLINKS whose names vanished from the current part-file set —
+    # a regenerated source (different part count) would otherwise leave
+    # dangling links (FileNotFoundException) or stale ones the stream
+    # silently double-reads alongside the new files. Only links are
+    # pruned: this helper owns the links it created, while regular files
+    # are other writers' landed data (e16's incremental-run test appends
+    # one) and must survive
+    for name in os.listdir(d):
+        path = os.path.join(d, name)
+        if name not in targets and os.path.islink(path):
+            os.remove(path)
     for name, target in targets.items():
         link = os.path.join(d, name)
         if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(
@@ -169,18 +180,20 @@ _E15_OUT = StructType(
         StructField("n_events", LongType()),
     ]
 )
-# pending closed-but-unemittable sessions (watermark hasn't passed their
-# end yet) + the open trailing session; ArrayType keeps the state one row
+# every not-yet-emitted session as parallel (start, last-event-ts, count)
+# arrays, sorted by start and pairwise separated by >= the gap; ArrayType
+# keeps the state one row. There is no privileged "open" slot — with
+# out-of-order arrival ANY retained session can still grow, so they are
+# all represented uniformly (the old open/pending split let a straggler
+# front-extend the open session past a pending one, yielding overlapping
+# emissions).
 from pyspark.sql.types import ArrayType  # noqa: E402
 
 _E15_STATE = StructType(
     [
-        StructField("p_start", ArrayType(LongType())),
-        StructField("p_end", ArrayType(LongType())),
-        StructField("p_n", ArrayType(LongType())),
-        StructField("open_start", LongType()),
-        StructField("open_last", LongType()),
-        StructField("open_n", LongType()),
+        StructField("s_start", ArrayType(LongType())),
+        StructField("s_last", ArrayType(LongType())),
+        StructField("s_n", ArrayType(LongType())),
     ]
 )
 
@@ -191,28 +204,38 @@ def _sessionize(
     state: GroupState,
 ) -> Iterator["pd.DataFrame"]:
     """Per-user sessionizer. Data call: fold new events (buffered across
-    ALL Arrow chunks, then sorted ONCE by ts, event_id) into the open
-    session, moving gap-closed sessions to the pending list. Timeout call
-    (empty iterator): the watermark advanced. Either way, emit every
-    session whose end <= watermark, keep the rest, and arm the timeout at
-    the earliest still-unemitted session end.
+    ALL Arrow chunks, then sorted ONCE by ts, event_id) into the retained
+    session list with insert-and-merge semantics. Timeout call (empty
+    iterator): the watermark advanced. Either way, emit every session
+    whose end <= watermark, keep the rest, and arm the timeout one ms
+    before the earliest still-unemitted session end (event-time timeouts
+    fire only strictly beyond the armed ms).
 
     Buffer-then-sort matters: ``applyInPandasWithState`` delivers one
     group as MULTIPLE pandas chunks (bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``) with no global time
     order, so sorting each chunk independently would fold out-of-order
-    spans and corrupt session boundaries. Cross-micro-batch stragglers
-    (an event older than the open session's last timestamp arriving in a
-    LATER call) are handled explicitly below instead of silently
-    rewinding ``o_last``."""
+    spans and corrupt session boundaries.
+
+    Insert-and-merge (not append-to-open) is what keeps multi-batch
+    out-of-order streams equal to the batch gaps-and-islands result: a
+    cross-batch straggler may land inside ANY retained session, in a gap
+    between two (forming its own), or may BRIDGE two retained sessions
+    into one — the old open/pending split mishandled the bridge case and
+    emitted overlapping sessions. An event is dropped only when it is
+    below the watermark AND fits no retained session — then it belongs
+    to a session already emitted (an emitted end <= wm plus an on-time
+    event's us > wm would imply a >= gap distance, so on-time events can
+    never need an emitted session)."""
     import pandas as pd
 
     if state.exists:
-        p_start, p_end, p_n, o_start, o_last, o_n = state.get
-        p_start, p_end, p_n = list(p_start), list(p_end), list(p_n)
+        s_start, s_last, s_n = state.get
+        sessions = [list(t) for t in zip(s_start, s_last, s_n)]
     else:
-        p_start, p_end, p_n, o_start, o_last, o_n = [], [], [], None, None, 0
+        sessions = []
 
+    wm_us = state.getCurrentWatermarkMs() * 1000
     frames = list(pdfs)
     if frames:
         merged = (
@@ -222,58 +245,61 @@ def _sessionize(
         )
         for us in merged.sort_values(["us", "event_id"])["us"].astype("int64"):
             us = int(us)
-            if o_start is None:
-                o_start, o_last, o_n = us, us, 1
-            elif us >= o_last:
-                if us - o_last >= SESSION_GAP_US:
-                    p_start.append(o_start)
-                    p_end.append(o_last + SESSION_GAP_US)
-                    p_n.append(o_n)
-                    o_start, o_last, o_n = us, us, 1
-                else:
-                    o_last, o_n = us, o_n + 1
-            elif us >= o_start or o_start - us < SESSION_GAP_US:
-                # late arrival (earlier micro-batch boundary): it falls
-                # inside — or gap-extends the front of — the open
-                # session; merge without moving the session end backwards
-                o_start, o_n = min(o_start, us), o_n + 1
-            # else: older than every retained session boundary — by the
-            # watermark contract it belongs to an already-closed session;
-            # drop as late rather than invent a retroactive merge
+            # index of the last session starting at or before us
+            i = len(sessions) - 1
+            while i >= 0 and sessions[i][0] > us:
+                i -= 1
+            if i >= 0 and us - sessions[i][1] < SESSION_GAP_US:
+                # joins session i (inside span or gap-extends its tail)
+                sessions[i][1] = max(sessions[i][1], us)
+                sessions[i][2] += 1
+                nxt = i + 1
+                if (
+                    nxt < len(sessions)
+                    and sessions[nxt][0] - sessions[i][1] < SESSION_GAP_US
+                ):
+                    # the extension bridged i and i+1 into one session
+                    sessions[i][1] = sessions[nxt][1]
+                    sessions[i][2] += sessions[nxt][2]
+                    del sessions[nxt]
+            elif (
+                i + 1 < len(sessions)
+                and sessions[i + 1][0] - us < SESSION_GAP_US
+            ):
+                # gap-extends the FRONT of the next session (cannot also
+                # bridge backwards: the branch above just ruled that out)
+                sessions[i + 1][0] = us
+                sessions[i + 1][2] += 1
+            elif us > wm_us:
+                sessions.insert(i + 1, [us, us, 1])
+            # else: below the watermark and fits nothing retained — its
+            # session was already emitted; drop as late
 
-    wm_us = state.getCurrentWatermarkMs() * 1000
     out, keep = [], []
-    for s, e, n in zip(p_start, p_end, p_n):
-        (out if e <= wm_us else keep).append((s, e, n))
-    if o_start is not None and o_last + SESSION_GAP_US <= wm_us:
-        out.append((o_start, o_last + SESSION_GAP_US, o_n))
-        o_start, o_last, o_n = None, None, 0
+    for s, l, n in sessions:
+        (out if l + SESSION_GAP_US <= wm_us else keep).append((s, l, n))
 
-    if not keep and o_start is None:
+    if not keep:
         state.remove()
     else:
         state.update(
             (
                 [s for s, _, _ in keep],
-                [e for _, e, _ in keep],
+                [l for _, l, _ in keep],
                 [n for _, _, n in keep],
-                o_start,
-                o_last,
-                o_n,
             )
         )
-        ends = [e for _, e, _ in keep]
-        if o_start is not None:
-            ends.append(o_last + SESSION_GAP_US)
-        # earliest unemitted end; must be strictly beyond the watermark
-        state.setTimeoutTimestamp(max(min(ends) // 1000, wm_us // 1000 + 1))
+        earliest_end = min(l for _, l, _ in keep) + SESSION_GAP_US
+        state.setTimeoutTimestamp(
+            max(earliest_end // 1000 - 1, wm_us // 1000 + 1)
+        )
 
     if out:
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out),
                 "start_us": [s for s, _, _ in out],
-                "end_us": [e for _, e, _ in out],
+                "end_us": [l + SESSION_GAP_US for _, l, _ in out],
                 "n_events": [n for _, _, n in out],
             }
         )

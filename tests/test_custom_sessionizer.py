@@ -131,15 +131,20 @@ def test_sessionize_multi_chunk_out_of_order():
     """applyInPandasWithState delivers a group as MULTIPLE Arrow chunks
     with no global time order; the fold must buffer + sort across chunks,
     not per chunk. Regression pin for the per-chunk-sort bug: with chunk A
-    = [m40, m45] and chunk B = [m0, m5], per-chunk folding would rewind
-    o_last from m45 to m5 and merge everything into one corrupt session;
-    globally sorted, the 35-min gap splits two clean sessions."""
+    = [m40, m45] and chunk B = [m0, m5], per-chunk folding would corrupt
+    the session boundaries; globally sorted, the 35-min gap splits two
+    clean sessions. Emission happens on the TIMEOUT call once the
+    watermark passes (events arriving below the watermark would be late
+    by contract, so the data call runs at wm=0)."""
     import pandas as pd
 
     chunk_a = pd.DataFrame({"us": [_us(40), _us(45)], "event_id": [3, 4]})
     chunk_b = pd.DataFrame({"us": [_us(0), _us(5)], "event_id": [1, 2]})
-    state = _FakeState(watermark_ms=_us(300) // 1000)  # everything emits
-    out = list(_sessionize((7,), iter([chunk_a, chunk_b]), state))
+    state = _FakeState(watermark_ms=0)
+    out1 = list(_sessionize((7,), iter([chunk_a, chunk_b]), state))
+    assert out1 == []  # nothing emittable at wm=0
+    state._wm = _us(300) // 1000  # watermark advances -> timeout call
+    out = list(_sessionize((7,), iter([]), state))
     sessions = pd.concat(out).sort_values("start_us").reset_index(drop=True)
     assert len(sessions) == 2
     assert list(sessions["start_us"]) == [_us(0), _us(40)]
@@ -147,19 +152,19 @@ def test_sessionize_multi_chunk_out_of_order():
     assert list(sessions["n_events"]) == [2, 2]
 
 
-def test_sessionize_late_event_does_not_rewind_open_session():
-    """A straggler older than the open session's last event (arriving in a
-    LATER micro-batch call) must merge without moving the session end
-    backwards, and an event older than every retained boundary is dropped
-    as late instead of inventing a retroactive session."""
+def test_sessionize_late_event_does_not_rewind_session():
+    """A straggler older than a retained session's last event (arriving
+    in a LATER micro-batch call) must merge without moving the session
+    end backwards; an event below the watermark that fits no retained
+    session belongs to an already-committed region and is dropped."""
     import pandas as pd
 
-    # call 1: open session [m60, m65]
+    # call 1: session [m60, m65]
     state = _FakeState(watermark_ms=0)
     list(_sessionize((7,), iter([pd.DataFrame({"us": [_us(60), _us(65)], "event_id": [1, 2]})]), state))
-    # call 2: m50 gap-extends the open session's front (65-50 < 30 gap is
-    # false... 60-50=10 < 30 so it extends); m-100 is older than every
-    # boundary -> dropped
+    # call 2 at wm=m0: m50 gap-extends the session's front (60-50 < 30);
+    # m-100 is below the watermark and near no session -> dropped
+    state._wm = _us(0) // 1000
     list(
         _sessionize(
             (7,),
@@ -167,8 +172,39 @@ def test_sessionize_late_event_does_not_rewind_open_session():
             state,
         )
     )
-    p_start, p_end, p_n, o_start, o_last, o_n = state.get
-    assert list(p_start) == []          # nothing closed
-    assert o_start == _us(50)           # front-extended by the straggler
-    assert o_last == _us(65)            # end did NOT rewind
-    assert o_n == 3                     # m-100 dropped as late
+    s_start, s_last, s_n = state.get
+    assert list(s_start) == [_us(50)]   # front-extended by the straggler
+    assert list(s_last) == [_us(65)]    # end did NOT rewind
+    assert list(s_n) == [3]             # m-100 dropped as late
+
+
+def test_sessionize_straggler_bridges_two_sessions():
+    """THE multi-batch bridge case: a straggler landing in the gap
+    between two retained sessions, within the session gap of BOTH, must
+    fuse them into one — the old open/pending split front-extended only
+    the open session and emitted two overlapping sessions."""
+    import pandas as pd
+
+    state = _FakeState(watermark_ms=0)
+    # call 1: sessions [m0, m5] and [m50] (45-min gap splits them)
+    list(
+        _sessionize(
+            (7,),
+            iter([pd.DataFrame({"us": [_us(0), _us(5), _us(50)], "event_id": [1, 2, 3]})]),
+            state,
+        )
+    )
+    s_start, _, _ = state.get
+    assert list(s_start) == [_us(0), _us(50)]
+    # call 2: m25 is within 30 min of BOTH m5 and m50 -> one fused session
+    list(_sessionize((7,), iter([pd.DataFrame({"us": [_us(25)], "event_id": [4]})]), state))
+    s_start, s_last, s_n = state.get
+    assert list(s_start) == [_us(0)]
+    assert list(s_last) == [_us(50)]
+    assert list(s_n) == [4]
+    # flush: ONE session [m0, m80], no overlapping emissions
+    state._wm = _us(300) // 1000
+    out = pd.concat(list(_sessionize((7,), iter([]), state)))
+    assert len(out) == 1
+    assert out["start_us"][0] == _us(0) and out["end_us"][0] == _us(80)
+    assert out["n_events"][0] == 4
