@@ -69,43 +69,46 @@ def _with_cache_release(
 
 #: Entries promoted to the FRONT of the registry. Correctness harnesses
 #: that gate a prefix of ``queries()`` (the grading driver samples the
-#: first ~50) had, through round 4, only ever seen each family's oldest
-#: entries — round-robin alone always emits family heads first, so the
-#: newest ~23 operators were validated locally (selfcheck) but never by
-#: the external gate. This list surfaces exactly those, plus the two
-#: entries whose gate status changed in round 5 (s07 digest output, s05
-#: deterministic k-means) and every round-5 addition (d15, t12, c10,
-#: s12, e19, m09, s11, e17, e18, m08, and the late-round-5 analytics
-#: five: e23, e24, c13, t16, s13). The window holds 50 slots and must
-#: keep one representative of EVERY family (q's representative is the
-#: round-robin head right after the priority block), so this list is
-#: capped at 49 — with more never-gated entries than slots, the newest
-#: additions (e25, t17, s14, c14, d16: strongest local evidence,
-#: weakest external claim) wait for the next round's rotation, when the
-#: entries validated this round rotate out. Pure ordering — membership
-#: and semantics of every entry are unchanged.
+#: first ~50) would, under round-robin alone, only ever see each family's
+#: oldest entries — this list rotates the never-yet-externally-gated tail
+#: into the window each round. The window holds 50 slots and must keep one
+#: representative of EVERY family (q's representative is the round-robin
+#: head right after the priority block), so the list is capped at 49
+#: (tests/test_llm_operators.py enforces both invariants). Pure ordering —
+#: membership and semantics of every entry are unchanged.
+#:
+#: Round-6 rotation: IN the 9 entries no driver round has ever gated
+#: (e25, e26, t17, s14, c14, d16, d17, d18, m11 — all selfcheck-green per
+#: VERDICT r5) plus d15 (round-5's one red row, oracle now
+#: portability-hardened); OUT 9 entries CORRECTNESS_r05 hash-validated
+#: (e23, e24, c13, t16, e22, s07, d10, m07, t08). After this round every
+#: deterministic catalog entry will have been externally gated at least
+#: once.
 GATE_PRIORITY = [
-    "e23_rolling_active",
-    "e24_growth_accounting",
-    "c13_data_card",
-    "t16_zipf_audit",
+    "e25_attribution",
+    "e26_alert_throttle",
+    "t17_token_diversity",
+    "s14_index_health",
+    "c14_epoch_allocation",
+    "d16_soft_dedup_weights",
+    "d17_incremental_dedup",
+    "d18_dup_graph_triangles",
+    "m11_scene_cuts",
+    "d15_passage_dedup",
     "s13_filtered_ann",
     "t15_bpe_merges",
     "m10_contrastive_pairs",
     "c12_passage_chunks",
-    "e22_zorder_layout",
     "t14_langid_confusion",
     "e20_hll_distinct",
     "e21_cms_heavy_hitters",
     "t13_gopher_rules",
     "c11_bloom_decontaminate",
-    "d15_passage_dedup",
     "t12_bigram_lm_score",
     "c10_quality_weighted_sample",
     "s12_knn_classify",
     "e19_cooccurrence_lift",
     "m09_aspect_bucket_batches",
-    "s07_sq8_quantize",
     "s05_kmeans_ivf_assign",
     "s11_pq_quantize",
     "e17_path_analysis",
@@ -113,7 +116,6 @@ GATE_PRIORITY = [
     "m08_perceptual_hash",
     "c08_snapshot_diff",
     "c09_stride_interleave",
-    "d10_curation_keep",
     "d11_semantic_dedup",
     "d12_crossmodal_neardup",
     "d13_minhash_calibration",
@@ -126,11 +128,9 @@ GATE_PRIORITY = [
     "e13_event_transitions",
     "e14_hourly_anomaly",
     "e16_continuous_aggregate",
-    "m07_audio_energy",
     "s08_quantized_rerank",
     "s09_ann_recall",
     "s10_knn_graph",
-    "t08_word_repetition",
     "t09_dup_ngram_fraction",
     "t10_tfidf_topk",
     "t11_feature_hashing",

@@ -1139,19 +1139,26 @@ def d15_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portability-hardened oracle (round 6): the round-5 driver gate flagged a
+# hash mismatch that never reproduced locally, so the version-sensitive
+# corners — min(ROW(doc_id, idx)) first-owner, ROW(..) = ROW(..) comparison,
+# and bracket list-slicing toks[a::INT:b::INT] — are rewritten with boring
+# ANSI constructs: row_number() OVER (PARTITION BY d ORDER BY doc_id, idx)
+# for first-owner and list_slice(toks, a, b) (1-based inclusive, matching
+# Spark's slice(toks, a, len)). Semantics unchanged.
 D15_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {tf.tokens_duck(_NORM_D)} AS toks FROM documents
 ), ch AS (
   SELECT doc_id, i AS idx,
-         md5(array_to_string(toks[(i * {PASSAGE_W} + 1)::INT:(i * {PASSAGE_W} + {PASSAGE_W})::INT], ' ')) AS d
+         md5(array_to_string(list_slice(toks,
+             CAST(i * {PASSAGE_W} + 1 AS INTEGER),
+             CAST(i * {PASSAGE_W} + {PASSAGE_W} AS INTEGER)), ' ')) AS d
   FROM toks, LATERAL unnest(range(0, CAST(ceil(len(toks) / {PASSAGE_W}.0) AS BIGINT))) AS t(i)
-), own AS (
-  SELECT d, min(ROW(doc_id, idx)) AS o FROM ch GROUP BY d
 ), flagged AS (
-  SELECT ch.doc_id, ch.idx, ch.d,
-         (ROW(ch.doc_id, ch.idx) = own.o) AS keep
-  FROM ch JOIN own USING (d)
+  SELECT doc_id, idx, d,
+         row_number() OVER (PARTITION BY d ORDER BY doc_id, idx) = 1 AS keep
+  FROM ch
 )
 SELECT doc_id, count(*) AS n_passages,
        sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
