@@ -121,6 +121,34 @@ def main() -> int:
     # AnalysisException). Failures land in "errors" and the run continues.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Memo-build attribution: the dedup family shares session-lifetime
+    # memos (hashed shingles → MinHash signatures → LSH-verified pairs,
+    # _cache.memo). Built lazily, the one-time build cost lands on
+    # whichever d* entry runs first — round-5 bench billed it to d03,
+    # which read as a 1.43x regression when the chain total had actually
+    # DROPPED. Build the chain explicitly as its own timed line so every
+    # d* number is steady-state and the build cost stays auditable.
+    from floorist_spark.operators.dedup import _verified_pairs
+
+    def _warm_dedup_memos(data_dir: str) -> float | None:
+        t0 = time.time()
+        try:
+            # materializes all three memos: pairs derive from band rows,
+            # which derive from signatures, which derive from shingles
+            _verified_pairs(spark, data_dir)
+        except Exception as e:  # noqa: BLE001 — consumers rebuild lazily
+            errors["x00_dedup_memo_build"] = (
+                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            )
+            return None
+        return round(time.time() - t0, 3)
+
+    warm = _warm_dedup_memos(SF_DIR)
+    if warm is not None:
+        timings["x00_dedup_memo_build"] = warm
+        print(f"  x00_dedup_memo_build: {warm:.3f}s", file=sys.stderr)
+
     for name in HEADLINE:
         t0 = time.time()
         try:
@@ -158,6 +186,66 @@ def main() -> int:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # Streaming-startup split: every streaming entry (e26 here; e04/e07/
+    # e08/e15/d08 in the wider catalog) pays a fixed per-query cost just
+    # to spin the micro-batch machinery — source listing, checkpoint
+    # setup, per-shuffle-partition state-store init, Python state-worker
+    # round-trip — before a single row is processed. Measure that floor
+    # with the SAME machinery the entries use (applyInPandasWithState on
+    # the events stream) driven over ZERO rows (constant-false filter), so
+    # the number is pure startup, no per-row work. Reported as its own
+    # top-level key so streaming entries' steady-state cost is legible
+    # WITHOUT changing their comparable per-entry timings (e26 ≈ its
+    # timing minus this floor).
+    def _stream_startup_floor() -> float | None:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from floorist_spark.streaming.stateful import _stream_dir_for
+
+        def _noop_state(key, pdfs, state):
+            for _ in pdfs:
+                pass
+            return iter(())
+
+        one_long = StructType([StructField("v", LongType())])
+        ckpt = tempfile.mkdtemp(prefix="floorist_bench_stream_ckpt_")
+        try:
+            schema = load_table(spark, SF_DIR, "events").schema
+            t0 = time.time()
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(_stream_dir_for(SF_DIR, "events"))
+                .filter("event_id < 0")  # never true: zero rows, full machinery
+                .selectExpr("user_id AS v")
+                .groupBy("v")
+                .applyInPandasWithState(
+                    _noop_state,
+                    one_long,
+                    one_long,
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — floor is advisory
+            errors["stream_startup_floor"] = (
+                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            )
+            return None
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream_floor = _stream_startup_floor()
+    if stream_floor is not None:
+        print(f"  stream_startup_floor: {stream_floor:.3f}s", file=sys.stderr)
+
     # each entry's build released its predecessor's caches; free the last
     # one (plus the session-lifetime dedup memos) so the sweep ends with
     # zero persisted partitions
@@ -179,6 +267,9 @@ def main() -> int:
         SF_DIR
     ):
         small: dict[str, float] = {}
+        warm_small = _warm_dedup_memos(small_dir)
+        if warm_small is not None and warm_small > 0:
+            small["x00_dedup_memo_build"] = warm_small
         for name in HEADLINE:
             t0 = time.time()
             try:
@@ -204,6 +295,8 @@ def main() -> int:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
+    if stream_floor is not None:
+        out["stream_startup_floor_sec"] = stream_floor
     if slopes:
         out["scale_ratio_vs_sf0.01"] = slopes
     if errors:
