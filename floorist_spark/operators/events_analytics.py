@@ -820,7 +820,13 @@ def e14_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the undefined case. DECIMAL(38,0) (HUGEINT in the oracle)
         # because (Σc)² overflows BIGINT past ~3e9 total events — at the
         # scale this module targets, a wrapped product would silently
-        # drop EVERY hour; 38 digits hold (9.2e18)² exactly
+        # drop EVERY hour; 38 digits hold (9.2e18)² exactly.
+        # Engine-lockstep invariant: past 38 digits Spark's non-ANSI
+        # decimal overflow yields NULL (row filtered) while DuckDB's
+        # HUGEINT stays exact up to ~1.7e38 — a band where the engines
+        # COULD disagree. Unreachable from BIGINT inputs: the worst case
+        # ss·n_hours ≤ (2⁶³−1)² ≈ 8.5e37 < 1e38, so DECIMAL(38,0) and
+        # HUGEINT agree on every representable input
         .filter(
             F.expr(
                 "CAST(ss AS DECIMAL(38,0)) * n_hours "

@@ -58,11 +58,23 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload binary): utf-8 bytes of the document text — the
     stand-in for an image/audio/video blob column. Repartitioned to session
     parallelism: the single-file testdata scan would otherwise feed ONE
-    Python worker; with many partitions each runs its own Arrow pipe."""
+    Python worker; with many partitions each runs its own Arrow pipe.
+
+    NULL text coalesces to the empty payload so every downstream decode
+    loop (``payload.decode(...)`` in m05/m11 etc.) is total — a NULL
+    would arrive in pandas as None and crash the mapInPandas task, while
+    the DuckDB oracles degrade gracefully (zero frames via LEFT JOIN /
+    empty aggregates). Testdata has no NULL text; this pins the
+    real-corpus behavior."""
     return (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .select(
+            "doc_id",
+            F.expr("coalesce(CAST(text AS BINARY), CAST('' AS BINARY))").alias(
+                "payload"
+            ),
+        )
     )
 
 

@@ -32,7 +32,7 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
 
 from floorist_spark.session import load_table
 
@@ -194,6 +194,11 @@ _E15_STATE = StructType(
         StructField("s_start", ArrayType(LongType())),
         StructField("s_last", ArrayType(LongType())),
         StructField("s_n", ArrayType(LongType())),
+        # per-session: has ANY on-time (us > watermark at arrival) event
+        # joined it? Sessions built ONLY from below-watermark stragglers
+        # are provisional — discarded, never emitted, if still all-late
+        # when they close (see _sessionize docstring)
+        StructField("s_ontime", ArrayType(BooleanType())),
     ]
 )
 
@@ -222,16 +227,31 @@ def _sessionize(
     cross-batch straggler may land inside ANY retained session, in a gap
     between two (forming its own), or may BRIDGE two retained sessions
     into one — the old open/pending split mishandled the bridge case and
-    emitted overlapping sessions. An event is dropped only when it is
-    below the watermark AND fits no retained session — then it belongs
-    to a session already emitted (an emitted end <= wm plus an on-time
-    event's us > wm would imply a >= gap distance, so on-time events can
-    never need an emitted session)."""
+    emitted overlapping sessions.
+
+    Below-watermark stragglers are inserted PROVISIONALLY rather than
+    dropped on sight: a straggler that fits no retained session may still
+    be the true start of a session whose on-time events sort AFTER it in
+    this very batch (or arrive in a later one) — dropping it eagerly
+    would start that session late and undercount it vs. the batch oracle.
+    Each session therefore carries an ``ontime`` flag (any event with
+    us > watermark ever joined it); at flush, a CLOSED session that is
+    still all-late is discarded, not emitted — its on-time counterpart
+    never came, so it belongs to an already-committed region (an emitted
+    end <= wm plus an on-time event's us > wm would imply a >= gap
+    distance, so on-time events can never need an emitted session; only
+    late-only chains can, and those are exactly what the flag
+    quarantines). Residual divergence, inherent to append mode: a
+    straggler landing within the gap of an ALREADY-EMITTED session's end,
+    then chained to an on-time event, emits a session whose window abuts
+    that earlier emission — the batch oracle would have merged them, but
+    the earlier emission cannot be retracted. Standard late-data
+    semantics; the watermark bounds how often it can occur."""
     import pandas as pd
 
     if state.exists:
-        s_start, s_last, s_n = state.get
-        sessions = [list(t) for t in zip(s_start, s_last, s_n)]
+        got = state.get
+        sessions = [list(t) for t in zip(got[0], got[1], got[2], got[3])]
     else:
         sessions = []
 
@@ -245,6 +265,7 @@ def _sessionize(
         )
         for us in merged.sort_values(["us", "event_id"])["us"].astype("int64"):
             us = int(us)
+            ontime = us > wm_us
             # index of the last session starting at or before us
             i = len(sessions) - 1
             while i >= 0 and sessions[i][0] > us:
@@ -253,6 +274,7 @@ def _sessionize(
                 # joins session i (inside span or gap-extends its tail)
                 sessions[i][1] = max(sessions[i][1], us)
                 sessions[i][2] += 1
+                sessions[i][3] = sessions[i][3] or ontime
                 nxt = i + 1
                 if (
                     nxt < len(sessions)
@@ -261,6 +283,7 @@ def _sessionize(
                     # the extension bridged i and i+1 into one session
                     sessions[i][1] = sessions[nxt][1]
                     sessions[i][2] += sessions[nxt][2]
+                    sessions[i][3] = sessions[i][3] or sessions[nxt][3]
                     del sessions[nxt]
             elif (
                 i + 1 < len(sessions)
@@ -270,26 +293,35 @@ def _sessionize(
                 # bridge backwards: the branch above just ruled that out)
                 sessions[i + 1][0] = us
                 sessions[i + 1][2] += 1
-            elif us > wm_us:
-                sessions.insert(i + 1, [us, us, 1])
-            # else: below the watermark and fits nothing retained — its
-            # session was already emitted; drop as late
+                sessions[i + 1][3] = sessions[i + 1][3] or ontime
+            else:
+                # fits nothing retained: open a new session — provisional
+                # (never emitted unless an on-time event joins) when the
+                # event is below the watermark
+                sessions.insert(i + 1, [us, us, 1, ontime])
 
     out, keep = [], []
-    for s, l, n in sessions:
-        (out if l + SESSION_GAP_US <= wm_us else keep).append((s, l, n))
+    for s, l, n, ot in sessions:
+        if l + SESSION_GAP_US <= wm_us:
+            if ot:
+                out.append((s, l, n))
+            # else: closed while still all-late — provisional session
+            # whose on-time counterpart never arrived; discard
+        else:
+            keep.append((s, l, n, ot))
 
     if not keep:
         state.remove()
     else:
         state.update(
             (
-                [s for s, _, _ in keep],
-                [l for _, l, _ in keep],
-                [n for _, _, n in keep],
+                [s for s, _, _, _ in keep],
+                [l for _, l, _, _ in keep],
+                [n for _, _, n, _ in keep],
+                [ot for _, _, _, ot in keep],
             )
         )
-        earliest_end = min(l for _, l, _ in keep) + SESSION_GAP_US
+        earliest_end = min(l for _, l, _, _ in keep) + SESSION_GAP_US
         state.setTimeoutTimestamp(
             max(earliest_end // 1000 - 1, wm_us // 1000 + 1)
         )
@@ -544,6 +576,16 @@ def e26_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: its unique successor (the earliest event >= anchor + TTL); the final
 #: filter mirrors the operator's ms-truncated watermark cutoff (only
 #: anchors the stream could have flushed are emitted)
+#:
+#: SINGLE-BATCH EQUIVALENCE PRECONDITION: this oracle models only the
+#: FINAL watermark cutoff, not mid-stream late drops. In a multi-batch
+#: run an event arriving below the then-current watermark is dropped by
+#: ``_throttle`` (pinned by test_throttle_chain_survives_batch_boundary,
+#: event_id 11) but would re-anchor THIS oracle's greedy chain — so the
+#: equivalence holds only for availableNow gate runs with no
+#: maxFilesPerTrigger (one micro-batch, data call at wm=0). If a future
+#: gate harness splits the source into multiple batches, a hash mismatch
+#: here is THAT, not an engine bug.
 E26_SQL = f"""
 WITH RECURSIVE kept AS (
   SELECT user_id, event_type, ts, event_id FROM events e

@@ -156,7 +156,8 @@ def test_sessionize_late_event_does_not_rewind_session():
     """A straggler older than a retained session's last event (arriving
     in a LATER micro-batch call) must merge without moving the session
     end backwards; an event below the watermark that fits no retained
-    session belongs to an already-committed region and is dropped."""
+    session opens a PROVISIONAL session that closes all-late at this very
+    flush and is discarded — never emitted, never merged."""
     import pandas as pd
 
     # call 1: session [m60, m65]
@@ -172,10 +173,11 @@ def test_sessionize_late_event_does_not_rewind_session():
             state,
         )
     )
-    s_start, s_last, s_n = state.get
+    s_start, s_last, s_n, s_ontime = state.get
     assert list(s_start) == [_us(50)]   # front-extended by the straggler
     assert list(s_last) == [_us(65)]    # end did NOT rewind
-    assert list(s_n) == [3]             # m-100 dropped as late
+    assert list(s_n) == [3]             # m-100 quarantined, not merged
+    assert list(s_ontime) == [True]
 
 
 def test_sessionize_straggler_bridges_two_sessions():
@@ -194,11 +196,11 @@ def test_sessionize_straggler_bridges_two_sessions():
             state,
         )
     )
-    s_start, _, _ = state.get
+    s_start, _, _, _ = state.get
     assert list(s_start) == [_us(0), _us(50)]
     # call 2: m25 is within 30 min of BOTH m5 and m50 -> one fused session
     list(_sessionize((7,), iter([pd.DataFrame({"us": [_us(25)], "event_id": [4]})]), state))
-    s_start, s_last, s_n = state.get
+    s_start, s_last, s_n, _ = state.get
     assert list(s_start) == [_us(0)]
     assert list(s_last) == [_us(50)]
     assert list(s_n) == [4]
@@ -208,3 +210,45 @@ def test_sessionize_straggler_bridges_two_sessions():
     assert len(out) == 1
     assert out["start_us"][0] == _us(0) and out["end_us"][0] == _us(80)
     assert out["n_events"][0] == 4
+
+
+def test_sessionize_below_watermark_straggler_starts_ontime_session():
+    """The same-batch straggler case: an event below the watermark that
+    fits no retained session but lies within the gap of an ON-TIME event
+    sorting after it in the SAME batch must become that session's true
+    start (the batch gaps-and-islands oracle puts both in one session).
+    Eager dropping would start the session at the on-time event and
+    undercount. An isolated straggler, by contrast, forms a provisional
+    session that closes all-late and is silently discarded."""
+    import pandas as pd
+
+    state = _FakeState(watermark_ms=_us(0) // 1000)  # wm = m0
+    out1 = list(
+        _sessionize(
+            (7,),
+            iter(
+                [
+                    pd.DataFrame(
+                        # m-5: below wm, within 30 min of on-time m10;
+                        # m-200: below wm, near nothing -> provisional,
+                        # closes all-late at this flush -> discarded
+                        {"us": [_us(10), _us(-5), _us(-200)], "event_id": [1, 2, 3]}
+                    )
+                ]
+            ),
+            state,
+        )
+    )
+    assert out1 == []  # nothing on-time is emittable yet at wm=m0
+    s_start, s_last, s_n, s_ontime = state.get
+    assert list(s_start) == [_us(-5)]  # straggler is the session start
+    assert list(s_last) == [_us(10)]
+    assert list(s_n) == [2]            # m-200 discarded, not counted
+    assert list(s_ontime) == [True]
+    # watermark passes -> the joined session emits with the early start
+    state._wm = _us(300) // 1000
+    out = pd.concat(list(_sessionize((7,), iter([]), state)))
+    assert len(out) == 1
+    assert out["start_us"][0] == _us(-5)
+    assert out["end_us"][0] == _us(40)
+    assert out["n_events"][0] == 2
