@@ -81,6 +81,17 @@ def get_spark(
             ),
         )
     )
+    # Optional extra jars (comma-separated paths), e.g. the PostgreSQL JDBC
+    # driver for the live-Postgres e2e suite. Must be present at JVM launch:
+    # spark.jars alone reaches executors, but the DriverManager lookup the
+    # JDBC source does on the DRIVER needs extraClassPath too.
+    extra_jars = os.environ.get("FLOORIST_EXTRA_JARS")
+    if extra_jars:
+        jar_list = [j for j in extra_jars.replace(os.pathsep, ",").split(",") if j]
+        builder = builder.config("spark.jars", ",".join(jar_list))
+        builder = builder.config(
+            "spark.driver.extraClassPath", os.pathsep.join(jar_list)
+        )
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
