@@ -102,7 +102,7 @@ def _normalize_endpoint(endpoint: str | None) -> str | None:
 
 
 def _set_database_config(config: Config) -> None:
-    if isClowderEnabled():  # pragma: no cover - Clowder-only branch
+    if isClowderEnabled():
         db = LoadedConfig.database
         config.database_name = db.name
         config.database_hostname = db.hostname

@@ -119,3 +119,63 @@ def test_s3a_conf_mapping(env):
     assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
     assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
     assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+# -- Clowder branch (reference config.py:59-71, tested at
+# -- tests/test_floorist.py via the app-common-python package) -------------
+
+
+class _ClowderDb:
+    name = "clowder_db"
+    hostname = "clowder_host"
+    username = "clowder_user"
+    password = "clowder_pw"
+
+
+class _ClowderLoadedConfig:
+    database = _ClowderDb()
+
+
+def test_clowder_database_config_wins_over_env(env, monkeypatch):
+    # When Clowder is enabled, database settings come from LoadedConfig and
+    # the POSTGRESQL_* env vars (still set by the `env` fixture) must NOT
+    # be consulted — exactly the reference's branch order
+    # (`src/floorist/config.py:59-71`). Stubbed at the module globals the
+    # import-gate bound, so the test runs without app-common-python
+    # installed.
+    import floorist_spark.config as cfgmod
+
+    monkeypatch.setattr(cfgmod, "isClowderEnabled", lambda: True)
+    monkeypatch.setattr(cfgmod, "LoadedConfig", _ClowderLoadedConfig)
+    cfg = get_config(mode="jdbc")
+    assert cfg.database_hostname == "clowder_host"
+    assert cfg.database_name == "clowder_db"
+    assert cfg.database_username == "clowder_user"
+    assert cfg.database_password == "clowder_pw"
+    # bucket/floorplan resolution is unchanged by the Clowder branch
+    assert cfg.bucket_name == "bucket"
+
+
+def test_clowder_import_path_binds_stub_module(env, monkeypatch):
+    # Cover the SUCCESSFUL `from app_common_python import ...` path by
+    # reloading the module with a stub installed in sys.modules, then
+    # restore the real (ImportError-fallback) state for the rest of the
+    # suite.
+    import importlib
+    import sys
+    import types
+
+    import floorist_spark.config as cfgmod
+
+    fake = types.ModuleType("app_common_python")
+    fake.LoadedConfig = _ClowderLoadedConfig
+    fake.isClowderEnabled = lambda: True
+    sys.modules["app_common_python"] = fake
+    try:
+        importlib.reload(cfgmod)
+        cfg = cfgmod.get_config(mode="jdbc")
+        assert cfg.database_hostname == "clowder_host"
+    finally:
+        del sys.modules["app_common_python"]
+        importlib.reload(cfgmod)
+    assert cfgmod.isClowderEnabled() is False  # fallback restored

@@ -14,8 +14,6 @@ via md5). Verifies:
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
