@@ -91,6 +91,12 @@ HEADLINE = (
     "m03_byte_histogram",
     "m05_frame_sample",
     "m10_contrastive_pairs",
+    # round-6 additions (index tuning/maintenance + new modality passes)
+    "d19_lsh_tuning_curve",
+    "e27_dwell_histogram",
+    "m12_block_dedup_census",
+    "t18_pii_scrub",
+    "c15_curriculum_phases",
 )
 
 

@@ -1105,6 +1105,94 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# c15 — length-curriculum phase assignment
+# ---------------------------------------------------------------------------
+
+#: number of curriculum phases (sequence-length warmup stages)
+CURRICULUM_PHASES = 4
+
+
+def c15_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length curriculum: assign every document to one of
+    CURRICULUM_PHASES training phases by its token count — shortest
+    quarter of the corpus first (length-warmup à la Li et al.,
+    "Sequence Length Warmup"), with a salted hash as the deterministic
+    within-phase training order. Ties in difficulty share a phase (the
+    split is by difficulty VALUE, never mid-value), so the assignment is
+    reproducible by construction at any scale.
+
+    Scale shape: the phase boundaries come from the difficulty HISTOGRAM
+    — a groupBy(difficulty) aggregate bounded by the max token count,
+    not the corpus — so the only windows (running count, total) run over
+    that tiny table; docs get phases back via a broadcast equi-join. No
+    corpus-wide window, no single-task sort: the c03 rule (global
+    row_number serializes; order is the deliverable) applied to
+    curriculum buckets."""
+    from pyspark.sql.window import Window
+
+    ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(ntok).alias("difficulty")
+    )
+    hist = docs.groupBy("difficulty").agg(F.count("*").alias("n"))
+    w = (
+        Window.orderBy("difficulty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    phased = (
+        hist.select(
+            "difficulty",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_prev"),
+        )
+        .crossJoin(F.broadcast(hist.agg(F.sum("n").alias("total"))))
+        .select(
+            "difficulty",
+            F.expr(
+                f"CAST(least({CURRICULUM_PHASES} * cum_prev DIV total, "
+                f"{CURRICULUM_PHASES - 1}) AS INT)"
+            ).alias("phase"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(phased), "difficulty")
+        .select(
+            "doc_id",
+            "difficulty",
+            "phase",
+            F.expr("md5(concat('cur:', CAST(doc_id AS STRING)))").alias(
+                "order_key"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C15_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({tf.tokens_duck(tf.norm_duck("text"))}) AS BIGINT) AS difficulty
+  FROM documents
+), hist AS (
+  SELECT difficulty, count(*) AS n FROM d GROUP BY difficulty
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM hist
+), ph AS (
+  SELECT difficulty,
+         CAST(coalesce(sum(n) OVER (ORDER BY difficulty
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM hist
+)
+SELECT d.doc_id, d.difficulty,
+       CAST(least({CURRICULUM_PHASES} * ph.cum_prev // t.total,
+                  {CURRICULUM_PHASES - 1}) AS INTEGER) AS phase,
+       md5(concat('cur:', CAST(d.doc_id AS VARCHAR))) AS order_key
+FROM d JOIN ph USING (difficulty), tot t
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1120,6 +1208,7 @@ QUERIES = {
     "c12_passage_chunks": c12_passage_chunks,
     "c13_data_card": c13_data_card,
     "c14_epoch_allocation": c14_epoch_allocation,
+    "c15_curriculum_phases": c15_curriculum_phases,
 }
 
 ORACLES = {
@@ -1137,4 +1226,5 @@ ORACLES = {
     "c12_passage_chunks": C12_SQL,
     "c13_data_card": C13_SQL,
     "c14_epoch_allocation": C14_SQL,
+    "c15_curriculum_phases": C15_SQL,
 }

@@ -1426,6 +1426,115 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d19 — LSH operating-point tuning curve (banding audit over live signatures)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) partitions of the NBANDS*NROWS = 32 MinHash functions a
+#: production index could run at. Band i of config (b, r) uses hash
+#: functions [i*r, (i+1)*r) — the same indexing band_signature uses — so
+#: every config is derivable from the ONE memoized signature table.
+TUNING_CONFIGS = ((32, 1), (16, 2), (8, 4), (4, 8), (2, 16))
+
+
+def _est_recall(b: int, r: int, j: float = JACCARD_THRESHOLD) -> float:
+    """1-(1-j^r)^b — the S-curve recall at the Jaccard threshold.
+    Computed driver-side and injected as the SAME literal into both
+    engines: it depends only on (b, r), and a pow() round-trip through
+    two engines' float math is an avoidable hash-gate risk."""
+    return round(1.0 - (1.0 - j**r) ** b, 6)
+
+
+def d19_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning: for each candidate (bands, rows) operating
+    point, the bucket census the index would have on THIS corpus —
+    bucket count, candidate-pair cost (sum over buckets of C(n,2), with
+    the MAX_BAND_BUCKET degenerate cap applied exactly as d03 would),
+    overflow-bucket count, and the analytic recall at the 0.8 Jaccard
+    threshold. This is how a production pipeline picks (b, r): the
+    S-curve gives recall, the live census gives cost — both from ONE
+    pass over the already-memoized signature table (Leskovec et al.,
+    "Mining of Massive Datasets" ch. 3 banding analysis).
+
+    Scale shape: no corpus rescan — the signature memo is K=32 bigints
+    per doc; each config is a posexplode of band digests plus a
+    count-groupBy (map-side combinable, shuffles (band, sig, count)
+    triples only). Candidate pairs are COUNTED from bucket sizes, never
+    materialized — the audit costs O(docs·configs), not O(pairs).
+    Reference has no index ops at all (new surface, SURVEY §7.2.7)."""
+    mins = _signature_mins(spark, sf_dir)
+    parts = []
+    for b, r in TUNING_CONFIGS:
+        sigs = ", ".join(
+            "concat_ws('|', "
+            + ", ".join(f"CAST(mh{i * r + j} AS STRING)" for j in range(r))
+            + ")"
+            for i in range(b)
+        )
+        buckets = mins.select(
+            F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig")
+        ).groupBy("band", "sig").agg(F.count("*").alias("n"))
+        parts.append(
+            buckets.agg(
+                F.count("*").alias("n_buckets"),
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"IF(n <= {MAX_BAND_BUCKET}, n * (n - 1) DIV 2, 0)"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("n_candidate_pairs"),
+                F.coalesce(
+                    F.sum(F.expr(f"IF(n > {MAX_BAND_BUCKET}, 1, 0)")),
+                    F.lit(0),
+                ).alias("n_overflow_buckets"),
+            ).select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("n_rows"),
+                "n_buckets",
+                F.col("n_candidate_pairs").cast("bigint").alias("n_candidate_pairs"),
+                F.col("n_overflow_buckets").cast("bigint").alias("n_overflow_buckets"),
+                F.lit(_est_recall(b, r)).cast("double").alias("est_recall_at_08"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n_rows")
+
+
+def _d19_sql() -> str:
+    selects = []
+    for b, r in TUNING_CONFIGS:
+        sigs = ", ".join(
+            tf.band_signature_duck("hs", band, r) for band in range(b)
+        )
+        selects.append(f"""
+SELECT {b} AS n_bands, {r} AS n_rows,
+       count(*) AS n_buckets,
+       CAST(coalesce(sum(CASE WHEN n <= {MAX_BAND_BUCKET}
+                         THEN n * (n - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+           AS n_candidate_pairs,
+       CAST(coalesce(sum(CASE WHEN n > {MAX_BAND_BUCKET} THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_overflow_buckets,
+       CAST({_est_recall(b, r)} AS DOUBLE) AS est_recall_at_08
+FROM (
+  SELECT band, sig, count(*) AS n FROM (
+    SELECT doc_id, band, sigarr[band + 1] AS sig FROM (
+      SELECT doc_id, [{sigs}] AS sigarr FROM docs
+    ), (SELECT unnest(range(0, {b})) AS band)
+  ) GROUP BY band, sig
+)""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents)
+{body}
+ORDER BY n_rows
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1444,6 +1553,7 @@ QUERIES = {
     "d16_soft_dedup_weights": d16_soft_dedup_weights,
     "d17_incremental_dedup": d17_incremental_dedup,
     "d18_dup_graph_triangles": d18_dup_graph_triangles,
+    "d19_lsh_tuning_curve": d19_lsh_tuning_curve,
 }
 
 ORACLES = {
@@ -1464,4 +1574,5 @@ ORACLES = {
     "d16_soft_dedup_weights": _d16_sql(),
     "d17_incremental_dedup": _d17_sql(),
     "d18_dup_graph_triangles": _d18_sql(),
+    "d19_lsh_tuning_curve": _d19_sql(),
 }

@@ -1814,6 +1814,100 @@ ORDER BY channel
 E25_SQL = _e25_sql()
 
 
+# ---------------------------------------------------------------------------
+# e27 — log2-bucketed dwell-time histogram per event type
+# ---------------------------------------------------------------------------
+
+
+def e27_dwell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution: the time each user spends ON an event
+    before their next one, log2-bucketed (the standard latency-histogram
+    form — exponential buckets hold 10 orders of magnitude in ~40 rows),
+    grouped by the event type being dwelt on. The product question it
+    answers: "after a `view`, how long until users act?" — per type,
+    bucket counts and each bucket's share of that type's gaps.
+
+    Determinism without float logs: the log2 bucket is the INTEGER bit
+    length of the microsecond gap (``length(bin(gap)) - 1``) — exact in
+    both engines, immune to the pow/log ulp drift a float log2 would
+    risk at bucket boundaries. Zero gaps (same-timestamp events) get
+    their own -1 bucket.
+
+    Scale shape: one shuffle on user_id for the per-user lag window
+    (state = one row of lookback; whale users cost a longer local sort,
+    not a wider shuffle), then a map-side-combined count on the tiny
+    (type, bucket) key space, then a window share over the ~K·40
+    aggregate rows. Same two-exchange shape as e13 transitions."""
+    from pyspark.sql.window import Window
+
+    ev = _load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.lead(F.expr("unix_micros(ts)")).over(w)
+                - F.expr("unix_micros(ts)")
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN gap_us = 0 THEN -1 "
+                "ELSE length(bin(gap_us)) - 1 END"
+            ).cast("int").alias("gap_bucket"),
+        )
+    )
+    counts = gaps.groupBy("event_type", "gap_bucket").agg(
+        F.count("*").alias("n_gaps")
+    )
+    return counts.select(
+        "event_type",
+        "gap_bucket",
+        F.expr(
+            "CASE WHEN gap_bucket = -1 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), gap_bucket) END"
+        ).alias("bucket_lo_us"),
+        F.expr(
+            "CASE WHEN gap_bucket = -1 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), gap_bucket + 1) - 1 END"
+        ).alias("bucket_hi_us"),
+        "n_gaps",
+        F.expr(
+            "CAST(n_gaps AS DOUBLE) / "
+            "sum(n_gaps) OVER (PARTITION BY event_type)"
+        ).alias("share_of_type"),
+    ).orderBy("event_type", "gap_bucket")
+
+
+E27_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+), bucketed AS (
+  SELECT event_type,
+         CAST(CASE WHEN gap_us = 0 THEN -1
+                   ELSE length(bin(gap_us)) - 1 END AS INTEGER) AS gap_bucket
+  FROM gaps WHERE gap_us IS NOT NULL
+), counts AS (
+  SELECT event_type, gap_bucket, count(*) AS n_gaps
+  FROM bucketed GROUP BY event_type, gap_bucket
+)
+SELECT event_type, gap_bucket,
+       CASE WHEN gap_bucket = -1 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << gap_bucket) END AS bucket_lo_us,
+       CASE WHEN gap_bucket = -1 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << (gap_bucket + 1)) - 1 END AS bucket_hi_us,
+       n_gaps,
+       CAST(n_gaps AS DOUBLE) / sum(n_gaps) OVER (PARTITION BY event_type)
+         AS share_of_type
+FROM counts ORDER BY event_type, gap_bucket
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1839,6 +1933,7 @@ QUERIES = {
     "e23_rolling_active": e23_rolling_active,
     "e24_growth_accounting": e24_growth_accounting,
     "e25_attribution": e25_attribution,
+    "e27_dwell_histogram": e27_dwell_histogram,
 }
 
 ORACLES = {
@@ -1866,4 +1961,5 @@ ORACLES = {
     "e23_rolling_active": E23_SQL,
     "e24_growth_accounting": E24_SQL,
     "e25_attribution": E25_SQL,
+    "e27_dwell_histogram": E27_SQL,
 }

@@ -842,6 +842,98 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m12 — content-addressed fixed-block dedup census (blob-store dedup)
+# ---------------------------------------------------------------------------
+
+#: fixed block width in BYTES — the content-addressed unit. Real blob
+#: stores use 4-64 KiB; 256 B keeps multiple blocks per synthetic payload.
+BLOCK_BYTES = 256
+
+
+def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level dedup census over binary payloads: split every blob
+    into fixed BLOCK_BYTES blocks, digest each, and report per document
+    how many of its blocks are corpus-globally FIRST-OWNED by it (the
+    blocks a content-addressed store would actually have to write when
+    ingesting in (doc_id, idx) order) plus its within-doc distinct-block
+    count — the numbers behind a dataset-versioning layer's "this
+    snapshot costs N new bytes" estimate. d15 is the passage analogue
+    over TOKENS; this is the byte-level twin every multimodal corpus
+    (images/audio/video reuse frames, headers, silence runs) needs.
+
+    All built-in JVM expressions, no Python: blocks are addressed on the
+    HEX form (DuckDB lacks BLOB substring; hex offsets are exact 2x byte
+    offsets and md5-of-hex is bit-identical across engines — same
+    digest-equality semantics, since hex is injective). Empty payloads
+    count as one empty block so every document keeps an output row.
+
+    Scale shape: one narrow scan -> per-doc block digests -> every
+    exchange (ownership groupBy, survivor join, per-doc fold) carries
+    (digest, doc_id, idx) only — the d14/d15 digest-only-exchange rule.
+    First-owner is min(struct(doc_id, idx)): map-side combinable, so a
+    block repeated 10M times reduces to one owner row per partition
+    before the shuffle."""
+    hx = _payloads(spark, sf_dir).select(
+        "doc_id", F.expr("hex(payload)").alias("hx")
+    )
+    w = BLOCK_BYTES * 2  # hex chars per block
+    ch = hx.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(CAST(ceil(length(hx) / {w}.0) AS INT), 1) - 1), "
+                f"i -> md5(CAST(substring(hx, i * {w} + 1, {w}) AS BINARY)))"
+            )
+        ).alias("idx", "d"),
+    )
+    owners = ch.groupBy("d").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("o")
+    )
+    return (
+        ch.join(owners, "d")
+        .select(
+            "doc_id",
+            "d",
+            (
+                (F.col("o.doc_id") == F.col("doc_id"))
+                & (F.col("o.idx") == F.col("idx"))
+            ).alias("keep"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.countDistinct("d").alias("n_distinct_blocks"),
+            F.sum(F.col("keep").cast("long")).alias("n_first_owned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# first-owner via row_number (the d15 round-6 portability lesson: no
+# min(ROW(..)) / ROW-comparison constructs in oracles)
+M12_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx FROM documents
+), ch AS (
+  SELECT doc_id, i AS idx,
+         md5(substring(hx, CAST(i * {BLOCK_BYTES * 2} + 1 AS BIGINT),
+                       {BLOCK_BYTES * 2})) AS d
+  FROM hx, LATERAL unnest(range(0,
+      greatest(CAST(ceil(length(hx) / {BLOCK_BYTES * 2}.0) AS BIGINT), 1)))
+    AS t(i)
+), flagged AS (
+  SELECT doc_id, d,
+         row_number() OVER (PARTITION BY d ORDER BY doc_id, idx) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_blocks,
+       count(DISTINCT d) AS n_distinct_blocks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_first_owned
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -854,6 +946,7 @@ QUERIES = {
     "m09_aspect_bucket_batches": m09_aspect_bucket_batches,
     "m10_contrastive_pairs": m10_contrastive_pairs,
     "m11_scene_cuts": m11_scene_cuts,
+    "m12_block_dedup_census": m12_block_dedup_census,
 }
 
 ORACLES = {
@@ -868,4 +961,5 @@ ORACLES = {
     "m09_aspect_bucket_batches": M09_SQL,
     "m10_contrastive_pairs": M10_SQL,
     "m11_scene_cuts": M11_SQL,
+    "m12_block_dedup_census": M12_SQL,
 }

@@ -1148,6 +1148,77 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t18 — PII scrub census (emails / IPv4 / long digit runs)
+# ---------------------------------------------------------------------------
+
+#: regexes shared verbatim by both engines (RE2 and Java regex agree on
+#: this subset: char classes, bounded quantifiers, \b, \d). Injected via
+#: the DataFrame API on the Spark side so SQL string-literal escaping
+#: rules never touch the pattern text.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\d{8,}"
+
+
+def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub census — the privacy pass every pretraining pipeline
+    runs before release: count emails, IPv4 literals, and long digit runs
+    (phone/account numbers) per document, and fingerprint the SCRUBBED
+    text (each class replaced by a typed placeholder, applied in a fixed
+    order so the digest is well-defined). Downstream consumers join on
+    ``scrubbed_md5`` to verify the released corpus is exactly the
+    scrubbed one — the audit trail regulators ask for.
+
+    Scale shape: narrow per-row regex map over one scan — no shuffle, no
+    state, embarrassingly parallel; counts come from
+    ``regexp_extract_all`` lengths and the digest from three chained
+    ``regexp_replace`` passes, all JVM-side (Java regex ≡ RE2 on this
+    pattern subset, pinned by the planted-PII parity test in
+    tests/test_new_ops_semantics.py)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(txt, F.lit(PII_IPV4_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_ipv4"),
+            F.size(F.regexp_extract_all(txt, F.lit(PII_LONGNUM_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_long_nums"),
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"),
+                        PII_IPV4_RE,
+                        "<IP>",
+                    ),
+                    PII_LONGNUM_RE,
+                    "<NUM>",
+                ).cast("binary")
+            ).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T18_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_LONGNUM_RE}')) AS BIGINT) AS n_long_nums,
+       md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1166,6 +1237,7 @@ QUERIES = {
     "t15_bpe_merges": t15_bpe_merges,
     "t16_zipf_audit": t16_zipf_audit,
     "t17_token_diversity": t17_token_diversity,
+    "t18_pii_scrub": t18_pii_scrub,
 }
 
 ORACLES = {
@@ -1186,4 +1258,5 @@ ORACLES = {
     "t15_bpe_merges": T15_SQL,
     "t16_zipf_audit": T16_SQL,
     "t17_token_diversity": T17_SQL,
+    "t18_pii_scrub": T18_SQL,
 }

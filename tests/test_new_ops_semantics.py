@@ -679,3 +679,48 @@ def test_t15_apply_merge_edge_cases(spark):
             .collect()[0]["out"]
         )
         assert got == want, (toks, got, want)
+
+
+# -- t18 PII scrub (round 6) --------------------------------------------------
+
+
+def test_t18_planted_pii_counts_and_cross_engine_digest(spark, tmp_path):
+    """The synthetic corpus contains no PII, so the oracle gate only
+    proves the zero path; this plants every class — emails, IPv4s, long
+    digit runs — and checks counts, placeholder substitution, and that
+    DuckDB's RE2 produces the SAME scrubbed digest as Spark's Java regex
+    (the cross-dialect claim in the operator docstring)."""
+    import duckdb
+
+    from floorist_spark.operators.text import T18_SQL, t18_pii_scrub
+
+    rows = [
+        (1, "contact alice@example.com or bob.smith+x@corp.co.uk today"),
+        (2, "server 10.0.0.1 talked to 192.168.100.200 at dawn"),
+        (3, "card 12345678901234 and id 987654321 leaked"),
+        (4, "mixed: eve@ex.org from 8.8.8.8 ref 1234567890"),
+        (5, "clean prose with no identifiers at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = str(tmp_path / "docs_pii")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in t18_pii_scrub(spark, out).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_long_nums"]) == (2, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_long_nums"]) == (0, 2, 0)
+    assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_long_nums"]) == (0, 0, 2)
+    assert (got[4]["n_emails"], got[4]["n_ipv4"], got[4]["n_long_nums"]) == (1, 1, 1)
+    assert (got[5]["n_emails"], got[5]["n_ipv4"], got[5]["n_long_nums"]) == (0, 0, 0)
+    assert (got[6]["n_emails"], got[6]["n_ipv4"], got[6]["n_long_nums"]) == (0, 0, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(T18_SQL).fetchall()}
+    for doc_id, r in got.items():
+        o = oracle[doc_id]
+        assert (r["n_emails"], r["n_ipv4"], r["n_long_nums"]) == (o[1], o[2], o[3])
+        assert r["scrubbed_md5"] == o[4], f"digest diverged for doc {doc_id}"
