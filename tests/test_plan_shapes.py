@@ -364,3 +364,61 @@ def test_m11_scene_cuts_no_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Join" not in plan
     assert "Generate" not in plan
+
+
+def test_d19_tuning_reuses_memo_no_pairs_materialized(spark):
+    from floorist_spark.operators.dedup import TUNING_CONFIGS, d19_lsh_tuning_curve
+
+    plan = _plan(d19_lsh_tuning_curve(spark, SF_SMOKE))
+    # every config reads the memoized signature table (the nested
+    # InMemoryRelation text repeats per scan, so >=, not ==), and
+    # candidate pairs are COUNTED from bucket sizes, never joined into
+    # existence: a join-free, cartesian-free plan
+    assert plan.count("InMemoryTableScan") >= len(TUNING_CONFIGS)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_e27_single_corpus_shuffle(spark):
+    from floorist_spark.operators.events_analytics import e27_dwell_histogram
+
+    plan = _plan(e27_dwell_histogram(spark, SF_SMOKE))
+    # corpus-sized data shuffles once (user_id for the lead window); the
+    # share window runs over the tiny (type, bucket) aggregate
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 5
+
+
+def test_m12_block_exchanges_carry_digests_not_hex(spark):
+    import re
+
+    from floorist_spark.operators.multimodal import m12_block_dedup_census
+
+    plan = _plan(m12_block_dedup_census(spark, SF_SMOKE))
+    # the hex payload dies in the md5 projection before any shuffle:
+    # exchanges key on the digest column d / doc_id, never carry hx
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "hx#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_t18_scrub_is_shuffle_free(spark):
+    from floorist_spark.operators.text import t18_pii_scrub
+
+    plan = _plan(t18_pii_scrub(spark, SF_SMOKE))
+    # narrow per-row regex map: no hash shuffle at all — only the
+    # fan-out repartition and the output sort's range exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_c15_phases_broadcast_back_no_doc_keyed_shuffle(spark):
+    from floorist_spark.operators.curation import c15_curriculum_phases
+
+    plan = _plan(c15_curriculum_phases(spark, SF_SMOKE))
+    # phase boundaries come from the difficulty histogram; docs get them
+    # via broadcast — the corpus is never shuffled on doc_id, and the
+    # running-count window runs post-aggregate (bounded table)
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 0
+    assert plan.count("Exchange hashpartitioning(difficulty") >= 1
+    assert "CartesianProduct" not in plan
