@@ -97,6 +97,7 @@ HEADLINE = (
     "m12_block_dedup_census",
     "t18_pii_scrub",
     "c15_curriculum_phases",
+    "s15_probe_frontier",
 )
 
 

@@ -1176,6 +1176,159 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# s15 — multi-probe operating frontier (recall vs candidate cost)
+# ---------------------------------------------------------------------------
+
+#: probe radii to price: hamming distance <= R over the 8 sign bits.
+#: R=0 is s02 (own bucket), R=1 is s06 (9 probes), R=2 prices the next
+#: rung (37 probes) — the knob every LSH deployment turns when recall
+#: falls short.
+PROBE_RADII = (0, 1, 2)
+
+
+def _probe_masks(radius: int, bits: int = 8) -> list[int]:
+    return [m for m in range(1 << bits) if bin(m).count("1") <= radius]
+
+
+def s15_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe operating frontier: for each probe radius R, the
+    measured candidate volume AND the measured recall@k against the
+    exact brute-force truth — one row per R. d19 prices the MinHash
+    banding knob analytically + by census; this prices the sign-LSH
+    probe knob empirically, which is how a deployment decides whether
+    more probes (same index) or more hash bits (new index) buys the
+    next recall point.
+
+    Scale shape: per radius, the bounded query panel explodes into its
+    probe keys (1/9/37 masks) and BROADCASTS — the corpus streams
+    through an equi-join on the bucket with zero corpus shuffle (the
+    s02/s06 rule; the hamming predicate is materialized as explicit
+    probe keys precisely so the join stays an equi-join). The recall
+    audit joins two Q×k pair sets — corpus-size independent. At 100 TB
+    the panel is a sample; panel size bounds the frontier's cost."""
+    from floorist_spark.operators._cache import track
+
+    emb = track(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+        )
+        .persist()
+    )
+    emb.count()
+    truth = track(
+        s01_cosine_topk_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    truth.count()
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    parts = []
+    for radius in PROBE_RADII:
+        masks = _probe_masks(radius)
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.expr(
+                    f"transform(array({', '.join(map(str, masks))}), "
+                    "m -> CAST(bucket ^ m AS INT))"
+                )
+            ).alias("bucket"),
+        )
+        cand = track(
+            F.broadcast(q)
+            .join(c, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"))
+            .distinct()
+            .persist()
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("neighbor_id").alias("found_id"))
+        )
+        audit = (
+            truth.join(
+                topk,
+                (truth.query_id == topk.query_id)
+                & (truth.neighbor_id == topk.found_id),
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_truth"),
+                F.count("found_id").alias("n_hit"),
+            )
+        )
+        parts.append(
+            audit.crossJoin(
+                F.broadcast(cand.agg(F.count("*").alias("n_candidates")))
+            ).select(
+                F.lit(radius).cast("int").alias("probe_radius"),
+                F.lit(len(masks)).cast("int").alias("n_probes"),
+                "n_candidates",
+                "n_truth",
+                "n_hit",
+                F.expr("CAST(n_hit AS DOUBLE) / n_truth").alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("probe_radius")
+
+
+def _s15_sql() -> str:
+    ctes = [
+        f"b AS (SELECT vec_id, embedding, {_sign_bucket_duck('embedding')} AS bucket FROM embeddings)",
+        f"truth AS ({S01_SQL})",
+    ]
+    selects = []
+    for radius in PROBE_RADII:
+        n_probes = len(_probe_masks(radius))
+        ctes.append(
+            f"""cand{radius} AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c ON bit_count(xor(q.bucket::BIGINT, c.bucket::BIGINT)) <= {radius}
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+)"""
+        )
+        ctes.append(
+            f"""top{radius} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand{radius}
+  ) WHERE rank <= {TOP_K}
+)"""
+        )
+        selects.append(
+            f"""SELECT {radius} AS probe_radius, {n_probes} AS n_probes,
+       (SELECT count(*) FROM cand{radius}) AS n_candidates,
+       count(*) AS n_truth, count(a.neighbor_id) AS n_hit,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+FROM truth t LEFT JOIN top{radius} a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY probe_radius\n"
+    )
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1191,6 +1344,7 @@ QUERIES = {
     "s12_knn_classify": s12_knn_classify,
     "s13_filtered_ann": s13_filtered_ann,
     "s14_index_health": s14_index_health,
+    "s15_probe_frontier": s15_probe_frontier,
 }
 
 ORACLES = {
@@ -1208,4 +1362,5 @@ ORACLES = {
     "s12_knn_classify": S12_SQL,
     "s13_filtered_ann": S13_SQL,
     "s14_index_health": S14_SQL,
+    "s15_probe_frontier": _s15_sql(),
 }

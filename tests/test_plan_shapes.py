@@ -422,3 +422,14 @@ def test_c15_phases_broadcast_back_no_doc_keyed_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") == 0
     assert plan.count("Exchange hashpartitioning(difficulty") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_s15_frontier_broadcasts_probes_no_corpus_shuffle(spark):
+    from floorist_spark.operators.similarity import s15_probe_frontier
+
+    plan = _plan(s15_probe_frontier(spark, SF_SMOKE))
+    # every radius joins probe keys via broadcast; the corpus embedding
+    # table is never hash-shuffled on the bucket
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(bucket") == 0
+    assert "CartesianProduct" not in plan
