@@ -252,3 +252,74 @@ def test_sessionize_below_watermark_straggler_starts_ontime_session():
     assert out["start_us"][0] == _us(-5)
     assert out["end_us"][0] == _us(40)
     assert out["n_events"][0] == 2
+
+
+def test_sessionizer_provisional_straggler_in_real_stream(spark, tmp_path):
+    """The round-6 provisional-insert semantics through the REAL stream
+    (two micro-batches, watermark advanced between them): a batch-2
+    straggler below the watermark that fits no retained session must
+    become the START of the session an on-time batch-2 event opens
+    (batch oracle start), while an isolated straggler is silently
+    discarded — never emitted, never merged."""
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)
+    now = time.time()
+    # batch 1: u1 session [m0, m5]; u2 event at m60 advances the
+    # watermark to m50 after this batch
+    _write(spark, d, "b1", [(1, m(0), 1), (2, m(5), 1), (3, m(60), 2)], now - 60)
+    # batch 2 (wm = m50 during the data call):
+    #   u1 m40  -> below wm, 35 min past m5 (fits nothing) -> provisional
+    #   u1 m55  -> on-time, 15 min past m40 -> joins the provisional
+    #   u2 m-100 -> below wm, near nothing -> provisional, closes
+    #               all-late at this flush -> discarded
+    #   u2 m120 -> advances the final watermark to m110 so the joined
+    #              session (end m85) emits on the timeout pass
+    _write(
+        spark, d, "b2",
+        [(4, m(40), 1), (5, m(55), 1), (6, m(-100), 2), (7, m(120), 2)],
+        now,
+    )
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("us"), "event_id")
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize, _E15_OUT, _E15_STATE, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("e15_straggler_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    rows = {
+        (r["user_id"], r["start_us"]): r
+        for r in spark.table("e15_straggler_sink").collect()
+    }
+    us = lambda mins: int(m(mins).timestamp() * 1_000_000)
+    # u1 session 1: [m0, m5] closed by the gap, end m35 <= final wm m110
+    assert rows[(1, us(0))]["n_events"] == 2
+    # THE fix: the joined session starts at the STRAGGLER (m40), not the
+    # on-time event (m55), and counts both events
+    assert (1, us(40)) in rows, sorted(rows)
+    assert rows[(1, us(40))]["n_events"] == 2
+    assert rows[(1, us(40))]["end_us"] == us(85)
+    assert (1, us(55)) not in rows  # the old eager-drop shape
+    # u2: m60 session emitted alone; the m-100 provisional vanished and
+    # m120 (end m150 > wm m110) is retained, not emitted
+    assert rows[(2, us(60))]["n_events"] == 1
+    assert (2, us(-100)) not in rows
+    assert (2, us(120)) not in rows
+    assert len(rows) == 3
