@@ -98,6 +98,7 @@ HEADLINE = (
     "t18_pii_scrub",
     "c15_curriculum_phases",
     "s15_probe_frontier",
+    "e28_lateness_audit",
 )
 
 

@@ -1908,6 +1908,116 @@ FROM counts ORDER BY event_type, gap_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# e28 — arrival-order lateness audit (watermark tuning)
+# ---------------------------------------------------------------------------
+
+#: arrival-block width for the two-level prefix max — the scan-algorithm
+#: granularity knob: the cross-block table has n/ARRIVAL_BLOCK rows
+ARRIVAL_BLOCK = 1024
+#: lateness threshold mirroring the streaming ops' 10-minute watermark
+LATE_THRESHOLD_US = 10 * 60 * 1_000_000
+
+
+def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the measurement behind every
+    watermark-delay choice: treating ``event_id`` as the monotone ingest
+    order, an event's lateness is how far its event time lags the
+    event-time high-water mark of everything that arrived BEFORE it.
+    Per event-time hour: event count, count and fraction beyond the
+    streaming ops' 10-minute delay (events the e04/e07/e15/e26 watermark
+    would have dropped), and the worst lateness — exactly the histogram
+    an operator reads before picking ``withWatermark``'s delay.
+
+    Scale shape: the global prefix max is computed as a two-level scan
+    (the classic parallel-prefix decomposition): per-block maxima
+    (map-side-combined aggregate), an exclusive running max over the
+    tiny block table (the only unpartitioned window — n/ARRIVAL_BLOCK
+    rows), and a block-partitioned within-block prefix — so no window
+    ever spans the corpus. The DuckDB oracle computes the same quantity
+    with a direct global window (readable; equal by construction)."""
+    from pyspark.sql.window import Window
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("date_trunc('hour', ts)").alias("hour"),
+        F.expr(f"event_id DIV {ARRIVAL_BLOCK}").alias("blk"),
+    )
+    blocks = (
+        ev.groupBy("blk")
+        .agg(F.max("us").alias("blk_hi"))
+        .select(
+            "blk",
+            F.max("blk_hi")
+            .over(
+                Window.orderBy("blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("prev_blocks_hi"),
+        )
+    )
+    wi = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # missing prefixes coalesce to 0 (pre-epoch, below every event time,
+    # and overflow-safe under ANSI subtraction — LONG_MIN is not)
+    late = (
+        ev.join(blocks, "blk")
+        .withColumn("in_blk_hi", F.max("us").over(wi))
+        .select(
+            "hour",
+            F.expr(
+                "greatest(CAST(0 AS BIGINT), "
+                "greatest(coalesce(prev_blocks_hi, CAST(0 AS BIGINT)), "
+                "coalesce(in_blk_hi, CAST(0 AS BIGINT))) - us)"
+            ).alias("late_us"),
+        )
+    )
+    return (
+        late.groupBy("hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr(f"IF(late_us > {LATE_THRESHOLD_US}, 1, 0)")
+            ).cast("bigint").alias("n_late"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .select(
+            "hour",
+            "n_events",
+            "n_late",
+            F.expr("CAST(n_late AS DOUBLE) / n_events").alias("late_frac"),
+            "max_late_us",
+        )
+        .orderBy("hour")
+    )
+
+
+E28_SQL = f"""
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS hour, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+  FROM events
+), late AS (
+  SELECT hour,
+         CASE WHEN hi > us THEN hi - us ELSE CAST(0 AS BIGINT) END AS late_us
+  FROM x
+)
+SELECT hour, count(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > {LATE_THRESHOLD_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN late_us > {LATE_THRESHOLD_US} THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS late_frac,
+       max(late_us) AS max_late_us
+FROM late GROUP BY hour ORDER BY hour
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -1934,6 +2044,7 @@ QUERIES = {
     "e24_growth_accounting": e24_growth_accounting,
     "e25_attribution": e25_attribution,
     "e27_dwell_histogram": e27_dwell_histogram,
+    "e28_lateness_audit": e28_lateness_audit,
 }
 
 ORACLES = {
@@ -1962,4 +2073,5 @@ ORACLES = {
     "e24_growth_accounting": E24_SQL,
     "e25_attribution": E25_SQL,
     "e27_dwell_histogram": E27_SQL,
+    "e28_lateness_audit": E28_SQL,
 }

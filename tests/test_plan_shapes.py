@@ -433,3 +433,20 @@ def test_s15_frontier_broadcasts_probes_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(bucket") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_e28_prefix_scan_no_corpus_wide_window(spark):
+    import re
+
+    from floorist_spark.operators.events_analytics import e28_lateness_audit
+
+    plan = _plan(e28_lateness_audit(spark, SF_SMOKE))
+    # the two-level prefix max: corpus windows are PARTITIONED by blk;
+    # the only single-partition exchange feeds the tiny per-block table
+    # (the classic scan decomposition), so no unpartitioned sort ever
+    # sees corpus rows
+    assert plan.count("Exchange SinglePartition") <= 2
+    for mt in re.finditer(r"Window \[[^\n]*", plan):
+        line = mt.group(0)
+        assert "blk#" in line or "windowspecdefinition(blk" in line or "partitionBy" not in line
+    assert "CartesianProduct" not in plan

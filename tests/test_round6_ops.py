@@ -160,3 +160,36 @@ def test_s15_frontier_monotone(spark):
     for r in rows.values():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_truth"] > 0
+
+
+# -- e28: planted out-of-order arrivals, cross-block prefix ------------------
+
+
+def test_e28_lateness_from_arrival_order(spark, tmp_path):
+    from floorist_spark.operators.events_analytics import e28_lateness_audit
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        (0, m(0), 1, "view", 0.0),     # first arrival -> late 0
+        (1, m(60), 1, "view", 0.0),    # hi becomes m60
+        (2, m(5), 1, "view", 0.0),     # 55 min behind hi -> LATE
+        (3, m(55), 1, "view", 0.0),    # 5 min behind -> within watermark
+        (4, m(120), 1, "view", 0.0),   # hi becomes m120
+        # different arrival BLOCK (id 5000 with ARRIVAL_BLOCK=1024): its
+        # prefix max must come from the cross-block running max (m120)
+        (5000, m(30), 1, "view", 0.0),  # 90 min behind -> LATE
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    got = {r["hour"].hour: r for r in e28_lateness_audit(spark, out).collect()}
+    h12 = got[12]
+    assert h12["n_events"] == 4            # m0, m5, m55, m30
+    assert h12["n_late"] == 2              # 55-min and 90-min stragglers
+    assert h12["max_late_us"] == 90 * 60 * 1_000_000
+    assert h12["late_frac"] == pytest.approx(0.5)
+    assert got[13]["n_late"] == 0 and got[13]["max_late_us"] == 0
+    assert got[14]["n_late"] == 0
