@@ -99,6 +99,7 @@ HEADLINE = (
     "c15_curriculum_phases",
     "s15_probe_frontier",
     "e28_lateness_audit",
+    "e29_streaming_funnel",
 )
 
 

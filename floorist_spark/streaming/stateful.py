@@ -613,13 +613,190 @@ ORDER BY user_id, event_type, kept_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# e29 — streaming funnel completion (stateful sequence match with deadlines)
+# ---------------------------------------------------------------------------
+#
+# Real-time conversion tracking: per user, match view → click → purchase
+# where each step lands strictly after the previous one and within
+# FUNNEL_TTL of it; emit ONE row the moment the purchase completes the
+# chain. The stateful pattern this adds over d08 (set membership), e15
+# (interval merging), and e26 (anchor chains) is SEQUENCE MATCHING with
+# deadlines — per-key state is a fixed-width partial chain (two
+# timestamps + a done flag), the cheapest stateful shape there is; a
+# whale user costs a longer per-batch fold, never more state. Like d08's
+# per-digest first-seen state, the done tombstone is retained (state is
+# bounded by converted users, and a duplicate emission is worse than a
+# few bytes per converter).
+#
+# Chain semantics are GREEDY-FROM-EARLIEST, the e09 strict-order funnel
+# plus deadlines: t_view = the user's first view (the anchor — it never
+# rewinds, the e26 late-data rule), t_click = first click in
+# (t_view, t_view + TTL], purchase completes in (t_click, t_click + TTL].
+# A single availableNow batch folds ALL events in (ts, event_id) order,
+# so the emitted set equals the batch oracle exactly — no watermark
+# filter needed (a completion is final; nothing is ever retracted).
+# Multi-batch runs drop stragglers that would rewrite an already-chosen
+# anchor (pinned by test_streaming_state.py).
+
+#: per-step deadline: next stage must land within 24h of the previous
+FUNNEL_TTL_US = 24 * 3600 * 1_000_000
+
+#: strict stage order (e09's FUNNEL_STAGES)
+_FUNNEL_SEQ = ("view", "click", "purchase")
+
+_E29_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+_E29_STATE = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("done", BooleanType()),
+    ]
+)
+
+
+def _funnel_match(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Fold this batch's events (buffered across chunks, sorted once by
+    (us, event_id) — the e15 buffer-then-sort rule) into the partial
+    chain; emit on completion and tombstone the key."""
+    import pandas as pd
+
+    if state.exists:
+        t_view, t_click, done = state.get
+    else:
+        t_view, t_click, done = None, None, False
+
+    out = None
+    frames = list(pdfs)
+    if frames and not done:
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        merged = merged.sort_values(["us", "event_id"])
+        for us, et in zip(
+            merged["us"].astype("int64"), merged["event_type"]
+        ):
+            us = int(us)
+            if et == _FUNNEL_SEQ[0]:
+                if t_view is None:
+                    t_view = us
+            elif et == _FUNNEL_SEQ[1]:
+                if (
+                    t_view is not None
+                    and t_click is None
+                    and t_view < us <= t_view + FUNNEL_TTL_US
+                ):
+                    t_click = us
+            elif et == _FUNNEL_SEQ[2]:
+                if (
+                    t_click is not None
+                    and t_click < us <= t_click + FUNNEL_TTL_US
+                ):
+                    done = True
+                    out = pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "view_us": [t_view],
+                            "click_us": [t_click],
+                            "purchase_us": [us],
+                        }
+                    )
+                    break
+
+    state.update((t_view, t_click, done))
+    if out is not None:
+        yield out
+
+
+def e29_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel completions over the events stream: one shuffle
+    on user_id (the stateful operator's key partitioning); emission is
+    immediate on completion — append-safe because a completion can never
+    be retracted."""
+    from floorist_spark.operators.events_analytics import _events_stream
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+    )
+    completions = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_match,
+        _E29_OUT,
+        _E29_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        completions.writeStream.format("memory")
+        .queryName("e29_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("e29_stream_sink")
+        .select(
+            "user_id",
+            F.expr("timestamp_micros(view_us)").alias("t_view"),
+            F.expr("timestamp_micros(click_us)").alias("t_click"),
+            F.expr("timestamp_micros(purchase_us)").alias("t_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: the batch twin of the greedy-from-earliest chain: first view, first
+#: qualifying click, first qualifying purchase — completions only. No
+#: watermark term: completions are emitted the moment they happen, so
+#: stream and batch agree whenever all of a user's events share a batch
+#: (the availableNow gate run); multi-batch straggler divergence is
+#: documented at the state function.
+E29_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = '{_FUNNEL_SEQ[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_SEQ[1]}' AND e.ts > v.t_view
+    AND epoch_us(e.ts) <= epoch_us(v.t_view) + {FUNNEL_TTL_US}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_SEQ[2]}' AND e.ts > c.t_click
+    AND epoch_us(e.ts) <= epoch_us(c.t_click) + {FUNNEL_TTL_US}
+  GROUP BY e.user_id
+)
+SELECT user_id, t_view, t_click, t_purchase
+FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "d08_streaming_dedup": d08_streaming_dedup,
     "e15_custom_sessionizer": e15_custom_sessionizer,
     "e26_alert_throttle": e26_alert_throttle,
+    "e29_streaming_funnel": e29_streaming_funnel,
 }
 ORACLES = {
     "d08_streaming_dedup": D08_SQL,
     "e15_custom_sessionizer": E15_SQL,
     "e26_alert_throttle": E26_SQL,
+    "e29_streaming_funnel": E29_SQL,
 }

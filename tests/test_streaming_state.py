@@ -204,3 +204,86 @@ def test_throttle_chain_survives_batch_boundary(spark, throttle_two_batch_dir):
     # inclusive cutoff the recursive oracle uses
     assert (4, "click", 40) in got
     assert len(got) == 5
+
+
+@pytest.fixture
+def funnel_two_batch_dir(spark, tmp_path):
+    """Two micro-batches for the e29 streaming funnel: a chain that
+    PROGRESSES across the batch boundary, a straggler view that must not
+    rewind an already-chosen anchor, a duplicate purchase that must not
+    re-emit, and a deadline-expired click that stalls its chain."""
+    import datetime as dt
+
+    d = f"file://{tmp_path}/funnel_stream"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    batch1 = [
+        (1, t0, 1, "view"),            # u1 anchor view
+        (2, t0 + h, 1, "click"),       # within 24h -> chain at stage 2
+        (10, t0, 2, "view"),           # u2 anchor
+        (20, t0 + 30 * h, 3, "view"),  # u3: click will come too late
+    ]
+    batch2 = [
+        (3, t0 + 2 * h, 1, "purchase"),   # completes u1 ACROSS batches
+        (4, t0 + 3 * h, 1, "purchase"),   # duplicate: must NOT re-emit
+        # straggler view EARLIER than u2's anchor: anchor must not rewind
+        (11, t0 - 5 * h, 2, "view"),
+        (12, t0 + h, 2, "click"),         # qualifies vs the ORIGINAL anchor
+        (21, t0 + 55 * h, 3, "click"),    # 25h after u3's view -> expired
+        (22, t0 + 56 * h, 3, "purchase"), # chain stalled -> no completion
+    ]
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(d)
+    return d, t0
+
+
+def test_funnel_completes_across_batches_and_never_rewinds(spark, funnel_two_batch_dir):
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from floorist_spark.streaming.stateful import (
+        _E29_OUT,
+        _E29_STATE,
+        _funnel_match,
+    )
+
+    d, t0 = funnel_two_batch_dir
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select(
+            "user_id", "event_type",
+            F.expr("unix_micros(ts)").alias("us"), "event_id",
+        )
+    )
+    done = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_match, _E29_OUT, _E29_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        done.writeStream.format("memory")
+        .queryName("funnel_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # genuinely multi-batch
+
+    rows = spark.table("funnel_test_sink").collect()
+    got = {r["user_id"]: r for r in rows}
+    us = lambda delta_h: int((t0 + dt.timedelta(hours=delta_h)).timestamp() * 1_000_000)
+    # u1 completed across the boundary with the FIRST purchase only
+    assert got[1]["view_us"] == us(0)
+    assert got[1]["click_us"] == us(1)
+    assert got[1]["purchase_us"] == us(2)
+    # exactly one emission per user (duplicate purchase suppressed by the
+    # done tombstone)
+    assert len(rows) == len(got)
+    # u2 never completed (no purchase) and u3's chain expired at the
+    # click deadline — neither may appear
+    assert 2 not in got and 3 not in got
+    assert set(got) == {1}
