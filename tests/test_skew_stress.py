@@ -107,3 +107,45 @@ def test_aqe_splits_skewed_join_partition(spark, skew_dir, aqe_skew_conf):
     # the hot partition (user 0 = 20% of the fact side) must have been
     # split by AQE's skew-join rule, not fed to a single straggler task
     assert "skew=true" in final_plan, final_plan[:2000]
+
+
+# -- m12 under a mass-duplicated block (round 6) ------------------------------
+
+
+def test_m12_exact_under_hot_block(spark, tmp_path):
+    """Planted block-level skew: 20k documents all SHARE one identical
+    payload (one digest owned by 20k (doc, idx) rows) while 1k docs are
+    distinct. The ownership groupBy map-side-combines the hot digest to
+    one owner row per partition before the exchange, and the survivor
+    join's hot key is AQE-splittable — correctness under that skew is an
+    exact count check by construction."""
+    from floorist_spark.operators.multimodal import (
+        BLOCK_BYTES,
+        m12_block_dedup_census,
+    )
+
+    n_hot, n_cold = 20_000, 1_000
+    hot_body = "h" * BLOCK_BYTES  # one block, identical across all hot docs
+    docs = spark.range(n_hot + n_cold).selectExpr(
+        "id AS doc_id",
+        f"IF(id < {n_hot}, '{hot_body}', "
+        f"concat('cold-', CAST(id AS STRING))) AS text",
+    )
+    out = str(tmp_path / "hotblock")
+    docs.write.parquet(f"{out}/documents.parquet")
+
+    res = m12_block_dedup_census(spark, out)
+    agg = res.selectExpr(
+        "count(*) AS n_docs",
+        "sum(n_first_owned) AS owned",
+        "sum(n_blocks) AS blocks",
+    ).collect()[0]
+    assert agg["n_docs"] == n_hot + n_cold
+    assert agg["blocks"] == n_hot + n_cold  # every doc exactly one block
+    # exactly ONE owner for the hot block + one per distinct cold doc
+    assert agg["owned"] == 1 + n_cold
+    # the owner of the hot block is the lowest doc_id
+    first = res.filter("doc_id = 0").collect()[0]
+    assert first["n_first_owned"] == 1
+    some_hot = res.filter("doc_id = 7").collect()[0]
+    assert some_hot["n_first_owned"] == 0
