@@ -100,6 +100,7 @@ HEADLINE = (
     "s15_probe_frontier",
     "e28_lateness_audit",
     "e29_streaming_funnel",
+    "c16_dedup_aware_mixture",
 )
 
 

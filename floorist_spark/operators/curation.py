@@ -1193,6 +1193,119 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c16 — dedup-aware mixture weights (effective tokens after soft dedup)
+# ---------------------------------------------------------------------------
+
+
+def c16_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c06's temperature mixture computed over EFFECTIVE tokens — each
+    document's token count downweighted by d16's soft-dedup weight
+    (1/|near-dup cluster|; unclustered docs count fully). Raw token
+    shares systematically over-weight duplicate-heavy languages; mixing
+    on effective tokens is the post-dedup rebalance a production
+    pipeline actually trains with. Per language: raw vs effective
+    tokens, the deflation ratio (a data-quality signal by itself), and
+    the temperature weight over effective tokens.
+
+    Scale shape: one corpus scan left-joined against d16's cluster table
+    (derived from the memoized near-dup chain — no corpus re-pair), then
+    everything shrinks to the (lang, cluster-size) key before any float
+    appears. Float determinism: effective tokens are a SORTED fold of
+    exact per-(lang, size) BIGINT sums divided once per group — the c06
+    rule (plain float sums are partial-agg-order-dependent); the
+    normalizers fold the per-language values sorted the same way, and
+    the root is sqrt∘sqrt (see MIX_TEMP)."""
+    from floorist_spark.operators._cache import track
+    from floorist_spark.operators.dedup import d16_soft_dedup_weights
+
+    ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(ntok).alias("n")
+    )
+    w = d16_soft_dedup_weights(spark, sf_dir).select("doc_id", "n_members")
+    grp = (
+        docs.join(F.broadcast(w), "doc_id", "left")
+        .select(
+            "lang",
+            "n",
+            F.expr("coalesce(n_members, CAST(1 AS BIGINT))").alias("n_members"),
+        )
+        .groupBy("lang", "n_members")
+        .agg(F.sum("n").alias("grp_tokens"))
+    )
+    per_lang = track(
+        grp.groupBy("lang")
+        .agg(
+            F.sum("grp_tokens").alias("raw_tokens"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(n_members, "
+                "CAST(grp_tokens AS DOUBLE) / n_members AS v))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.v)"
+            ).alias("effective_tokens"),
+        )
+        .persist()
+    )
+    totals = per_lang.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(effective_tokens)), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("eff_total"),
+        F.expr(
+            "aggregate(array_sort(collect_list("
+            "sqrt(sqrt(effective_tokens)))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("_norm"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "raw_tokens",
+            "effective_tokens",
+            F.expr(
+                "effective_tokens / CAST(raw_tokens AS DOUBLE)"
+            ).alias("dedup_deflation"),
+            F.expr("effective_tokens / eff_total").alias("eff_share"),
+            F.expr("sqrt(sqrt(effective_tokens)) / _norm").alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _c16_sql() -> str:
+    from floorist_spark.operators.dedup import _d16_sql
+
+    toks = tf.tokens_duck(tf.norm_duck("text"))
+    return f"""
+WITH d16 AS ({_d16_sql()}),
+docs_w AS (
+  SELECT d.lang, CAST(len({toks}) AS BIGINT) AS n,
+         CAST(coalesce(w.n_members, 1) AS BIGINT) AS n_members
+  FROM documents d LEFT JOIN d16 w ON w.doc_id = d.doc_id
+), grp AS (
+  SELECT lang, n_members, CAST(sum(n) AS BIGINT) AS grp_tokens
+  FROM docs_w GROUP BY lang, n_members
+), per_lang AS (
+  SELECT lang, CAST(sum(grp_tokens) AS BIGINT) AS raw_tokens,
+         list_reduce(list(grp_tokens::DOUBLE / n_members ORDER BY n_members),
+                     (a, x) -> a + x) AS effective_tokens
+  FROM grp GROUP BY lang
+), totals AS (
+  SELECT list_reduce(list_sort(list(effective_tokens)), (a, x) -> a + x)
+           AS eff_total,
+         list_reduce(list_sort(list(sqrt(sqrt(effective_tokens)))),
+                     (a, x) -> a + x) AS _norm
+  FROM per_lang
+)
+SELECT lang, raw_tokens, effective_tokens,
+       effective_tokens / CAST(raw_tokens AS DOUBLE) AS dedup_deflation,
+       effective_tokens / eff_total AS eff_share,
+       sqrt(sqrt(effective_tokens)) / _norm AS mix_weight
+FROM per_lang, totals ORDER BY lang
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1209,6 +1322,7 @@ QUERIES = {
     "c13_data_card": c13_data_card,
     "c14_epoch_allocation": c14_epoch_allocation,
     "c15_curriculum_phases": c15_curriculum_phases,
+    "c16_dedup_aware_mixture": c16_dedup_aware_mixture,
 }
 
 ORACLES = {
@@ -1227,4 +1341,5 @@ ORACLES = {
     "c13_data_card": C13_SQL,
     "c14_epoch_allocation": C14_SQL,
     "c15_curriculum_phases": C15_SQL,
+    "c16_dedup_aware_mixture": _c16_sql(),
 }

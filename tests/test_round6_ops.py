@@ -193,3 +193,35 @@ def test_e28_lateness_from_arrival_order(spark, tmp_path):
     assert h12["late_frac"] == pytest.approx(0.5)
     assert got[13]["n_late"] == 0 and got[13]["max_late_us"] == 0
     assert got[14]["n_late"] == 0
+
+
+# -- c16: dedup-aware mixture deflation --------------------------------------
+
+
+def test_c16_duplicate_heavy_language_deflates(spark, tmp_path):
+    from floorist_spark.operators._cache import release_memos
+    from floorist_spark.operators.curation import c16_dedup_aware_mixture
+
+    # lang 'aa': 4 IDENTICAL docs (one near-dup cluster of 4 -> each
+    # weighted 1/4 -> effective = raw/4); lang 'bb': 4 distinct docs
+    # (no clusters -> effective == raw). Equal token counts per doc.
+    dup_body = "the same duplicated document body shared by every copy"
+    rows = [(i, dup_body, "aa") for i in range(4)]
+    rows += [
+        (10 + i, f"unique document number {i} about topic {chr(65 + i)} entirely", "bb")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    release_memos()
+    try:
+        got = {r["lang"]: r for r in c16_dedup_aware_mixture(spark, out).collect()}
+    finally:
+        release_memos()
+    assert got["aa"]["dedup_deflation"] == pytest.approx(0.25)
+    assert got["bb"]["dedup_deflation"] == 1.0
+    assert got["bb"]["effective_tokens"] == got["bb"]["raw_tokens"]
+    # the dup-heavy language's mixture weight falls below the clean one's
+    assert got["aa"]["mix_weight"] < got["bb"]["mix_weight"]
+    assert got["aa"]["eff_share"] + got["bb"]["eff_share"] == pytest.approx(1.0)
