@@ -101,6 +101,9 @@ HEADLINE = (
     "e28_lateness_audit",
     "e29_streaming_funnel",
     "c16_dedup_aware_mixture",
+    "d20_source_dup_overlap",
+    "t19_distribution_outliers",
+    "s16_mmr_diversify",
 )
 
 

@@ -1535,6 +1535,88 @@ ORDER BY n_rows
 """
 
 
+# ---------------------------------------------------------------------------
+# d20 — per-source duplicate-overlap census (where does redundancy come from)
+# ---------------------------------------------------------------------------
+
+
+def d20_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate provenance: for each ingest source, how much of it is
+    duplicated anywhere in the corpus, and how much overlaps OTHER
+    sources. Two different scrapes of the same sites show up as high
+    ``cross_frac``; a source that re-serves its own pages shows high
+    ``dup_frac`` with low ``cross_frac``. This is the census a pipeline
+    runs before paying for a crawl refresh — d01/d02 say *what* to drop,
+    this says *who keeps shipping it* (new surface, SURVEY §7.2.7; the
+    reference has no per-source analytics at all).
+
+    Scale shape: digests are d02's normalized md5, so the groupBy and the
+    join-back exchange 16-byte digests, never text (the d-family rule,
+    pinned in test_plan_shapes.py). Per-digest stats collapse to one row
+    per distinct digest before rejoining; the final groupBy(source) is a
+    20-row aggregate. Two digest shuffles + one tiny source shuffle, no
+    pairing, no O(N²) anywhere. All outputs are BIGINTs or integer-ratio
+    doubles — bit-identical across engines by construction."""
+    digests = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"md5(CAST({_NORM_S} AS BINARY))").alias("d"),
+        )
+    )
+    per_digest = digests.groupBy("d").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        digests.join(per_digest, "d")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("d").alias("n_distinct_digests"),
+            F.sum(F.expr("IF(n_copies > 1, 1, 0)")).alias("n_dup_docs"),
+            F.sum(F.expr("IF(n_sources > 1, 1, 0)")).alias("n_cross_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_digests",
+            "n_dup_docs",
+            "n_cross_docs",
+            F.expr("CAST(n_dup_docs AS DOUBLE) / n_docs").alias("dup_frac"),
+            F.expr("CAST(n_cross_docs AS DOUBLE) / n_docs").alias(
+                "cross_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+D20_SQL = f"""
+WITH digests AS (
+  SELECT doc_id, source, md5({_NORM_D}) AS d FROM documents
+),
+per_digest AS (
+  SELECT d, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+  FROM digests GROUP BY d
+)
+SELECT g.source,
+       count(*) AS n_docs,
+       count(DISTINCT g.d) AS n_distinct_digests,
+       CAST(sum(CASE WHEN p.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN p.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_docs,
+       CAST(sum(CASE WHEN p.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac,
+       CAST(sum(CASE WHEN p.n_sources > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS cross_frac
+FROM digests g JOIN per_digest p USING (d)
+GROUP BY g.source ORDER BY g.source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1554,6 +1636,7 @@ QUERIES = {
     "d17_incremental_dedup": d17_incremental_dedup,
     "d18_dup_graph_triangles": d18_dup_graph_triangles,
     "d19_lsh_tuning_curve": d19_lsh_tuning_curve,
+    "d20_source_dup_overlap": d20_source_dup_overlap,
 }
 
 ORACLES = {
@@ -1575,4 +1658,5 @@ ORACLES = {
     "d17_incremental_dedup": _d17_sql(),
     "d18_dup_graph_triangles": _d18_sql(),
     "d19_lsh_tuning_curve": _d19_sql(),
+    "d20_source_dup_overlap": D20_SQL,
 }

@@ -1329,6 +1329,200 @@ FROM truth t LEFT JOIN top{radius} a
     )
 
 
+# ---------------------------------------------------------------------------
+# s16 — MMR-diversified retrieval (maximal marginal relevance re-ranking)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 10  # relevance top-N candidate pool per query
+MMR_K = 3  # diversified picks per query
+#: written as CAST(0.7 AS DOUBLE) in both engines — the decimal literal
+#: rounds to the same double either way, the cast just makes it explicit
+MMR_LAMBDA = "CAST(0.7 AS DOUBLE)"
+MMR_ONE_MINUS = "CAST(0.3 AS DOUBLE)"
+
+
+def s16_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell & Goldstein '98):
+    from each query's relevance top-``MMR_POOL`` pool, greedily pick
+    ``MMR_K`` results maximizing ``λ·rel − (1−λ)·max_sim_to_selected`` —
+    the de-duplicated result page every retrieval stack re-ranks with
+    (a pool of near-identical neighbors collapses to one pick plus
+    genuinely different results). New surface (SURVEY §7.2.7).
+
+    Scale shape: the pool comes from the s01-style scan (production
+    plugs in the s02/s06 ANN output — same (query, neighbor, cosine)
+    schema); pairwise similarities are computed ONLY within each query's
+    pool (Q·N² with N=10 — bounded per query, never corpus-pairwise).
+    The greedy loop is ``MMR_K − 1`` bounded driver-composed rounds —
+    like t15's BPE loop, each round is pure DataFrame ops (anti-join the
+    picked set, max-sim aggregate, per-query window argmax) with NO
+    collect; state between rounds is the Q-row picked set. Pool and
+    pairs persist across rounds (released by the harness via track).
+    Float path: cosine folds are bit-identical by textfrag construction;
+    the MMR score is a fixed two-term scalar expression and ``max`` is
+    order-independent, so scores hash-match the oracle exactly; ties
+    break by neighbor_id."""
+    from floorist_spark.operators._cache import track
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pool = track(
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.expr(_COS_S).alias("cosine"), "c_emb"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_POOL)
+        .drop("rank")
+        .persist()
+    )
+    sim = tf.cosine_spark("a_emb", "b_emb")
+    pairs = track(
+        pool.select("query_id", F.col("neighbor_id").alias("a_id"),
+                    F.col("c_emb").alias("a_emb"))
+        .join(
+            pool.select("query_id", F.col("neighbor_id").alias("b_id"),
+                        F.col("c_emb").alias("b_emb")),
+            "query_id",
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", F.expr(sim).alias("sim"))
+        .persist()
+    )
+    pool = pool.drop("c_emb")
+    score = f"{MMR_LAMBDA} * cosine - {MMR_ONE_MINUS} * max_sim_prev"
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    picked = (
+        pool.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.expr("CAST(0 AS DOUBLE)").alias("max_sim_prev"),
+            F.expr(f"{MMR_LAMBDA} * cosine").alias("mmr_score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        remaining = pool.join(
+            picked.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pairs.join(
+                picked.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
+            .agg(F.max("sim").alias("max_sim_prev"))
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("neighbor_id")
+        )
+        round_pick = (
+            remaining.join(maxsim, ["query_id", "neighbor_id"])
+            .withColumn("mmr_score", F.expr(score))
+            .withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "max_sim_prev",
+                "mmr_score",
+                F.lit(r).alias("pick"),
+            )
+        )
+        picked = picked.unionByName(round_pick)
+    return picked.orderBy("query_id", "pick")
+
+
+def _s16_sql() -> str:
+    cos_ab = tf.cosine_duck("ea.embedding", "eb.embedding")
+    score = f"{MMR_LAMBDA} * m.cosine - {MMR_ONE_MINUS} * m.max_sim_prev"
+    sel_ctes = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, r))
+        sel_ctes.append(f"""
+picked{r} AS (SELECT query_id, neighbor_id FROM ({prev})),
+m{r} AS (
+  SELECT p.query_id, p.neighbor_id, p.cosine, max(pr.sim) AS max_sim_prev
+  FROM pool p
+  LEFT JOIN picked{r} x
+    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.a_id = p.neighbor_id
+  JOIN picked{r} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.b_id
+  WHERE x.neighbor_id IS NULL
+  GROUP BY p.query_id, p.neighbor_id, p.cosine
+),
+sel{r} AS (
+  SELECT query_id, neighbor_id, cosine, max_sim_prev, mmr_score,
+         {r} AS pick
+  FROM (
+    SELECT m.*, {score} AS mmr_score,
+           ROW_NUMBER() OVER (PARTITION BY m.query_id
+             ORDER BY {score} DESC, m.neighbor_id) AS rr
+    FROM m{r} m
+  ) WHERE rr = 1
+)""")
+    body = ",".join(sel_ctes)
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+pool AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT p1.query_id, p1.neighbor_id AS a_id, p2.neighbor_id AS b_id,
+         {cos_ab} AS sim
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id
+              AND p1.neighbor_id != p2.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = p1.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = p2.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, cosine, CAST(0 AS DOUBLE) AS max_sim_prev,
+         {MMR_LAMBDA} * cosine AS mmr_score, 1 AS pick
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pool
+  ) WHERE rank = 1
+),
+{body}
+SELECT query_id, neighbor_id, cosine, max_sim_prev, mmr_score,
+       CAST(pick AS INTEGER) AS pick
+FROM ({final}) ORDER BY query_id, pick
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1345,6 +1539,7 @@ QUERIES = {
     "s13_filtered_ann": s13_filtered_ann,
     "s14_index_health": s14_index_health,
     "s15_probe_frontier": s15_probe_frontier,
+    "s16_mmr_diversify": s16_mmr_diversify,
 }
 
 ORACLES = {
@@ -1363,4 +1558,5 @@ ORACLES = {
     "s13_filtered_ann": S13_SQL,
     "s14_index_health": S14_SQL,
     "s15_probe_frontier": _s15_sql(),
+    "s16_mmr_diversify": _s16_sql(),
 }

@@ -1219,6 +1219,106 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t19 — distribution-divergence outliers (Bhattacharyya affinity to corpus)
+# ---------------------------------------------------------------------------
+
+#: Docs whose unigram distribution has Bhattacharyya affinity to the
+#: corpus distribution below this are flagged (gibberish, OCR noise,
+#: wrong-domain pages). Demonstration threshold — production tunes it
+#: from the affinity histogram; the plan shape is identical.
+OUTLIER_AFFINITY = 0.5
+
+
+def t19_distribution_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level outlier detection: Bhattacharyya affinity
+    BC(doc, corpus) = Σ_t sqrt(p_doc(t)·p_corpus(t)) between each
+    document's unigram distribution and the corpus distribution.
+    Low-affinity docs are the ones a KL-divergence filter would flag —
+    but BC uses only sqrt (IEEE correctly-rounded in both engines), where
+    log differs in the last ulp across libm implementations, so this is
+    the cross-engine-deterministic form of the same signal (the t07
+    transcendental rule). Hellinger² = 1 − BC comes along for free.
+
+    Scale shape: one corpus scan → (doc, tok) counts; corpus frequencies
+    join in on the token key (shuffle here; at 100 TB the frequency table
+    is the dictionary-sized broadcast side); the per-doc sum folds
+    ``sqrt(c_d·c_c)`` terms SORTED BY TOKEN (float sums are
+    partial-agg-order-dependent — the c06/c16 rule) and divides once by
+    ``sqrt(n_doc·total)``. The BIGINT product c_d·c_c stays below 2⁵³
+    for any corpus where a doc repeats a token ≤~1e3 times against a
+    ≤~1e10-count corpus token — beyond that, pre-scale the counts."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOK_S)).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c_d"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c_c"))
+    total = freq.agg(F.sum("c_c").alias("total_tokens"))
+    return (
+        doc_tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").alias("n_tokens"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(tok, "
+                "sqrt(CAST(c_d * c_c AS DOUBLE)) AS v))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.v)"
+            ).alias("bc_num"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "bc_num / sqrt(CAST(n_tokens AS DOUBLE) "
+                "* CAST(total_tokens AS DOUBLE))"
+            ).alias("bc_affinity"),
+            F.expr(
+                "1.0 - bc_num / sqrt(CAST(n_tokens AS DOUBLE) "
+                "* CAST(total_tokens AS DOUBLE))"
+            ).alias("hellinger_sq"),
+            F.expr(
+                "bc_num / sqrt(CAST(n_tokens AS DOUBLE) "
+                f"* CAST(total_tokens AS DOUBLE)) < {OUTLIER_AFFINITY}"
+            ).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T19_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_D}) AS tok FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, tok, count(*) AS c_d FROM toks GROUP BY doc_id, tok
+),
+freq AS (
+  SELECT tok, count(*) AS c_c FROM toks GROUP BY tok
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(sum(d.c_d) AS BIGINT) AS n_tokens,
+         list_reduce(list(sqrt(CAST(d.c_d * f.c_c AS DOUBLE)) ORDER BY d.tok),
+                     (a, x) -> a + x) AS bc_num
+  FROM doc_tok d JOIN freq f USING (tok)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       bc_num / sqrt(CAST(n_tokens AS DOUBLE)
+                     * CAST((SELECT total_tokens FROM total) AS DOUBLE))
+         AS bc_affinity,
+       1.0 - bc_num / sqrt(CAST(n_tokens AS DOUBLE)
+                           * CAST((SELECT total_tokens FROM total) AS DOUBLE))
+         AS hellinger_sq,
+       bc_num / sqrt(CAST(n_tokens AS DOUBLE)
+                     * CAST((SELECT total_tokens FROM total) AS DOUBLE))
+         < {OUTLIER_AFFINITY} AS is_outlier
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1238,6 +1338,7 @@ QUERIES = {
     "t16_zipf_audit": t16_zipf_audit,
     "t17_token_diversity": t17_token_diversity,
     "t18_pii_scrub": t18_pii_scrub,
+    "t19_distribution_outliers": t19_distribution_outliers,
 }
 
 ORACLES = {
@@ -1259,4 +1360,5 @@ ORACLES = {
     "t16_zipf_audit": T16_SQL,
     "t17_token_diversity": T17_SQL,
     "t18_pii_scrub": T18_SQL,
+    "t19_distribution_outliers": T19_SQL,
 }

@@ -225,3 +225,143 @@ def test_c16_duplicate_heavy_language_deflates(spark, tmp_path):
     # the dup-heavy language's mixture weight falls below the clean one's
     assert got["aa"]["mix_weight"] < got["bb"]["mix_weight"]
     assert got["aa"]["eff_share"] + got["bb"]["eff_share"] == pytest.approx(1.0)
+
+
+# -- d20: per-source duplicate-overlap census --------------------------------
+
+
+def test_d20_planted_source_overlap(spark, tmp_path):
+    from floorist_spark.operators.dedup import d20_source_dup_overlap
+
+    rows = [
+        # srcA: 1 and 2 are the same doc modulo case (normalized dup),
+        # 3 is shared verbatim with srcB (cross-source dup)
+        (1, "alpha beta gamma", "srcA"),
+        (2, "ALPHA  beta GAMMA", "srcA"),
+        (3, "shared page body", "srcA"),
+        # srcB: 4 duplicates srcA's page, 5 is unique
+        (4, "shared page body", "srcB"),
+        (5, "entirely unique content", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {r["source"]: r for r in d20_source_dup_overlap(spark, out).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert a["n_docs"] == 3 and a["n_distinct_digests"] == 2
+    assert a["n_dup_docs"] == 3          # 1,2 (internal) + 3 (cross)
+    assert a["n_cross_docs"] == 1        # only the shared page
+    assert a["dup_frac"] == 1.0 and a["cross_frac"] == pytest.approx(1 / 3)
+    assert b["n_docs"] == 2 and b["n_distinct_digests"] == 2
+    assert b["n_dup_docs"] == 1 and b["n_cross_docs"] == 1
+    assert b["dup_frac"] == 0.5 and b["cross_frac"] == 0.5
+
+
+# -- t19: planted distribution outlier ---------------------------------------
+
+
+def test_t19_gibberish_doc_flagged(spark, tmp_path):
+    import math
+
+    from floorist_spark.operators.text import t19_distribution_outliers
+
+    common = "the cat sat on the mat"  # 6 tokens, vocabulary shared 4x
+    rows = [(i, common) for i in range(4)]
+    rows.append((9, "zzz qqq xxx www"))  # 4 tokens, each corpus-unique
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in t19_distribution_outliers(spark, out).collect()}
+    # gibberish: every token has c_d = c_c = 1, n_doc = 4, total = 28
+    assert got[9]["bc_affinity"] == pytest.approx(4 / math.sqrt(4 * 28))
+    assert got[9]["is_outlier"] is True
+    # common docs: num = sqrt(2*8) + 4*sqrt(1*4) = 12, n_doc = 6
+    assert got[0]["bc_affinity"] == pytest.approx(12 / math.sqrt(6 * 28))
+    for i in range(4):
+        assert got[i]["is_outlier"] is False
+        assert got[i]["bc_affinity"] > got[9]["bc_affinity"]
+    assert got[0]["hellinger_sq"] == pytest.approx(1 - 12 / math.sqrt(6 * 28))
+
+
+# -- s16: MMR diversification vs a pure-Python reference ---------------------
+
+
+def _py_cos(a, b):
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _py_mmr(vecs, query_ids, pool_n, k, lam):
+    """Reference greedy MMR with the engine's tie-breaks."""
+    out = {}
+    for q in query_ids:
+        cands = sorted(
+            ((-_py_cos(vecs[q], vecs[c]), c) for c in vecs if c != q)
+        )[:pool_n]
+        rel = {c: -negrel for negrel, c in cands}
+        picked = []
+        for _ in range(k):
+            best = None
+            for c in rel:
+                if c in picked:
+                    continue
+                msim = max(
+                    (_py_cos(vecs[c], vecs[p]) for p in picked), default=0.0
+                )
+                score = lam * rel[c] - (1 - lam) * msim
+                key = (-score, c)
+                if best is None or key < best:
+                    best = key
+            picked.append(best[1])
+        out[q] = picked
+    return out
+
+
+def test_s16_mmr_matches_python_reference_and_diversifies(spark, tmp_path):
+    import numpy as np
+
+    from floorist_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        s16_mmr_diversify,
+    )
+
+    raw = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0],
+        2: [0.0, 0.0, 1.0],
+        3: [0.5, 0.5, 0.0],
+        4: [0.3, 0.3, 0.3],
+        10: [0.98, 0.19899, 0.0],   # most relevant to q0
+        11: [1.96, 0.39798, 0.0],   # exact direction dup of 10
+        12: [0.96, 0.0, 0.28],      # slightly less relevant, diverse
+        13: [0.0, 0.7, 0.7],
+        14: [0.2, 0.9, 0.1],
+    }
+    # float32 storage rounding, then exact float64 math — as the engine does
+    vecs = {
+        k: [float(np.float32(x)) for x in v] for k, v in raw.items()
+    }
+    rows = [(k, v, 0) for k, v in raw.items()]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+    expect = _py_mmr(vecs, range(5), MMR_POOL, MMR_K, 0.7)
+    got = s16_mmr_diversify(spark, out).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["pick"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == expect
+    # diversification is real for q0: relevance alone would keep the dup 11
+    # adjacent to 10; MMR swaps in the diverse 12 before it
+    assert by_q[0][0] == 10 and by_q[0][1] == 12 and 11 not in by_q[0][:2]
