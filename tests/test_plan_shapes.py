@@ -450,3 +450,42 @@ def test_e28_prefix_scan_no_corpus_wide_window(spark):
         line = mt.group(0)
         assert "blk#" in line or "windowspecdefinition(blk" in line or "partitionBy" not in line
     assert "CartesianProduct" not in plan
+
+
+def test_d20_exchanges_carry_digests_not_text(spark):
+    import re
+
+    from floorist_spark.operators.dedup import d20_source_dup_overlap
+
+    plan = _plan(d20_source_dup_overlap(spark, SF_SMOKE))
+    # every shuffle keys on the 16-byte digest and/or the source label —
+    # raw document text dies in the md5 projection before any exchange
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_t19_affinity_broadcasts_total_no_cartesian(spark):
+    from floorist_spark.operators.text import t19_distribution_outliers
+
+    plan = _plan(t19_distribution_outliers(spark, SF_SMOKE))
+    # the 1-row corpus total joins in as a broadcast (never a driver
+    # collect), and nothing degenerates to a cartesian pairing
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # shuffles key on (doc_id), (doc_id, tok) and (tok) only
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_s16_rounds_reuse_cached_pool_no_cartesian(spark):
+    from floorist_spark.operators.similarity import s16_mmr_diversify
+
+    plan = _plan(s16_mmr_diversify(spark, SF_SMOKE))
+    # the corpus-sized brute-force scan happens once inside the cached
+    # pool build; every greedy round reads the cache (pool + pairs), so
+    # the final plan shows only InMemoryTableScans over Q·N-row data
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
