@@ -104,6 +104,8 @@ HEADLINE = (
     "d20_source_dup_overlap",
     "t19_distribution_outliers",
     "s16_mmr_diversify",
+    "d21_shingle_novelty",
+    "e30_bot_regularity",
 )
 
 

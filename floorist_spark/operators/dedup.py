@@ -1617,6 +1617,72 @@ GROUP BY g.source ORDER BY g.source
 """
 
 
+# ---------------------------------------------------------------------------
+# d21 — shingle-novelty curve (marginal value of each additional document)
+# ---------------------------------------------------------------------------
+
+
+def d21_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty audit: for each document (in doc_id ingest
+    order), the fraction of its distinct shingles whose FIRST owner is
+    this document. A crawl whose late docs trend toward zero novelty has
+    stopped paying for itself — this is the diminishing-returns curve a
+    pipeline reads before buying more of the same source. Aggregated
+    downstream (e.g. by doc_id decile) it is the "new bytes per added
+    doc" report; m12 is the payload-block analogue (new surface, SURVEY
+    §7.2.7).
+
+    Scale shape: reuses the memoized hashed-shingle sets (the d03 chain
+    root — no corpus re-shingle), explodes to (doc_id, h) and resolves
+    first ownership with a min-aggregate on the 8-byte hash — exchanges
+    carry (hash, doc_id) pairs only, never shingle text. The join back
+    is hash-keyed; the owner side collapses to one row per distinct
+    shingle before joining. Novelty is an integer ratio — bit-identical
+    across engines."""
+    ex = _hashed_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    owner = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.expr("IF(first_doc = doc_id, 1, 0)")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel AS DOUBLE) / n_shingles").alias(
+                "novelty_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D21_SQL = f"""
+WITH hs AS (
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(sh) AS h FROM hs
+),
+owner AS (
+  SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h
+)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty_frac
+FROM ex e JOIN owner o USING (h)
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1637,6 +1703,7 @@ QUERIES = {
     "d18_dup_graph_triangles": d18_dup_graph_triangles,
     "d19_lsh_tuning_curve": d19_lsh_tuning_curve,
     "d20_source_dup_overlap": d20_source_dup_overlap,
+    "d21_shingle_novelty": d21_shingle_novelty,
 }
 
 ORACLES = {
@@ -1659,4 +1726,5 @@ ORACLES = {
     "d18_dup_graph_triangles": _d18_sql(),
     "d19_lsh_tuning_curve": _d19_sql(),
     "d20_source_dup_overlap": D20_SQL,
+    "d21_shingle_novelty": D21_SQL,
 }

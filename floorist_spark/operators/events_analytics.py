@@ -2018,6 +2018,113 @@ FROM late GROUP BY hour ORDER BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# e30 — bot-regularity detection (inter-arrival dispersion per user)
+# ---------------------------------------------------------------------------
+
+#: minimum inter-event gaps before a user is scored (few-event users
+#: have meaningless dispersion estimates)
+BOT_MIN_GAPS = 10
+#: squared coefficient of variation below which the cadence is "machine
+#: regular" — humans are bursty (cv² ≈ 1 for Poisson arrivals, >1 for
+#: bursts); timers/scripts sit near 0
+BOT_CV2 = 0.1
+
+
+def e30_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection from inter-arrival regularity: per user, the squared
+    coefficient of variation of successive event gaps. Scripted traffic
+    fires on a timer (cv² → 0); organic users are bursty (cv² ≳ 1).
+    The standard clickstream-hygiene filter run before any engagement
+    analytics (new surface, SURVEY §7.2.7).
+
+    Determinism (the e14 rule): Spark's variance is an order-sensitive
+    Welford fold, so dispersion comes from EXACT integer sums instead —
+    gaps are BIGINT microseconds, Σg is exact, Σg² accumulates in
+    DECIMAL(38,0) (HUGEINT in the oracle; identical up to 38 digits, and
+    n·Σg² ≤ 1e38 for any corpus whose per-user span stays under ~3e16 µs
+    ≈ 900 years, so the engines agree on every reachable input). Then
+    cv² = (n·Σg² − (Σg)²) / (Σg)² is one integer-exact ratio rendered
+    through the exact decimal STRING (the _dsum rule — a direct
+    decimal→double cast can differ by 1 ulp between engines past 2⁵³).
+
+    Scale shape: ONE shuffle on user_id for the lag window, then a
+    map-side-combinable per-user aggregate; output is user-cardinality.
+    Users whose events all share one timestamp (Σg = 0) are reported
+    with NULL cv² rather than dropped — both engines produce NULL for
+    0/0 division under non-ANSI semantics."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        _load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(w)
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    num = (
+        "CAST(CAST(n_gaps * ssg - CAST(sg AS DECIMAL(38,0)) * sg "
+        "AS STRING) AS DOUBLE)"
+    )
+    den = "CAST(CAST(CAST(sg AS DECIMAL(38,0)) * sg AS STRING) AS DOUBLE)"
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("ssg"),
+        )
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).alias("n_events"),
+            "n_gaps",
+            F.expr("CAST(sg AS DOUBLE) / n_gaps").alias("mean_gap_us"),
+            F.expr(f"IF(sg > 0, {num} / {den}, NULL)").alias("cv2"),
+            F.expr(
+                f"sg > 0 AND n_gaps >= {BOT_MIN_GAPS} "
+                f"AND {num} / {den} < {BOT_CV2}"
+            ).alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E30_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS sg,
+         sum(CAST(g AS HUGEINT) * g) AS ssg
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       n_gaps + 1 AS n_events,
+       n_gaps,
+       CAST(sg AS DOUBLE) / n_gaps AS mean_gap_us,
+       CASE WHEN sg > 0 THEN
+         CAST(CAST(n_gaps * ssg - CAST(sg AS HUGEINT) * sg AS STRING) AS DOUBLE)
+           / CAST(CAST(CAST(sg AS HUGEINT) * sg AS STRING) AS DOUBLE)
+       END AS cv2,
+       sg > 0 AND n_gaps >= {BOT_MIN_GAPS} AND
+         CAST(CAST(n_gaps * ssg - CAST(sg AS HUGEINT) * sg AS STRING) AS DOUBLE)
+           / CAST(CAST(CAST(sg AS HUGEINT) * sg AS STRING) AS DOUBLE)
+           < {BOT_CV2} AS is_bot
+FROM agg ORDER BY user_id
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2045,6 +2152,7 @@ QUERIES = {
     "e25_attribution": e25_attribution,
     "e27_dwell_histogram": e27_dwell_histogram,
     "e28_lateness_audit": e28_lateness_audit,
+    "e30_bot_regularity": e30_bot_regularity,
 }
 
 ORACLES = {
@@ -2074,4 +2182,5 @@ ORACLES = {
     "e25_attribution": E25_SQL,
     "e27_dwell_histogram": E27_SQL,
     "e28_lateness_audit": E28_SQL,
+    "e30_bot_regularity": E30_SQL,
 }

@@ -489,3 +489,30 @@ def test_s16_rounds_reuse_cached_pool_no_cartesian(spark):
     # the final plan shows only InMemoryTableScans over Q·N-row data
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_d21_novelty_reuses_shingle_memo_hash_keyed(spark):
+    from floorist_spark.operators.dedup import d21_shingle_novelty
+
+    plan = _plan(d21_shingle_novelty(spark, SF_SMOKE))
+    # the shingle pass comes from the session memo (no fresh corpus
+    # shingling), and every exchange keys on the 8-byte hash or doc_id —
+    # shingle text never shuffles
+    assert "InMemoryTableScan" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "text#" not in m.group(0) and "sh#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_e30_single_user_shuffle(spark):
+    from floorist_spark.operators.events_analytics import e30_bot_regularity
+
+    plan = _plan(e30_bot_regularity(spark, SF_SMOKE))
+    # one corpus shuffle on user_id feeds BOTH the lag window and the
+    # per-user aggregate (the groupBy reuses the window's partitioning);
+    # the only other exchange is the output range sort
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 3
+    assert "CartesianProduct" not in plan

@@ -365,3 +365,99 @@ def test_s16_mmr_matches_python_reference_and_diversifies(spark, tmp_path):
     # diversification is real for q0: relevance alone would keep the dup 11
     # adjacent to 10; MMR swaps in the diverse 12 before it
     assert by_q[0][0] == 10 and by_q[0][1] == 12 and 11 not in by_q[0][:2]
+
+
+# -- d21: planted novelty curve ----------------------------------------------
+
+
+def test_d21_novelty_first_owner_by_doc_id(spark, tmp_path):
+    from floorist_spark.operators.dedup import d21_shingle_novelty
+
+    rows = [
+        (1, "abcdefgh"),   # 4 shingles, all first-owned here
+        (2, "abcdefgh"),   # exact re-crawl: zero novelty
+        (3, "defghijk"),   # shares 'defgh' with doc 1: 3 of 4 novel
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in d21_shingle_novelty(spark, out).collect()}
+    assert got[1]["n_shingles"] == 4 and got[1]["novelty_frac"] == 1.0
+    assert got[2]["n_shingles"] == 4 and got[2]["n_novel"] == 0
+    assert got[3]["n_novel"] == 3 and got[3]["novelty_frac"] == 0.75
+
+
+# -- e30: planted cadences ---------------------------------------------------
+
+
+def test_e30_timer_bot_vs_bursty_human(spark, tmp_path):
+    from floorist_spark.operators.events_analytics import e30_bot_regularity
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: timer bot — 13 events exactly 1s apart (12 zero-variance gaps)
+    for i in range(13):
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 1, "ping", 0.0))
+        eid += 1
+    # user 2: bursty human — 13 events, gaps alternating 1s / 60s
+    t = t0
+    rows.append((eid, t, 2, "view", 0.0)); eid += 1
+    for i in range(12):
+        t = t + dt.timedelta(seconds=1 if i % 2 == 0 else 60)
+        rows.append((eid, t, 2, "view", 0.0)); eid += 1
+    # user 3: regular but only 3 events — too few gaps to score as bot
+    for i in range(3):
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 3, "view", 0.0))
+        eid += 1
+    # user 4: two events at the SAME timestamp — sg = 0, cv2 undefined
+    rows.append((eid, t0, 4, "view", 0.0)); eid += 1
+    rows.append((eid, t0, 4, "view", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    got = {r["user_id"]: r for r in e30_bot_regularity(spark, out).collect()}
+    assert got[1]["cv2"] == 0.0 and bool(got[1]["is_bot"]) is True
+    # exact integer-formula expectation for the alternating cadence
+    gaps = [1_000_000 if i % 2 == 0 else 60_000_000 for i in range(12)]
+    n, sg, ssg = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert got[2]["cv2"] == pytest.approx((n * ssg - sg * sg) / (sg * sg))
+    assert bool(got[2]["is_bot"]) is False
+    assert got[3]["n_gaps"] == 2 and bool(got[3]["is_bot"]) is False
+    assert got[4]["cv2"] is None and bool(got[4]["is_bot"]) is False
+
+
+def test_s16_matches_python_reference_on_seeded_random_sets(spark, tmp_path):
+    import numpy as np
+
+    from floorist_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        s16_mmr_diversify,
+    )
+
+    for seed in (7, 23, 91):
+        rng = np.random.RandomState(seed)
+        ids = list(range(5)) + [10 + i for i in range(7)]
+        raw = {
+            i: (rng.uniform(-2, 2, size=4) + 0.1).tolist() for i in ids
+        }
+        vecs = {
+            k: [float(np.float32(x)) for x in v] for k, v in raw.items()
+        }
+        rows = [(k, v, 0) for k, v in raw.items()]
+        df = spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        )
+        out = str(tmp_path / f"emb{seed}")
+        df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+        expect = _py_mmr(vecs, range(5), MMR_POOL, MMR_K, 0.7)
+        by_q = {}
+        for r in sorted(
+            s16_mmr_diversify(spark, out).collect(),
+            key=lambda r: (r["query_id"], r["pick"]),
+        ):
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert by_q == expect, f"seed {seed}"
