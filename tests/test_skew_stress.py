@@ -149,3 +149,65 @@ def test_m12_exact_under_hot_block(spark, tmp_path):
     assert first["n_first_owned"] == 1
     some_hot = res.filter("doc_id = 7").collect()[0]
     assert some_hot["n_first_owned"] == 0
+
+
+# -- d20/d21 under a mass-duplicated corpus (round 6) -------------------------
+
+
+def test_d20_exact_under_mass_duplication(spark, tmp_path):
+    """One source ships 20k byte-identical docs plus nothing else; a
+    second source ships 1k distinct docs plus ONE copy of the hot doc.
+    The digest groupBy map-side-combines the hot digest before its
+    exchange (20k rows → one partial per partition), so the census is
+    exact regardless of the hot key."""
+    from floorist_spark.operators.dedup import d20_source_dup_overlap
+
+    n_hot, n_cold = 20_000, 1_000
+    docs = spark.range(n_hot + n_cold + 1).selectExpr(
+        "id AS doc_id",
+        f"IF(id < {n_hot} OR id = {n_hot + n_cold}, 'hot doc body', "
+        "concat('cold-', CAST(id AS STRING))) AS text",
+        f"IF(id < {n_hot}, 'botfarm', 'organic') AS source",
+    )
+    out = str(tmp_path / "massdup")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = {
+        r["source"]: r for r in d20_source_dup_overlap(spark, out).collect()
+    }
+    bot, org = got["botfarm"], got["organic"]
+    assert bot["n_docs"] == n_hot and bot["n_distinct_digests"] == 1
+    assert bot["n_dup_docs"] == n_hot and bot["n_cross_docs"] == n_hot
+    assert org["n_docs"] == n_cold + 1
+    assert org["n_distinct_digests"] == n_cold + 1
+    assert org["n_dup_docs"] == 1 and org["n_cross_docs"] == 1
+
+
+def test_d21_novelty_exact_under_mass_duplication(spark, tmp_path):
+    """20k re-crawls of one page: the first copy owns every shingle, the
+    other 19 999 score zero novelty, and the shingle-ownership exchange
+    carries (hash, doc_id) pairs whose hot keys map-side-combine in the
+    min-aggregate — total novel shingles equals the distinct-shingle
+    count of the two distinct texts."""
+    from floorist_spark.operators.dedup import d21_shingle_novelty
+
+    n_hot = 20_000
+    docs = spark.range(n_hot + 1).selectExpr(
+        "id AS doc_id",
+        f"IF(id < {n_hot}, 'the same hot page body', 'a different page') "
+        "AS text",
+    )
+    out = str(tmp_path / "masssh")
+    docs.write.parquet(f"{out}/documents.parquet")
+    res = d21_shingle_novelty(spark, out)
+    agg = res.selectExpr(
+        "count(*) AS n_docs",
+        "sum(n_novel) AS novel",
+        "sum(IF(novelty_frac = 0.0, 1, 0)) AS zero_novelty",
+    ).collect()[0]
+    sh = lambda t: {t[i : i + 5] for i in range(len(t) - 4)}
+    # total first-owned = distinct shingles across the corpus (shared
+    # shingles are owned once, by the earlier text)
+    n_union = len(sh("the same hot page body") | sh("a different page"))
+    assert agg["n_docs"] == n_hot + 1
+    assert agg["novel"] == n_union
+    assert agg["zero_novelty"] == n_hot - 1
