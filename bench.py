@@ -106,6 +106,12 @@ HEADLINE = (
     "s16_mmr_diversify",
     "d21_shingle_novelty",
     "e30_bot_regularity",
+    "e31_seasonality_profile",
+    "t20_readability",
+    "t21_vocab_coverage",
+    "c17_budget_waterfill",
+    "s17_hard_negatives",
+    "m13_vad_segments",
 )
 
 

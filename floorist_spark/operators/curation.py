@@ -1306,6 +1306,162 @@ FROM per_lang, totals ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# c17 — source token-budget allocation (water-filling with caps)
+# ---------------------------------------------------------------------------
+
+#: global training budget as a fraction of the corpus: numerator/denominator
+#: kept integer so the budget itself is exact
+BUDGET_NUM, BUDGET_DEN = 1, 2
+
+
+def c17_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by capped water-filling:
+    the global budget (half the corpus) is split proportionally to
+    per-source DOCUMENT counts — equal expected per-doc budget — but no
+    source can contribute more tokens than it has. Small sources cap out
+    at their full size; the freed budget redistributes to the rest at a
+    common water level λ = R/W. The allocation a data-mixing pipeline
+    actually runs when a naive proportional split over-asks tiny sources.
+    New surface, SURVEY §7.2.7.
+
+    Closed form instead of iteration: sorted by cap/weight ascending, the
+    capped set is a PREFIX, and the boundary is the FIRST position k with
+    cap_k·W_k ≥ w_k·R_k (W_k = weight at-or-after k, R_k = budget minus
+    caps before k) — all EXACT DECIMAL(38,0)/HUGEINT comparisons, no
+    float in any decision. R_k > 0 by induction (each earlier capped
+    source consumed cap_j < R_j), and alloc_j = w_j·R_k/W_k ≤ cap_j for
+    every uncapped j because cap_j/w_j ≥ cap_k/w_k ≥ λ. Uncapped allocs
+    render the exact integer product w·R through its decimal STRING and
+    divide once by W (the _dsum rule). The double sort key cap/w is the
+    same IEEE division in both engines, so the order matches bit-for-bit.
+
+    Scale shape: one corpus scan shrinks to per-source aggregates (one
+    map-side-combinable shuffle); every window after that runs on the
+    SOURCE dimension — bounded by source cardinality, not corpus size —
+    and the 1-row boundary broadcasts back."""
+    from pyspark.sql.window import Window
+
+    ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
+    src = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(ntok).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("cap"), F.count("*").alias("n_docs"))
+    )
+    wr = Window.orderBy(F.expr("CAST(cap AS DOUBLE) / n_docs"), "source")
+    enriched = (
+        src.select(
+            "source",
+            "cap",
+            "n_docs",
+            F.row_number().over(wr).alias("pos"),
+            F.coalesce(
+                F.sum("cap").over(
+                    wr.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cum_prev"),
+            F.sum("n_docs")
+            .over(wr.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .alias("w_after"),
+        )
+        .crossJoin(
+            F.broadcast(
+                src.agg(
+                    F.expr(
+                        f"CAST(sum(cap) * {BUDGET_NUM} DIV {BUDGET_DEN} "
+                        "AS BIGINT)"
+                    ).alias("budget"),
+                    F.sum("cap").alias("corpus_tokens"),
+                )
+            )
+        )
+        .withColumn("r_here", F.expr("budget - cum_prev"))
+        .withColumn(
+            "uncapped",
+            F.expr(
+                "CAST(cap AS DECIMAL(38,0)) * w_after >= "
+                "CAST(n_docs AS DECIMAL(38,0)) * r_here"
+            ),
+        )
+    )
+    boundary = (
+        enriched.filter("uncapped")
+        .orderBy("pos")
+        .limit(1)
+        .select(
+            F.col("pos").alias("b_pos"),
+            F.col("r_here").alias("b_r"),
+            F.col("w_after").alias("b_w"),
+        )
+    )
+    lam_alloc = (
+        "CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * b_r AS STRING) AS DOUBLE)"
+        " / b_w"
+    )
+    return (
+        enriched.crossJoin(F.broadcast(boundary))
+        .select(
+            "source",
+            F.col("n_docs"),
+            F.col("cap").alias("cap_tokens"),
+            "budget",
+            F.expr("pos < b_pos").alias("is_capped"),
+            F.expr(
+                f"IF(pos < b_pos, CAST(cap AS DOUBLE), {lam_alloc})"
+            ).alias("alloc_tokens"),
+            F.expr(
+                f"IF(pos < b_pos, CAST(1 AS DOUBLE), "
+                f"IF(cap > 0, {lam_alloc} / cap, CAST(0 AS DOUBLE)))"
+            ).alias("fill_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _c17_sql() -> str:
+    toks = tf.tokens_duck(tf.norm_duck("text"))
+    lam = "CAST(CAST(CAST(n_docs AS HUGEINT) * b.b_r AS VARCHAR) AS DOUBLE) / b.b_w"
+    return f"""
+WITH src AS (
+  SELECT source, CAST(sum(len({toks})) AS BIGINT) AS cap,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(cap) * {BUDGET_NUM} // {BUDGET_DEN} AS BIGINT) AS budget
+  FROM src
+), enriched AS (
+  SELECT source, cap, n_docs,
+         row_number() OVER w AS pos,
+         CAST(coalesce(sum(cap) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev,
+         CAST(sum(n_docs) OVER (w ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS BIGINT) AS w_after
+  FROM src
+  WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / n_docs, source)
+), flagged AS (
+  SELECT e.*, t.budget, t.budget - e.cum_prev AS r_here,
+         CAST(e.cap AS HUGEINT) * e.w_after >=
+           CAST(e.n_docs AS HUGEINT) * (t.budget - e.cum_prev) AS uncapped
+  FROM enriched e, tot t
+), boundary AS (
+  SELECT pos AS b_pos, r_here AS b_r, w_after AS b_w
+  FROM flagged WHERE uncapped ORDER BY pos LIMIT 1
+)
+SELECT f.source, f.n_docs, f.cap AS cap_tokens, f.budget,
+       f.pos < b.b_pos AS is_capped,
+       CASE WHEN f.pos < b.b_pos THEN CAST(f.cap AS DOUBLE)
+            ELSE {lam} END AS alloc_tokens,
+       CASE WHEN f.pos < b.b_pos THEN CAST(1 AS DOUBLE)
+            WHEN f.cap > 0 THEN {lam} / f.cap
+            ELSE CAST(0 AS DOUBLE) END AS fill_frac
+FROM flagged f, boundary b
+ORDER BY f.source
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1323,6 +1479,7 @@ QUERIES = {
     "c14_epoch_allocation": c14_epoch_allocation,
     "c15_curriculum_phases": c15_curriculum_phases,
     "c16_dedup_aware_mixture": c16_dedup_aware_mixture,
+    "c17_budget_waterfill": c17_budget_waterfill,
 }
 
 ORACLES = {
@@ -1342,4 +1499,5 @@ ORACLES = {
     "c14_epoch_allocation": C14_SQL,
     "c15_curriculum_phases": C15_SQL,
     "c16_dedup_aware_mixture": _c16_sql(),
+    "c17_budget_waterfill": _c17_sql(),
 }

@@ -2125,6 +2125,121 @@ FROM agg ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# e31 — hour-of-week seasonality fingerprint per event type
+# ---------------------------------------------------------------------------
+
+#: hour-of-week grid: 7 days × 24 hours
+HOW_CELLS = 168
+
+
+def e31_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality fingerprint per event type: bucket events
+    into the 168-cell (day-of-week × hour) grid, report the peak cell and
+    a χ²-against-uniform statistic. Human-driven event types show strong
+    weekly structure (large χ²); machine traffic is flat. The standard
+    pre-check before picking a seasonality-aware anomaly baseline (e14
+    assumes hourly structure exists — this measures it; new surface,
+    SURVEY §7.2.7).
+
+    Determinism (the e30 rule): χ² = Σ_cells (168·obs − total)² /
+    (168·total) is computed with an EXACT integer numerator — per-cell
+    deviations square-accumulate in DECIMAL(38,0) (HUGEINT in the
+    oracle), and the 168 − n_active EMPTY cells contribute total² each
+    via the closed form instead of generating empty grid rows. The
+    numerator is rendered through its exact decimal STRING (the _dsum
+    rule) and divided once; peak_share is one BIGINT/BIGINT division.
+    Overflow headroom: per-cell (168·obs − total)² ≤ 2.8e28 even at
+    total = 1e12 events/type, and 168 such terms stay < 1e31 — inside
+    DECIMAL(38,0)/HUGEINT agreement.
+
+    Scale shape: ONE map-side-combinable shuffle to (event_type, dow,
+    hour) — ≤168 cells per type regardless of corpus size — then a
+    ≤168-row-per-partition window + per-type aggregate. dow is Spark
+    ``dayofweek(ts) − 1`` so 0 = Sunday matches DuckDB's ``dayofweek``."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        _load_events(spark, sf_dir)
+        .select(
+            "event_type",
+            (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), "dow", "hod"
+    )
+    enriched = cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "cnt",
+        F.sum("cnt").over(w_tot).alias("total"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    dev = f"CAST({HOW_CELLS} * cnt - total AS DECIMAL(38,0))"
+    agg = enriched.groupBy("event_type").agg(
+        F.max("total").alias("n_events"),
+        F.count("*").alias("n_cells_active"),
+        F.sum(F.expr(f"{dev} * ({HOW_CELLS} * cnt - total)")).alias("_dev_active"),
+        F.max(F.expr("IF(rn = 1, dow, NULL)")).alias("peak_dow"),
+        F.max(F.expr("IF(rn = 1, hod, NULL)")).alias("peak_hour"),
+        F.max(F.expr("IF(rn = 1, cnt, NULL)")).alias("_peak_cnt"),
+    )
+    num = (
+        f"_dev_active + CAST({HOW_CELLS} - n_cells_active AS DECIMAL(38,0)) "
+        "* n_events * n_events"
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_events",
+            "n_cells_active",
+            F.col("peak_dow").cast("bigint").alias("peak_dow"),
+            F.col("peak_hour").cast("bigint").alias("peak_hour"),
+            F.expr("CAST(_peak_cnt AS DOUBLE) / n_events").alias("peak_share"),
+            F.expr(
+                f"CAST(CAST({num} AS STRING) AS DOUBLE) / "
+                f"(CAST({HOW_CELLS} AS DOUBLE) * n_events)"
+            ).alias("chi2_uniform"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E31_SQL = f"""
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hod,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), enriched AS (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, dow, hod) AS rn
+  FROM cells
+), agg AS (
+  SELECT event_type, max(total) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_cells_active,
+         sum(CAST({HOW_CELLS} * cnt - total AS HUGEINT)
+             * ({HOW_CELLS} * cnt - total)) AS dev_active,
+         CAST(max(CASE WHEN rn = 1 THEN dow END) AS BIGINT) AS peak_dow,
+         CAST(max(CASE WHEN rn = 1 THEN hod END) AS BIGINT) AS peak_hour,
+         max(CASE WHEN rn = 1 THEN cnt END) AS peak_cnt
+  FROM enriched GROUP BY event_type
+)
+SELECT event_type, n_events, n_cells_active, peak_dow, peak_hour,
+       CAST(peak_cnt AS DOUBLE) / n_events AS peak_share,
+       CAST(CAST(dev_active + CAST({HOW_CELLS} - n_cells_active AS HUGEINT)
+                 * n_events * n_events AS VARCHAR) AS DOUBLE)
+         / (CAST({HOW_CELLS} AS DOUBLE) * n_events) AS chi2_uniform
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2153,6 +2268,7 @@ QUERIES = {
     "e27_dwell_histogram": e27_dwell_histogram,
     "e28_lateness_audit": e28_lateness_audit,
     "e30_bot_regularity": e30_bot_regularity,
+    "e31_seasonality_profile": e31_seasonality_profile,
 }
 
 ORACLES = {
@@ -2183,4 +2299,5 @@ ORACLES = {
     "e27_dwell_histogram": E27_SQL,
     "e28_lateness_audit": E28_SQL,
     "e30_bot_regularity": E30_SQL,
+    "e31_seasonality_profile": E31_SQL,
 }

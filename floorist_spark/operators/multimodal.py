@@ -934,6 +934,135 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m13 — voice-activity segments (energy-gated gaps-and-islands per payload)
+# ---------------------------------------------------------------------------
+
+#: mean-square activity threshold on uint8 samples: a frame is "voiced"
+#: iff Σb² ≥ VAD_MS · n — the integer form of RMS ≥ √VAD_MS, so the
+#: gate never compares floats
+VAD_MS = 10000
+
+
+def m13_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection census: gate each ENERGY_WINDOW frame on
+    mean-square energy (m07's windows), then merge consecutive voiced
+    frames into segments and report the per-payload census — segment
+    count, longest run, voiced fraction. The speech-data curation
+    primitive: recordings that are mostly silence (low voiced_frac) or
+    one unbroken segment (no turn-taking) get down-weighted before ASR
+    transcription. A real pipeline swaps the uint8 stand-in for decoded
+    PCM under FLOORIST_REAL_CODECS; the gate, run-merge and schema are
+    unchanged. New surface, SURVEY §7.2.7.
+
+    The activity gate is EXACT integer math (Σb² ≥ VAD_MS·n — no RMS
+    float ever compared), and the run census is computed inside the SAME
+    per-doc numpy pass that framed the payload — like m11, the whole
+    operator is one Arrow-batched corpus scan with NO shuffle at any
+    corpus size (orderBy is presentation only). Empty payloads emit an
+    all-zero row (NULL voiced_frac), total like the oracle's LEFT JOIN.
+
+    Oracle: the identical gate via the hex rendering, segments via the
+    classic gaps-and-islands win − row_number() grouping key."""
+
+    def vad(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_frames": [],
+            "n_voiced": [],
+            "n_segments": [],
+            "longest_run": [],
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = -(-len(samples) // ENERGY_WINDOW)
+                voiced = np.zeros(n_frames, dtype=bool)
+                for w in range(n_frames):
+                    chunk = samples[w * ENERGY_WINDOW : (w + 1) * ENERGY_WINDOW]
+                    voiced[w] = int((chunk * chunk).sum()) >= VAD_MS * len(chunk)
+                starts = int(voiced[0]) + int(
+                    (voiced[1:] & ~voiced[:-1]).sum()
+                ) if n_frames else 0
+                longest = 0
+                run = 0
+                for v in voiced:
+                    run = run + 1 if v else 0
+                    longest = max(longest, run)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_voiced"].append(int(voiced.sum()))
+                out["n_segments"].append(starts)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    schema = (
+        "doc_id bigint, n_frames bigint, n_voiced bigint, "
+        "n_segments bigint, longest_run bigint"
+    )
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(vad, schema)
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_voiced",
+            "n_segments",
+            "longest_run",
+            F.expr(
+                "IF(n_frames > 0, CAST(n_voiced AS DOUBLE) / n_frames, NULL)"
+            ).alias("voiced_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M13_SQL = f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
+           AS b
+  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+), frames AS (
+  SELECT doc_id, CAST(i // {ENERGY_WINDOW} AS BIGINT) AS win,
+         sum(b * b) >= {VAD_MS} * count(*) AS voiced
+  FROM bytes GROUP BY 1, 2
+), voiced_runs AS (
+  SELECT doc_id, win,
+         win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+  FROM frames WHERE voiced
+), segs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS seg_len
+  FROM voiced_runs GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(count(*) FILTER (WHERE f.voiced) AS BIGINT) AS n_voiced
+  FROM frames f GROUP BY f.doc_id
+), seg_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(seg_len) AS BIGINT) AS longest_run
+  FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_frames, 0) AS n_frames,
+       coalesce(p.n_voiced, 0) AS n_voiced,
+       coalesce(s.n_segments, 0) AS n_segments,
+       coalesce(s.longest_run, 0) AS longest_run,
+       CASE WHEN coalesce(p.n_frames, 0) > 0
+            THEN CAST(coalesce(p.n_voiced, 0) AS DOUBLE) / p.n_frames
+            END AS voiced_frac
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN seg_doc s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -947,6 +1076,7 @@ QUERIES = {
     "m10_contrastive_pairs": m10_contrastive_pairs,
     "m11_scene_cuts": m11_scene_cuts,
     "m12_block_dedup_census": m12_block_dedup_census,
+    "m13_vad_segments": m13_vad_segments,
 }
 
 ORACLES = {
@@ -962,4 +1092,5 @@ ORACLES = {
     "m10_contrastive_pairs": M10_SQL,
     "m11_scene_cuts": M11_SQL,
     "m12_block_dedup_census": M12_SQL,
+    "m13_vad_segments": M13_SQL,
 }

@@ -1523,6 +1523,101 @@ FROM ({final}) ORDER BY query_id, pick
 """
 
 
+# ---------------------------------------------------------------------------
+# s17 — hard-negative mining (top-k most-similar DIFFERENT-label vectors)
+# ---------------------------------------------------------------------------
+
+#: query set for negative mining (matches s13's query prefix)
+NEG_QUERIES = 50
+
+
+def s17_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-3
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that actually move a two-tower/contrastive loss (random negatives are
+    trivially separable). The dual of s13: the label predicate is an
+    INEQUALITY, so it cannot join into the index key; instead the join
+    key is the sign-LSH bucket alone and the label test filters WITHIN
+    the bucket — safe here because different-label vectors are the
+    overwhelming majority of any bucket, the opposite selectivity regime
+    from s13's equality. ``n_candidates`` audits the residual starvation
+    corner (a bucket dominated by the query's own label): production
+    would multi-probe neighboring buckets (s06) when it drops under k.
+    New surface, SURVEY §7.2.7.
+
+    Scale shape: bounded query side broadcast at the bucket join (the
+    1e4ba04 rule — never let small-SF AQE stats pick the corpus side as
+    build), candidates bounded by bucket occupancy, per-query top-k via
+    window row_number over candidates only. At 100 TB the corpus is
+    written bucketed by the sign hash and this is a zero-shuffle
+    co-located probe per query batch."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < NEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neg_label"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neg_label",
+            F.expr(_COS_S).alias("cosine"),
+        )
+        .withColumn(
+            "n_candidates",
+            F.count("*").over(Window.partitionBy("query_id")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+S17_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, label,
+         {_sign_bucket_duck("embedding")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neg_label,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id < {NEG_QUERIES} AND q.label != c.label
+), ranked AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+           AS n_candidates,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+       n_candidates, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1540,6 +1635,7 @@ QUERIES = {
     "s14_index_health": s14_index_health,
     "s15_probe_frontier": s15_probe_frontier,
     "s16_mmr_diversify": s16_mmr_diversify,
+    "s17_hard_negatives": s17_hard_negatives,
 }
 
 ORACLES = {
@@ -1559,4 +1655,5 @@ ORACLES = {
     "s14_index_health": S14_SQL,
     "s15_probe_frontier": _s15_sql(),
     "s16_mmr_diversify": _s16_sql(),
+    "s17_hard_negatives": S17_SQL,
 }

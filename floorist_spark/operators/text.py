@@ -1319,6 +1319,235 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t20 — readability scoring (Flesch / Flesch-Kincaid, vowel-group syllables)
+# ---------------------------------------------------------------------------
+
+#: vowel-group run = syllable approximation (y counts as a vowel); every
+#: word contributes at least one syllable
+_SYL_RE = "[aeiouy]+"
+#: sentence terminators: a run of ./!/? ends one sentence
+_SENT_RE = "[.!?]+"
+#: Flesch reading-ease bands (standard cutoffs)
+FLESCH_EASY = 80.0
+FLESCH_PLAIN = 50.0
+
+
+def t20_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from the
+    classic surface proxies: words = whitespace tokens, sentences =
+    terminator runs (min 1), syllables = vowel-group runs per word (min
+    1/word — the standard no-dictionary approximation). A corpus-quality
+    lens orthogonal to t02/t13: flags both unreadable boilerplate (very
+    low ease) and trivially repetitive text (implausibly high ease).
+    New surface, SURVEY §7.2.7.
+
+    Float determinism: both ratios are single BIGINT/BIGINT divisions and
+    the score is a FIXED left-to-right chain of double ops on `e0`
+    literals (forced DOUBLE in both dialects — bare decimal literals
+    parse as DECIMAL and widen differently), so Spark and DuckDB execute
+    the identical IEEE sequence.
+
+    Scale shape: pure per-row map over one corpus scan — no shuffle, no
+    Python; the per-token vowel scan is a JVM regex inside a
+    higher-order transform (the t06 rule)."""
+    wps = "CAST(n_words AS DOUBLE) / n_sentences"
+    spw = "CAST(n_syllables AS DOUBLE) / n_words"
+    flesch = f"206.835e0 - 1.015e0 * ({wps}) - 84.6e0 * ({spw})"
+    grade = f"0.39e0 * ({wps}) + 11.8e0 * ({spw}) - 15.59e0"
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select(
+            "doc_id",
+            F.expr("split(nrm, ' ')").alias("toks"),
+            F.expr(
+                f"greatest(size(regexp_extract_all(nrm, '{_SENT_RE}', 0)), 1)"
+            ).cast("bigint").alias("n_sentences"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+            "n_sentences",
+            F.expr(
+                f"aggregate(transform(toks, w -> "
+                f"greatest(size(regexp_extract_all(w, '{_SYL_RE}', 0)), 1)), "
+                f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(wps).alias("words_per_sentence"),
+            F.expr(spw).alias("syllables_per_word"),
+            F.expr(flesch).alias("flesch_ease"),
+            F.expr(grade).alias("fk_grade"),
+            F.expr(
+                f"CASE WHEN {flesch} >= {FLESCH_EASY} THEN 'easy' "
+                f"WHEN {flesch} >= {FLESCH_PLAIN} THEN 'plain' "
+                f"ELSE 'hard' END"
+            ).alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T20_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tf.norm_duck("text")} AS nrm FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(nrm, '{_SENT_RE}')), 1)
+              AS BIGINT) AS n_sentences,
+         list_reduce(list_transform(string_split(nrm, ' '), w ->
+             CAST(greatest(len(regexp_extract_all(w, '{_SYL_RE}')), 1)
+                  AS BIGINT)),
+             (a, x) -> a + x) AS n_syllables
+  FROM base
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+       CAST(n_syllables AS DOUBLE) / n_words AS syllables_per_word,
+       206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+         - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_ease,
+       0.39e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+         + 11.8e0 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59e0
+         AS fk_grade,
+       CASE WHEN 206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 >= {FLESCH_EASY} THEN 'easy'
+            WHEN 206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 >= {FLESCH_PLAIN} THEN 'plain'
+            ELSE 'hard' END AS band
+FROM feat ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t21 — vocabulary coverage curve (tokenizer-budget sizing)
+# ---------------------------------------------------------------------------
+
+#: candidate vocabulary sizes to report coverage at
+VOCAB_SIZES = (100, 500, 1000, 2000, 5000, 10000)
+
+
+def t21_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size N, the
+    fraction of all token OCCURRENCES covered by the N most frequent
+    types. The sizing curve consulted before fixing a tokenizer budget
+    (diminishing-returns knee) — and a drift monitor when re-run per
+    snapshot. New surface, SURVEY §7.2.7.
+
+    Coverage at a cutoff is invariant to tie order (tied types have equal
+    counts), but both engines still rank with the same total order
+    (count DESC, token ASC) so the intermediate rows match exactly.
+
+    Scale shape: token explode → ONE map-side-combinable shuffle to
+    per-type counts → distributed top-K via TakeOrdered (K = max vocab
+    size, a CONSTANT — never a corpus-wide rank window) → the cumulative
+    sum runs on K rows in a single bounded partition, then each
+    requested size is answered from that K-row relation. Totals ride a
+    broadcast 1-row crossJoin (the t07 rule)."""
+    from pyspark.sql.window import Window
+
+    k_max = max(VOCAB_SIZES)
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(f"split({_NORM_S}, ' ')")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # totals derive from the per-type counts — ONE corpus scan feeds
+    # everything downstream
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    n_types = counts.agg(F.count("*").alias("n_types"))
+    topk = counts.orderBy(F.col("cnt").desc(), "tok").limit(k_max)
+    w = Window.orderBy(F.col("cnt").desc(), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = topk.select(
+        "tok",
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "tok")
+        ).alias("rk"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in VOCAB_SIZES])).alias("vocab_size")
+    )
+    per_size = (
+        sizes.join(ranked, ranked.rk <= sizes.vocab_size, "left")
+        .groupBy("vocab_size")
+        .agg(
+            F.max("rk").alias("n_types_used"),
+            F.sum("cnt").alias("covered_tokens"),
+        )
+    )
+    return (
+        per_size.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "vocab_size",
+            F.expr("CAST(coalesce(n_types_used, 0) AS BIGINT)").alias(
+                "n_types_used"
+            ),
+            F.expr("CAST(coalesce(covered_tokens, 0) AS BIGINT)").alias(
+                "covered_tokens"
+            ),
+            "total_tokens",
+            "n_types",
+            F.expr(
+                "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / total_tokens"
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+T21_SQL = f"""
+WITH toks AS (
+  SELECT t.tok FROM documents d,
+       unnest(string_split({tf.norm_duck("text")}, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts
+), types AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types FROM counts
+), ranked AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cnt
+  FROM counts
+  ORDER BY cnt DESC, tok LIMIT {max(VOCAB_SIZES)}
+), sizes AS (
+  SELECT unnest([{", ".join(str(n) for n in VOCAB_SIZES)}]) AS vocab_size
+), per_size AS (
+  SELECT s.vocab_size,
+         CAST(max(r.rk) AS BIGINT) AS n_types_used,
+         CAST(sum(r.cnt) AS BIGINT) AS covered_tokens
+  FROM sizes s LEFT JOIN ranked r ON r.rk <= s.vocab_size
+  GROUP BY s.vocab_size
+)
+SELECT p.vocab_size,
+       coalesce(p.n_types_used, 0) AS n_types_used,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       t.total_tokens, y.n_types,
+       CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / t.total_tokens
+         AS coverage
+FROM per_size p, total t, types y
+ORDER BY p.vocab_size
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1339,6 +1568,8 @@ QUERIES = {
     "t17_token_diversity": t17_token_diversity,
     "t18_pii_scrub": t18_pii_scrub,
     "t19_distribution_outliers": t19_distribution_outliers,
+    "t20_readability": t20_readability,
+    "t21_vocab_coverage": t21_vocab_coverage,
 }
 
 ORACLES = {
@@ -1361,4 +1592,6 @@ ORACLES = {
     "t17_token_diversity": T17_SQL,
     "t18_pii_scrub": T18_SQL,
     "t19_distribution_outliers": T19_SQL,
+    "t20_readability": T20_SQL,
+    "t21_vocab_coverage": T21_SQL,
 }
