@@ -112,6 +112,12 @@ HEADLINE = (
     "c17_budget_waterfill",
     "s17_hard_negatives",
     "m13_vad_segments",
+    "e32_ewma_trend",
+    "t22_rake_keyphrases",
+    "c18_oversample_plan",
+    "s18_rrf_fusion",
+    "m14_cdc_chunks",
+    "d22_boilerplate_census",
 )
 
 

@@ -1342,13 +1342,20 @@ def c17_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 1-row boundary broadcasts back."""
     from pyspark.sql.window import Window
 
+    from floorist_spark.operators._cache import track
+
     ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
-    src = (
+    # the per-source aggregate feeds FOUR consumers (enriched twice, the
+    # budget total, the boundary); persisted + materialized so the corpus
+    # scan+tokenize runs once (plan pin in test_plan_shapes_r6b)
+    src = track(
         _docs(spark, sf_dir)
         .select("source", F.expr(ntok).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("cap"), F.count("*").alias("n_docs"))
+        .persist()
     )
+    src.count()
     wr = Window.orderBy(F.expr("CAST(cap AS DOUBLE) / n_docs"), "source")
     enriched = (
         src.select(
@@ -1462,6 +1469,113 @@ ORDER BY f.source
 """
 
 
+# ---------------------------------------------------------------------------
+# c18 — integer oversampling plan (epoch repeats toward a uniform mix)
+# ---------------------------------------------------------------------------
+
+#: hard cap on per-language epoch repeats — past ~4 epochs repeated data
+#: stops helping and starts memorizing (the practical up-sampling bound)
+MAX_REPEAT = 4
+
+
+def c18_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer oversampling plan: each language's corpus is repeated a
+    whole number of epochs — min(MAX_REPEAT, max(1, target // tokens)),
+    target = total // n_langs — pushing the mixture toward uniform
+    without fractional sampling. The complement of c17 (which trims a
+    budget DOWN by capping); this scales rare slices UP with the repeat
+    cap as the memorization guard, reporting how far the achieved mix
+    remains from the target. Every decision is integer floor division;
+    the two share columns are single divisions of exact BIGINTs.
+    New surface, SURVEY §7.2.7.
+
+    Scale shape: one corpus scan shrinks to per-language aggregates
+    (map-side combinable); the totals window and share math run on the
+    LANGUAGE dimension — bounded rows, so the unpartitioned window is a
+    post-aggregation no-op at any corpus size."""
+    from pyspark.sql.window import Window
+
+    ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.expr(ntok).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("tokens"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    planned = (
+        per_lang.withColumn("total_tokens", F.sum("tokens").over(w))
+        .withColumn("n_langs", F.count("*").over(w))
+        .withColumn("target_tokens", F.expr("total_tokens DIV n_langs"))
+        .withColumn(
+            "repeat_factor",
+            F.expr(
+                f"least(CAST({MAX_REPEAT} AS BIGINT), "
+                "greatest(CAST(1 AS BIGINT), target_tokens DIV tokens))"
+            ),
+        )
+        .withColumn("effective_tokens", F.expr("repeat_factor * tokens"))
+        .withColumn(
+            "capped", F.expr(f"target_tokens DIV tokens > {MAX_REPEAT}")
+        )
+    )
+    return (
+        planned.withColumn(
+            "total_effective", F.sum("effective_tokens").over(w)
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "target_tokens",
+            "repeat_factor",
+            "capped",
+            "effective_tokens",
+            F.expr("CAST(tokens AS DOUBLE) / total_tokens").alias(
+                "natural_share"
+            ),
+            F.expr(
+                "CAST(effective_tokens AS DOUBLE) / total_effective"
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _c18_sql() -> str:
+    toks = tf.tokens_duck(tf.norm_duck("text"))
+    return f"""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+), planned AS (
+  SELECT *,
+         CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens,
+         CAST(count(*) OVER () AS BIGINT) AS n_langs
+  FROM per_lang
+), p2 AS (
+  SELECT *, total_tokens // n_langs AS target_tokens,
+         least(CAST({MAX_REPEAT} AS BIGINT),
+               greatest(CAST(1 AS BIGINT),
+                        (total_tokens // n_langs) // tokens))
+           AS repeat_factor,
+         (total_tokens // n_langs) // tokens > {MAX_REPEAT} AS capped
+  FROM planned
+), p3 AS (
+  SELECT *, repeat_factor * tokens AS effective_tokens FROM p2
+)
+SELECT lang, n_docs, tokens, target_tokens, repeat_factor, capped,
+       effective_tokens,
+       CAST(tokens AS DOUBLE) / total_tokens AS natural_share,
+       CAST(effective_tokens AS DOUBLE)
+         / CAST(sum(effective_tokens) OVER () AS BIGINT) AS achieved_share
+FROM p3 ORDER BY lang
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1480,6 +1594,7 @@ QUERIES = {
     "c15_curriculum_phases": c15_curriculum_phases,
     "c16_dedup_aware_mixture": c16_dedup_aware_mixture,
     "c17_budget_waterfill": c17_budget_waterfill,
+    "c18_oversample_plan": c18_oversample_plan,
 }
 
 ORACLES = {
@@ -1500,4 +1615,5 @@ ORACLES = {
     "c15_curriculum_phases": C15_SQL,
     "c16_dedup_aware_mixture": _c16_sql(),
     "c17_budget_waterfill": _c17_sql(),
+    "c18_oversample_plan": _c18_sql(),
 }

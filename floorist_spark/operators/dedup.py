@@ -1683,6 +1683,110 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d22 — per-source boilerplate-shingle census (template detection)
+# ---------------------------------------------------------------------------
+
+#: a shingle is boilerplate WITHIN a source when it appears in at least
+#: 1/BOILER_DEN of the source's documents (integer test: DEN·docs_with ≥
+#: n_docs) and in at least BOILER_MIN documents
+BOILER_DEN = 4
+BOILER_MIN = 2
+
+
+def d22_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection per ingest source: a shingle that
+    appears in ≥ 25% of a source's documents is boilerplate (nav bars,
+    footers, license headers — the crawl junk near-dup thresholds miss
+    because each PAGE is unique while its FRAME repeats). Reports, per
+    source, how much of its shingle mass is template — the signal that
+    routes a source to a boilerplate-stripping pass before tokenization.
+    Complements d20 (whole-doc duplicate census) at sub-document
+    granularity. New surface, SURVEY §7.2.7.
+
+    Scale shape: reuses the memoized hashed-shingle sets (the d03 chain
+    root — no corpus re-shingle); the source label joins in on doc_id
+    BEFORE the explode, so exchanges carry (source, 8-byte hash) pairs,
+    never shingle text. Two map-side-combinable aggregates — (source, h)
+    then source — and the boilerplate test is pure integer arithmetic;
+    the one reported fraction is a single division of exact BIGINTs."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = (
+        _hashed_shingles(spark, sf_dir)
+        .join(src, "doc_id")
+        .select("source", F.explode("sh").alias("h"))
+    )
+    n_docs = src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per_sh = ex.groupBy("source", "h").agg(F.count("*").alias("docs_with"))
+    return (
+        per_sh.join(F.broadcast(n_docs), "source")
+        .withColumn(
+            "is_boiler",
+            F.expr(
+                f"{BOILER_DEN} * docs_with >= n_docs "
+                f"AND docs_with >= {BOILER_MIN}"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.count("*").alias("n_distinct_shingles"),
+            F.sum("docs_with").alias("n_occurrences"),
+            F.sum(F.expr("IF(is_boiler, 1, 0)")).alias("n_boiler_shingles"),
+            F.sum(F.expr("IF(is_boiler, docs_with, CAST(0 AS BIGINT))")).alias(
+                "boiler_occurrences"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_shingles",
+            "n_occurrences",
+            "n_boiler_shingles",
+            "boiler_occurrences",
+            F.expr(
+                "CAST(boiler_occurrences AS DOUBLE) / n_occurrences"
+            ).alias("boiler_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+D22_SQL = f"""
+WITH hs AS (
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+),
+ex AS MATERIALIZED (
+  SELECT d.source, unnest(h.sh) AS h
+  FROM hs h JOIN documents d USING (doc_id)
+),
+n_docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+per_sh AS (
+  SELECT source, h, CAST(count(*) AS BIGINT) AS docs_with
+  FROM ex GROUP BY source, h
+),
+flagged AS (
+  SELECT p.*, n.n_docs,
+         {BOILER_DEN} * p.docs_with >= n.n_docs
+           AND p.docs_with >= {BOILER_MIN} AS is_boiler
+  FROM per_sh p JOIN n_docs n USING (source)
+)
+SELECT source, max(n_docs) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+       CAST(sum(docs_with) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_shingles,
+       CAST(sum(CASE WHEN is_boiler THEN docs_with ELSE 0 END) AS BIGINT)
+         AS boiler_occurrences,
+       CAST(sum(CASE WHEN is_boiler THEN docs_with ELSE 0 END) AS DOUBLE)
+         / sum(docs_with) AS boiler_frac
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1704,6 +1808,7 @@ QUERIES = {
     "d19_lsh_tuning_curve": d19_lsh_tuning_curve,
     "d20_source_dup_overlap": d20_source_dup_overlap,
     "d21_shingle_novelty": d21_shingle_novelty,
+    "d22_boilerplate_census": d22_boilerplate_census,
 }
 
 ORACLES = {
@@ -1727,4 +1832,5 @@ ORACLES = {
     "d19_lsh_tuning_curve": _d19_sql(),
     "d20_source_dup_overlap": D20_SQL,
     "d21_shingle_novelty": D21_SQL,
+    "d22_boilerplate_census": D22_SQL,
 }

@@ -2240,6 +2240,105 @@ FROM agg ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e32 — EWMA volume trend per event type (α = 1/2, exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+#: trailing window of daily buckets entering the EWMA (bounds the exact
+#: integer weights: max weight 2^(TREND_DAYS-1))
+TREND_DAYS = 16
+
+
+def e32_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily-volume trend per event type: bucket
+    the trailing TREND_DAYS days into daily counts, weight day at
+    recency-lag r by 2^(TREND_DAYS-1-r) (the α = 1/2 EWMA kernel), and
+    report the smoothed level plus last-day/EWMA — the burst/decay ratio
+    an alerting pipeline thresholds. New surface, SURVEY §7.2.7.
+
+    Determinism: α = 1/2 makes every kernel weight an exact power of
+    two, so the weighted sum is an EXACT integer — accumulated in
+    DECIMAL(38,0) (HUGEINT in the oracle), rendered through its decimal
+    STRING (the _dsum rule), and divided once by the constant 2^15.
+    trend_ratio is one division of two exactly-computed doubles. No
+    order-sensitive float fold anywhere.
+
+    Scale shape: one map-side-combinable shuffle to (event_type, day) —
+    ≤ TREND_DAYS rows per type regardless of corpus size — after a
+    broadcast 1-row max-day crossJoin gates the window; the final
+    aggregate runs on type cardinality."""
+    days = (
+        _load_events(spark, sf_dir)
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    maxd = days.agg(F.max("day").alias("max_day"))
+    half = 1 << (TREND_DAYS - 1)
+    num_dbl = "CAST(CAST(num AS STRING) AS DOUBLE)"
+    last_dbl = (
+        f"CAST(CAST(CAST(last_day_count AS DECIMAL(38,0)) * {half} "
+        "AS STRING) AS DOUBLE)"
+    )
+    return (
+        days.crossJoin(F.broadcast(maxd))
+        .withColumn("r", F.expr("datediff(max_day, day)"))
+        .filter(F.col("r") < TREND_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days_active"),
+            F.sum("cnt").alias("window_total"),
+            F.sum(F.expr("IF(r = 0, cnt, CAST(0 AS BIGINT))")).alias(
+                "last_day_count"
+            ),
+            F.sum(
+                F.expr(
+                    "CAST(cnt AS DECIMAL(38,0)) * "
+                    f"shiftleft(CAST(1 AS BIGINT), {TREND_DAYS} - 1 - r)"
+                )
+            ).alias("num"),
+        )
+        .select(
+            "event_type",
+            "n_days_active",
+            "window_total",
+            "last_day_count",
+            F.expr(f"{num_dbl} / {float(half)}").alias("ewma"),
+            F.expr(f"{last_dbl} / {num_dbl}").alias("trend_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E32_SQL = f"""
+WITH days AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), maxd AS (
+  SELECT max(day) AS max_day FROM days
+), win AS (
+  SELECT d.event_type, d.cnt, datediff('day', d.day, m.max_day) AS r
+  FROM days d, maxd m
+  WHERE datediff('day', d.day, m.max_day) < {TREND_DAYS}
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_active,
+         CAST(sum(cnt) AS BIGINT) AS window_total,
+         CAST(sum(CASE WHEN r = 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS last_day_count,
+         sum(CAST(cnt AS HUGEINT) * (1::BIGINT << ({TREND_DAYS} - 1 - r)))
+           AS num
+  FROM win GROUP BY event_type
+)
+SELECT event_type, n_days_active, window_total, last_day_count,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE) / {float(1 << (TREND_DAYS - 1))}
+         AS ewma,
+       CAST(CAST(CAST(last_day_count AS HUGEINT) * {1 << (TREND_DAYS - 1)}
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(num AS VARCHAR) AS DOUBLE) AS trend_ratio
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2269,6 +2368,7 @@ QUERIES = {
     "e28_lateness_audit": e28_lateness_audit,
     "e30_bot_regularity": e30_bot_regularity,
     "e31_seasonality_profile": e31_seasonality_profile,
+    "e32_ewma_trend": e32_ewma_trend,
 }
 
 ORACLES = {
@@ -2300,4 +2400,5 @@ ORACLES = {
     "e28_lateness_audit": E28_SQL,
     "e30_bot_regularity": E30_SQL,
     "e31_seasonality_profile": E31_SQL,
+    "e32_ewma_trend": E32_SQL,
 }

@@ -1063,6 +1063,174 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m14 — content-defined chunking census (trailing-window rolling boundary)
+# ---------------------------------------------------------------------------
+
+#: boundary selectivity: a chunk ends where the TOP log2(CDC_DIV) bits of
+#: the window hash are zero (h < 2^32/CDC_DIV), giving ~CDC_DIV-byte
+#: expected chunks. High bits, not h % CDC_DIV: a multiplicative hash
+#: mixes into the HIGH bits — the low-bit residue degenerates to
+#: b[i] % CDC_DIV because the multiplier is odd, which would make the
+#: "hash" just the last byte
+CDC_DIV = 64
+#: Knuth multiplicative constant for the 4-byte window hash
+CDC_MULT = 2654435761
+#: trailing window width in bytes — the boundary decision depends ONLY on
+#: these bytes, which is what makes CDC insertion-robust (an edit shifts
+#: chunk contents but re-synchronizes at the next unchanged window)
+CDC_WIN = 4
+
+
+def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking census: split each payload at positions
+    where the hash of the trailing 4-byte window ≡ 0 (mod CDC_DIV), then
+    report per-payload chunk count, size stats and the within-payload
+    duplicate-chunk fraction. The variable-block complement of m12's
+    fixed blocks — CDC boundaries survive byte insertions (rsync/LBFS/
+    backup dedup), so this is the census a blob store runs to price
+    chunk-level dedup before adopting it. New surface, SURVEY §7.2.7.
+
+    Determinism: the window value w = b[i-3]·2²⁴ + … + b[i] is exact;
+    the boundary test (w·CDC_MULT mod 2³²) < 2³²/CDC_DIV matches numpy's
+    uint32 wraparound against the oracle's exact HUGEINT product reduced
+    mod 2³² — integers on both sides, no float anywhere. Chunk
+    uniqueness is counted on raw chunk content (the oracle hashes the
+    hex rendering — both are injective, so the distinct counts match).
+
+    Scale shape: like m11/m13 the whole operator is one Arrow-batched
+    corpus scan — boundaries, splits and the distinct census all happen
+    inside the per-doc numpy pass; NO shuffle at any corpus size
+    (orderBy is presentation only). Empty payloads emit an all-zero row
+    (NULL ratios), total like the oracle's LEFT JOIN."""
+
+    def cdc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_bytes": [],
+            "n_chunks": [],
+            "max_chunk_len": [],
+            "n_unique_chunks": [],
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    ends: list[int] = []
+                elif n < CDC_WIN:
+                    ends = [n - 1]
+                else:
+                    w = (
+                        b[3:].astype(np.uint32)
+                        | (b[2:-1].astype(np.uint32) << np.uint32(8))
+                        | (b[1:-2].astype(np.uint32) << np.uint32(16))
+                        | (b[:-3].astype(np.uint32) << np.uint32(24))
+                    )
+                    h = w * np.uint32(CDC_MULT)  # wraps mod 2^32
+                    ends = list(
+                        np.flatnonzero(h < (1 << 32) // CDC_DIV) + 3
+                    )
+                    if not ends or ends[-1] != n - 1:
+                        ends.append(n - 1)
+                starts = [0] + [e + 1 for e in ends[:-1]]
+                chunks = [
+                    b[s : e + 1].tobytes() for s, e in zip(starts, ends)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["n_chunks"].append(len(chunks))
+                out["max_chunk_len"].append(
+                    max((len(c) for c in chunks), default=0)
+                )
+                out["n_unique_chunks"].append(len(set(chunks)))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    schema = (
+        "doc_id bigint, n_bytes bigint, n_chunks bigint, "
+        "max_chunk_len bigint, n_unique_chunks bigint"
+    )
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(cdc, schema)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_chunks",
+            "max_chunk_len",
+            "n_unique_chunks",
+            F.expr(
+                "IF(n_chunks > 0, CAST(n_bytes AS DOUBLE) / n_chunks, NULL)"
+            ).alias("avg_chunk_len"),
+            F.expr(
+                "IF(n_chunks > 0, "
+                "CAST(n_chunks - n_unique_chunks AS DOUBLE) / n_chunks, "
+                "NULL)"
+            ).alias("dup_chunk_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M14_SQL = f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
+           AS b,
+         substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS h2
+  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+), win AS (
+  SELECT doc_id, i, h2,
+         lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
+         lag(b, 3) OVER w AS b3, b
+  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), flags AS (
+  SELECT doc_id, i, h2,
+         CASE WHEN b3 IS NULL THEN FALSE
+              ELSE (CAST(b3 * 16777216 + b2 * 65536 + b1 * 256 + b
+                         AS HUGEINT) * {CDC_MULT}) % 4294967296
+                   < {(1 << 32) // CDC_DIV}
+         END AS boundary
+  FROM win
+), chunked AS (
+  SELECT doc_id, i, h2,
+         CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+              (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM flags
+), per_chunk AS (
+  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS clen,
+         md5(string_agg(h2, '' ORDER BY i)) AS digest
+  FROM chunked GROUP BY doc_id, chunk_id
+), per_doc AS (
+  SELECT doc_id, CAST(sum(clen) AS BIGINT) AS n_bytes,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(max(clen) AS BIGINT) AS max_chunk_len,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_chunks
+  FROM per_chunk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bytes, 0) AS n_bytes,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.max_chunk_len, 0) AS max_chunk_len,
+       coalesce(p.n_unique_chunks, 0) AS n_unique_chunks,
+       CASE WHEN p.n_chunks > 0
+            THEN CAST(p.n_bytes AS DOUBLE) / p.n_chunks END AS avg_chunk_len,
+       CASE WHEN p.n_chunks > 0
+            THEN CAST(p.n_chunks - p.n_unique_chunks AS DOUBLE) / p.n_chunks
+            END AS dup_chunk_frac
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1077,6 +1245,7 @@ QUERIES = {
     "m11_scene_cuts": m11_scene_cuts,
     "m12_block_dedup_census": m12_block_dedup_census,
     "m13_vad_segments": m13_vad_segments,
+    "m14_cdc_chunks": m14_cdc_chunks,
 }
 
 ORACLES = {
@@ -1093,4 +1262,5 @@ ORACLES = {
     "m11_scene_cuts": M11_SQL,
     "m12_block_dedup_census": M12_SQL,
     "m13_vad_segments": M13_SQL,
+    "m14_cdc_chunks": M14_SQL,
 }

@@ -1618,6 +1618,140 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s18 — reciprocal-rank fusion of two rankers (exact cosine ⊕ sign overlap)
+# ---------------------------------------------------------------------------
+
+#: query set for the fusion demo (matches s17's prefix)
+RRF_QUERIES = 50
+#: the standard RRF smoothing constant (Cormack et al. 2009)
+RRF_K = 60
+#: fused neighbors reported per query
+FUSE_K = 5
+
+
+def s18_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion: rank each query's bucket candidates by two
+    independent signals — exact float cosine and the binary sign-overlap
+    count (how many dims agree in sign, i.e. the Hamming similarity of
+    the sign sketch) — and fuse with the standard RRF score
+    1/(60+r₁) + 1/(60+r₂). The hybrid-retrieval primitive (dense ⊕
+    sparse/binary) behind most production search stacks. New surface,
+    SURVEY §7.2.7.
+
+    Determinism: both ranks are integers from totally-ordered windows
+    (score desc, neighbor asc); the RRF score is a FIXED two-term sum of
+    two exact divisions, so the doubles are bit-identical cross-engine.
+
+    Scale shape: bounded query side broadcast at the bucket join (the
+    1e4ba04 rule); both rank windows and the fusion window partition on
+    query_id over bucket-bounded candidate sets only — at 100 TB this is
+    the same zero-corpus-shuffle probe shape as s02/s17 with two extra
+    bounded windows."""
+    sign_agree = (
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> "
+        "IF((x > 0) = (y > 0), 1, 0)), 0, (a, x) -> a + x)"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    w_sign = Window.partitionBy("query_id").orderBy(
+        F.desc("sign_agree"), F.asc("neighbor_id")
+    )
+    w_fuse = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_COS_S).alias("cosine"),
+            F.expr(sign_agree).alias("sign_agree"),
+        )
+        .withColumn("rank_cos", F.row_number().over(w_cos))
+        .withColumn("rank_sign", F.row_number().over(w_sign))
+        .withColumn(
+            "rrf_score",
+            F.expr(
+                f"1e0 / ({RRF_K} + rank_cos) + 1e0 / ({RRF_K} + rank_sign)"
+            ),
+        )
+        .withColumn("fused_rank", F.row_number().over(w_fuse))
+        .filter(F.col("fused_rank") <= FUSE_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "sign_agree",
+            "rank_cos",
+            "rank_sign",
+            "rrf_score",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _s18_sql() -> str:
+    sign_agree = (
+        "CAST(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> "
+        "CASE WHEN (q.embedding[i] > 0) = (c.embedding[i] > 0) "
+        "THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.embedding")} AS cosine,
+         {sign_agree} AS sign_agree
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id < {RRF_QUERIES} AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank_cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sign_agree DESC, neighbor_id ASC) AS INTEGER)
+           AS rank_sign
+  FROM scored
+), fused AS (
+  SELECT *,
+         1e0 / ({RRF_K} + rank_cos) + 1e0 / ({RRF_K} + rank_sign)
+           AS rrf_score
+  FROM ranked
+), final AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER)
+           AS fused_rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, cosine, sign_agree, rank_cos, rank_sign,
+       rrf_score, fused_rank
+FROM final WHERE fused_rank <= {FUSE_K} ORDER BY query_id, fused_rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1636,6 +1770,7 @@ QUERIES = {
     "s15_probe_frontier": s15_probe_frontier,
     "s16_mmr_diversify": s16_mmr_diversify,
     "s17_hard_negatives": s17_hard_negatives,
+    "s18_rrf_fusion": s18_rrf_fusion,
 }
 
 ORACLES = {
@@ -1656,4 +1791,5 @@ ORACLES = {
     "s15_probe_frontier": _s15_sql(),
     "s16_mmr_diversify": _s16_sql(),
     "s17_hard_negatives": S17_SQL,
+    "s18_rrf_fusion": _s18_sql(),
 }

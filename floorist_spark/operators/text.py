@@ -1455,12 +1455,21 @@ def t21_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     k_max = max(VOCAB_SIZES)
+    from floorist_spark.operators._cache import track
+
     toks = (
         _docs(spark, sf_dir)
         .select(F.explode(F.expr(f"split({_NORM_S}, ' ')")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # the per-type counts feed THREE consumers (total, n_types, top-K);
+    # persisted + materialized so the token explode/shuffle runs once —
+    # unpersisted, Spark replays the subtree per consumer (three corpus
+    # scans, caught by the plan pin in test_plan_shapes_r6b)
+    counts = track(
+        toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
+    )
+    counts.count()
     # totals derive from the per-type counts — ONE corpus scan feeds
     # everything downstream
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
@@ -1548,6 +1557,147 @@ ORDER BY p.vocab_size
 """
 
 
+# ---------------------------------------------------------------------------
+# t22 — RAKE keyphrase extraction (stopword-delimited candidate phrases)
+# ---------------------------------------------------------------------------
+
+#: phrase delimiters for RAKE candidate segmentation — deliberately small
+#: (the t02 rule: the operator demonstrates the mechanics; production
+#: swaps in a full list, same plan shape)
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for",
+    "with", "as", "by", "at", "this", "that", "be", "are", "was", "or",
+    "from",
+)
+#: corpus-wide keyphrases reported
+RAKE_TOP = 25
+
+
+def t22_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are maximal stopword-
+    free token runs; each word scores deg(w) (Σ length of every phrase
+    occurrence containing it) over freq(w) (its occurrence count), and a
+    phrase aggregates its members. The corpus-level top-25 is the
+    glossary-extraction / topic-labeling primitive (Rose et al. 2010).
+    New surface, SURVEY §7.2.7.
+
+    Scoring uses the ratio-of-sums variant: score = Σdeg / Σfreq with
+    both sums EXACT BIGINTs and ONE double division — the classic
+    sum-of-ratios Σ(deg/freq) is an unordered float fold over join
+    results and would not be cross-engine deterministic. Ties at the
+    cutoff break on the unique phrase text.
+
+    Scale shape: phrase segmentation is the gaps-and-islands pattern (a
+    running stopword count keyed per doc — one shuffle on doc_id shared
+    by both windows), word stats are a map-side-combinable aggregate on
+    the token, phrase members re-join word stats by token (hash join on
+    the vocabulary), and the final census shuffles short phrase strings
+    only; top-25 is a TakeOrdered, never a global sort."""
+    from pyspark.sql.window import Window
+
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.expr(f"split({_NORM_S}, ' ')")).alias("pos", "tok"),
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    occ = (
+        toks.withColumn(
+            "is_stop", F.expr(f"tok IN ({stops}) OR tok = ''")
+        )
+        .withColumn(
+            "grp", F.sum(F.expr("IF(is_stop, 1, 0)")).over(w_run)
+        )
+        .filter(~F.col("is_stop"))
+        .withColumn(
+            "plen",
+            F.count("*").over(Window.partitionBy("doc_id", "grp")),
+        )
+    )
+    wstats = occ.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrases = (
+        occ.join(wstats, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, tok))), x -> x.tok))"
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("sum_deg").alias("sum_deg"),
+            F.max("sum_freq").alias("sum_freq"),
+        )
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "n_docs",
+            "sum_deg",
+            "sum_freq",
+            F.expr("CAST(sum_deg AS DOUBLE) / sum_freq").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOP)
+    )
+
+
+def _t22_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH toks AS (
+  -- no WITH ORDINALITY in this DuckDB: index the array via range()
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+         d.arr[CAST(t.i + 1 AS BIGINT)] AS tok
+  FROM (SELECT doc_id, string_split({tf.norm_duck("text")}, ' ') AS arr
+        FROM documents) d,
+       LATERAL unnest(range(0, CAST(len(d.arr) AS BIGINT))) AS t(i)
+), occ AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, tok, (tok IN ({stops}) OR tok = '') AS is_stop,
+           sum(CASE WHEN tok IN ({stops}) OR tok = '' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM toks)
+  WHERE NOT is_stop
+), occ2 AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+  FROM occ
+), wstats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM occ2 GROUP BY tok
+), phrases AS (
+  SELECT o.doc_id, o.grp,
+         string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.deg) AS BIGINT) AS sum_deg,
+         CAST(sum(w.freq) AS BIGINT) AS sum_freq
+  FROM occ2 o JOIN wstats w USING (tok)
+  GROUP BY o.doc_id, o.grp
+), census AS (
+  SELECT phrase, max(n_words) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         max(sum_deg) AS sum_deg, max(sum_freq) AS sum_freq
+  FROM phrases GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences, n_docs, sum_deg, sum_freq,
+       CAST(sum_deg AS DOUBLE) / sum_freq AS score
+FROM census ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1570,6 +1720,7 @@ QUERIES = {
     "t19_distribution_outliers": t19_distribution_outliers,
     "t20_readability": t20_readability,
     "t21_vocab_coverage": t21_vocab_coverage,
+    "t22_rake_keyphrases": t22_rake_keyphrases,
 }
 
 ORACLES = {
@@ -1594,4 +1745,5 @@ ORACLES = {
     "t19_distribution_outliers": T19_SQL,
     "t20_readability": T20_SQL,
     "t21_vocab_coverage": T21_SQL,
+    "t22_rake_keyphrases": _t22_sql(),
 }
