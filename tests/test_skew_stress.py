@@ -211,3 +211,62 @@ def test_d21_novelty_exact_under_mass_duplication(spark, tmp_path):
     assert agg["n_docs"] == n_hot + 1
     assert agg["novel"] == n_union
     assert agg["zero_novelty"] == n_hot - 1
+
+
+def test_d22_boilerplate_exact_under_mass_template(spark, tmp_path):
+    """20k docs share one template prefix; tails cycle through 26
+    single-letter blocks, so every prefix-internal shingle appears in
+    ALL 20k docs (boilerplate) while every tail/boundary shingle appears
+    in only ~770 (< 25%, not boilerplate). The (source, hash) exchange
+    map-side-combines the hot shingle keys, and the census is exact —
+    computed here against an independent python 5-gram model."""
+    from floorist_spark.operators.dedup import d22_boilerplate_census
+
+    n = 20_000
+    prefix = "template header body "
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('{prefix}', repeat(char(97 + CAST(id % 26 AS INT)), 6)) "
+        "AS text",
+        "'crawl' AS source",
+    )
+    out = str(tmp_path / "masstpl")
+    docs.write.parquet(f"{out}/documents.parquet")
+    (got,) = d22_boilerplate_census(spark, out).collect()
+
+    sh = lambda t: {t[i : i + 5] for i in range(len(t) - 4)}
+    # shingles fully inside the prefix: shared by every doc
+    p_sh = {prefix[i : i + 5] for i in range(len(prefix) - 4)}
+    per_letter = {c: sh(prefix + chr(97 + c) * 6) for c in range(26)}
+    counts = {c: n // 26 + (1 if c < n % 26 else 0) for c in range(26)}
+    n_occ = sum(counts[c] * len(per_letter[c]) for c in range(26))
+    union = set().union(*per_letter.values())
+    # only prefix-internal shingles clear the 25% bar (tail groups are
+    # ~770/20000 each)
+    assert got["n_docs"] == n
+    assert got["n_distinct_shingles"] == len(union)
+    assert got["n_occurrences"] == n_occ
+    assert got["n_boiler_shingles"] == len(p_sh)
+    assert got["boiler_occurrences"] == len(p_sh) * n
+    assert got["boiler_frac"] == (len(p_sh) * n) / float(n_occ)
+
+
+def test_t22_rake_exact_under_mass_repetition(spark, tmp_path):
+    """One phrase repeated across 20k docs: the word-stat and phrase
+    aggregates both see a single hot key and must map-side-combine it.
+    deg/freq arithmetic stays exact: freq(w) = 20k per word, deg(w) =
+    3·20k (every occurrence sits in a 3-word phrase)."""
+    from floorist_spark.operators.text import t22_rake_keyphrases
+
+    n = 20_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "'quick brown fox' AS text"
+    )
+    out = str(tmp_path / "massphrase")
+    docs.write.parquet(f"{out}/documents.parquet")
+    (got,) = t22_rake_keyphrases(spark, out).collect()
+    assert got["phrase"] == "quick brown fox"
+    assert (got["n_words"], got["n_occurrences"], got["n_docs"]) == (3, n, n)
+    assert got["sum_deg"] == 3 * 3 * n
+    assert got["sum_freq"] == 3 * n
+    assert got["score"] == 3.0
