@@ -118,6 +118,8 @@ HEADLINE = (
     "s18_rrf_fusion",
     "m14_cdc_chunks",
     "d22_boilerplate_census",
+    "d23_dup_graph_pagerank",
+    "m15_chunk_overlap_pairs",
 )
 
 

@@ -1787,6 +1787,119 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# d23 — integer fixed-point PageRank over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale: ranks are integers in units of 1/PR_SCALE
+PR_SCALE = 10**12
+#: damping factor α = PR_ALPHA_NUM / PR_ALPHA_DEN, applied as exact
+#: integer multiply-then-floor-divide
+PR_ALPHA_NUM, PR_ALPHA_DEN = 85, 100
+#: unrolled power iterations — centrality separation, not convergence,
+#: is the goal (3 hops covers the diameter of near-dup blobs)
+PR_ITERS = 3
+
+
+def d23_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-hub centrality: PageRank over the undirected verified
+    near-dup graph. High-rank nodes are the template hubs — the pages
+    everything else is a variation OF — which is where a curation
+    pipeline points a human (or picks the canonical doc) when a cluster
+    is too big to eyeball. Complements d09 (which only labels components)
+    with a within-component importance order. New surface, SURVEY §7.2.7.
+
+    Determinism: float PageRank is an unordered sum — not reproducible
+    across engines or even runs. Here ranks are FIXED-POINT INTEGERS
+    (units of 1/PR_SCALE): each neighbor contribution is
+    (α_num · (r // deg)) // α_den — exact integer ops — and integer
+    addition is commutative-exact, so ANY aggregation order gives the
+    same result. The oracle unrolls the same three iterations as chained
+    CTEs. Overflow: Σ contributions per node ≤ deg·PR_SCALE; BIGINT
+    holds deg up to ~9·10⁶, far above the bucket-capped candidate
+    degree (MAX_BAND_BUCKET).
+
+    Scale shape: reuses the memoized verified-pair chain (one build per
+    dataset); the graph is the DUP population, not the corpus. Each of
+    the PR_ITERS rounds is one bounded join+aggregate on (src, dst)
+    edges — the d09 pattern (driver loop bounded by a constant, all data
+    movement distributed)."""
+    base = (PR_SCALE * (PR_ALPHA_DEN - PR_ALPHA_NUM)) // PR_ALPHA_DEN
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    r = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("r"), "deg")
+    for _ in range(PR_ITERS):
+        contrib = r.select(
+            "src",
+            F.expr(
+                f"({PR_ALPHA_NUM} * (r DIV deg)) DIV {PR_ALPHA_DEN}"
+            ).alias("c"),
+        )
+        r = (
+            sym.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .select(
+                F.col("dst").alias("src"),
+                F.expr(f"CAST({base} + in_sum AS BIGINT)").alias("r"),
+            )
+            .join(deg, "src")
+        )
+    return (
+        r.select(
+            F.col("src").alias("doc_id"),
+            "deg",
+            F.col("r").alias("pr_scaled"),
+            F.expr(f"CAST(r AS DOUBLE) / {float(PR_SCALE)}").alias("pr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d23_sql() -> str:
+    # reuse d04's verified-pair chain up to `scored` (the d18 pattern)
+    ctes = D04_SQL[: D04_SQL.rindex("SELECT doc_a, doc_b, jaccard")].strip().rstrip()
+    base = (PR_SCALE * (PR_ALPHA_DEN - PR_ALPHA_NUM)) // PR_ALPHA_DEN
+    step = (
+        "SELECT s.dst AS v, CAST({base} + sum(({an} * (p.r // p.deg)) "
+        "// {ad}) AS BIGINT) AS r FROM sym s JOIN {prev} p ON s.src = p.v "
+        "GROUP BY s.dst"
+    )
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        body = step.format(
+            base=base, an=PR_ALPHA_NUM, ad=PR_ALPHA_DEN, prev=f"pr{i - 1}"
+        )
+        its.append(
+            f"pr{i} AS (SELECT t.v, t.r, d.deg FROM ({body}) t "
+            "JOIN deg d USING (v))"
+        )
+    chain = ",\n".join(its)
+    return f"""
+{ctes}
+, edges AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+),
+pr0 AS (
+  SELECT v, CAST({PR_SCALE} AS BIGINT) AS r, deg FROM deg
+),
+{chain}
+SELECT v AS doc_id, deg, r AS pr_scaled,
+       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS pr
+FROM pr{PR_ITERS} ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1809,6 +1922,7 @@ QUERIES = {
     "d20_source_dup_overlap": d20_source_dup_overlap,
     "d21_shingle_novelty": d21_shingle_novelty,
     "d22_boilerplate_census": d22_boilerplate_census,
+    "d23_dup_graph_pagerank": d23_dup_graph_pagerank,
 }
 
 ORACLES = {
@@ -1833,4 +1947,5 @@ ORACLES = {
     "d20_source_dup_overlap": D20_SQL,
     "d21_shingle_novelty": D21_SQL,
     "d22_boilerplate_census": D22_SQL,
+    "d23_dup_graph_pagerank": _d23_sql(),
 }

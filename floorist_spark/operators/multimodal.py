@@ -1231,6 +1231,186 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m15 — cross-document CDC chunk-overlap pairs (delta-transfer census)
+# ---------------------------------------------------------------------------
+
+#: a chunk digest owned by more than this many documents is ubiquitous
+#: boilerplate (empty blocks, shared headers) — excluded from pairing,
+#: the m14 analogue of the LSH degenerate-bucket cap
+MAX_CHUNK_OWNERS = 256
+#: minimum shared chunks before a pair is reported
+MIN_SHARED_CHUNKS = 2
+
+
+def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document content-defined-chunk overlap: pairs of payloads
+    sharing ≥ MIN_SHARED_CHUNKS CDC chunks, with containment = shared /
+    min(|A|, |B|). Because CDC boundaries re-synchronize after edits
+    (m14), two versions of the same file share most chunks even when
+    bytes shifted — this census is how a blob store prices delta
+    transfer/storage (rsync, LBFS, backup dedup) and a corpus pipeline
+    finds partially-overlapping documents that whole-doc digests (d01)
+    and fixed blocks (m12) both miss. New surface, SURVEY §7.2.7.
+
+    Scale shape: the chunking pass is m14's shuffle-free numpy scan,
+    emitting (doc_id, digest) rows; pairing is an equi-join on the
+    digest — never all-pairs — with ubiquitous digests capped out by
+    MAX_CHUNK_OWNERS exactly like the LSH degenerate-bucket cap, so one
+    empty-block digest can never quadratically explode the join. All
+    exchanges carry 16-byte digests; containment is one division of
+    exact BIGINTs."""
+    import hashlib
+
+    def chunk_digests(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {"doc_id": [], "digest": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                if n < CDC_WIN:
+                    ends = [n - 1]
+                else:
+                    w = (
+                        b[3:].astype(np.uint32)
+                        | (b[2:-1].astype(np.uint32) << np.uint32(8))
+                        | (b[1:-2].astype(np.uint32) << np.uint32(16))
+                        | (b[:-3].astype(np.uint32) << np.uint32(24))
+                    )
+                    h = w * np.uint32(CDC_MULT)
+                    ends = list(
+                        np.flatnonzero(h < (1 << 32) // CDC_DIV) + 3
+                    )
+                    if not ends or ends[-1] != n - 1:
+                        ends.append(n - 1)
+                starts = [0] + [e + 1 for e in ends[:-1]]
+                # distinct digests per doc (a repeated chunk counts once);
+                # md5 over the lowercase hex rendering = the oracle's
+                # md5(string_agg(h2)) byte-for-byte
+                seen = {
+                    hashlib.md5(
+                        b[s : e + 1].tobytes().hex().encode()
+                    ).hexdigest()
+                    for s, e in zip(starts, ends)
+                }
+                out["doc_id"].extend([doc_id] * len(seen))
+                out["digest"].extend(sorted(seen))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    dd = (
+        _payloads(spark, sf_dir)
+        .mapInPandas(chunk_digests, "doc_id bigint, digest string")
+    )
+    from floorist_spark.operators._cache import track
+
+    dd = track(dd.persist())
+    dd.count()
+    owners = dd.groupBy("digest").agg(F.count("*").alias("n_owners"))
+    usable = dd.join(
+        owners.filter(F.col("n_owners") <= MAX_CHUNK_OWNERS), "digest"
+    ).select("doc_id", "digest")
+    totals = dd.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    pairs = (
+        usable.alias("a")
+        .join(usable.alias("b"), "digest")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_CHUNKS)
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b")
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_shared AS DOUBLE) / least(n_a, n_b)"
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+M15_SQL = f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
+           AS b,
+         substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS h2
+  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+), win AS (
+  SELECT doc_id, i, h2,
+         lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
+         lag(b, 3) OVER w AS b3, b
+  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), flags AS (
+  SELECT doc_id, i, h2,
+         CASE WHEN b3 IS NULL THEN FALSE
+              ELSE (CAST(b3 * 16777216 + b2 * 65536 + b1 * 256 + b
+                         AS HUGEINT) * {CDC_MULT}) % 4294967296
+                   < {(1 << 32) // CDC_DIV}
+         END AS boundary
+  FROM win
+), chunked AS (
+  SELECT doc_id, i, h2,
+         CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+              (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM flags
+), dd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, digest FROM (
+    SELECT doc_id, md5(string_agg(h2, '' ORDER BY i)) AS digest
+    FROM chunked GROUP BY doc_id, chunk_id)
+), owners AS (
+  SELECT digest FROM dd GROUP BY digest
+  HAVING count(*) <= {MAX_CHUNK_OWNERS}
+), usable AS MATERIALIZED (
+  SELECT d.doc_id, d.digest FROM dd d JOIN owners USING (digest)
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM dd GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM usable a JOIN usable b USING (digest)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {MIN_SHARED_CHUNKS}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ta.n_chunks AS n_a, tb.n_chunks AS n_b,
+       CAST(p.n_shared AS DOUBLE) / least(ta.n_chunks, tb.n_chunks)
+         AS containment
+FROM pairs p
+JOIN totals ta ON ta.doc_id = p.doc_a
+JOIN totals tb ON tb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1246,6 +1426,7 @@ QUERIES = {
     "m12_block_dedup_census": m12_block_dedup_census,
     "m13_vad_segments": m13_vad_segments,
     "m14_cdc_chunks": m14_cdc_chunks,
+    "m15_chunk_overlap_pairs": m15_chunk_overlap_pairs,
 }
 
 ORACLES = {
@@ -1263,4 +1444,5 @@ ORACLES = {
     "m12_block_dedup_census": M12_SQL,
     "m13_vad_segments": M13_SQL,
     "m14_cdc_chunks": M14_SQL,
+    "m15_chunk_overlap_pairs": M15_SQL,
 }

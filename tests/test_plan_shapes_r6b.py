@@ -160,3 +160,29 @@ def test_d22_exchanges_carry_hashes_not_shingles(spark):
     assert "CartesianProduct" not in plan
     # the source-count side broadcasts back over the shingle aggregate
     assert "BroadcastHashJoin" in plan
+
+
+def test_d23_iterations_reuse_memoized_pairs(spark):
+    from floorist_spark.operators.dedup import d23_dup_graph_pagerank
+
+    plan = _plan(d23_dup_graph_pagerank(spark, SF_SMOKE))
+    # the verified-pair chain is served from the session memo — every
+    # iteration reads the cache instead of re-running band+Jaccard
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m15_pairing_keys_on_digest_no_cartesian(spark):
+    import re
+
+    from floorist_spark.operators.multimodal import m15_chunk_overlap_pairs
+
+    plan = _plan(m15_chunk_overlap_pairs(spark, SF_SMOKE))
+    # pairing is an equi-join on the chunk digest — never all-pairs; no
+    # exchange carries the raw payload
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "payload#" not in m.group(0), m.group(0)
+    # the chunk-digest table is persisted: owners, totals and both join
+    # sides read the cache instead of re-running the numpy pass
+    assert plan.count("InMemoryTableScan") >= 3

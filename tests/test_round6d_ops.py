@@ -299,3 +299,98 @@ def test_d22_planted_template_source(spark, tmp_path):
     assert tpl["n_boiler_shingles"] > 0
     assert tpl["boiler_occurrences"] == tpl["n_boiler_shingles"] * 8
     assert tpl["boiler_frac"] > 0.5
+
+
+# -- d23: hand-computable fixed-point PageRank on planted cliques ------------
+
+
+def test_d23_pagerank_exact_on_planted_cliques(spark, tmp_path):
+    from floorist_spark.operators.dedup import (
+        PR_ALPHA_DEN,
+        PR_ALPHA_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        d23_dup_graph_pagerank,
+    )
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "a completely different second sentence about spark and parquet"
+    rows = [
+        (1, x), (2, x), (3, x),      # K3 clique of identical docs
+        (10, y), (11, y),            # K2 pair
+        (20, "unique text that matches nothing else in this corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"]: r for r in d23_dup_graph_pagerank(spark, out).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}  # the unique doc is not a node
+
+    base = (PR_SCALE * (PR_ALPHA_DEN - PR_ALPHA_NUM)) // PR_ALPHA_DEN
+
+    def regular_rank(deg):
+        # in a k-regular symmetric component every node stays equal:
+        # r' = base + deg * ((alpha_num * (r // deg)) // alpha_den)
+        r = PR_SCALE
+        for _ in range(PR_ITERS):
+            r = base + deg * ((PR_ALPHA_NUM * (r // deg)) // PR_ALPHA_DEN)
+        return r
+
+    for d in (1, 2, 3):
+        assert got[d]["deg"] == 2
+        assert got[d]["pr_scaled"] == regular_rank(2)
+        assert got[d]["pr"] == regular_rank(2) / float(PR_SCALE)
+    for d in (10, 11):
+        assert got[d]["deg"] == 1
+        assert got[d]["pr_scaled"] == regular_rank(1)
+
+
+# -- m15: insertion-shifted version pair shares re-synced chunks -------------
+
+
+def _cdc_chunk_set(payload: bytes):
+    from floorist_spark.operators.multimodal import (
+        CDC_DIV,
+        CDC_MULT,
+        CDC_WIN,
+    )
+
+    n = len(payload)
+    if n == 0:
+        return set()
+    ends = []
+    if n >= CDC_WIN:
+        for i in range(3, n):
+            w = (
+                payload[i - 3] * 16777216
+                + payload[i - 2] * 65536
+                + payload[i - 1] * 256
+                + payload[i]
+            )
+            if (w * CDC_MULT) % (1 << 32) < (1 << 32) // CDC_DIV:
+                ends.append(i)
+    if not ends or ends[-1] != n - 1:
+        ends.append(n - 1)
+    starts = [0] + [e + 1 for e in ends[:-1]]
+    return {payload[s : e + 1] for s, e in zip(starts, ends)}
+
+
+def test_m15_version_pair_shares_resynced_chunks(spark, tmp_path):
+    from floorist_spark.operators.multimodal import m15_chunk_overlap_pairs
+
+    base = "The quick brown fox jumps over the lazy dog. " * 12
+    edited = "X" + base  # one-byte insertion at the front
+    other = "".join(chr(32 + (i * 13) % 90) for i in range(500))
+    out = _write_docs(spark, tmp_path, [(1, base), (2, edited), (3, other)])
+    res = m15_chunk_overlap_pairs(spark, out).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in res}
+    a = _cdc_chunk_set(base.encode())
+    b = _cdc_chunk_set(edited.encode())
+    expected_shared = len(a & b)
+    assert expected_shared >= 2  # CDC re-sync makes the test meaningful
+    r = pairs[(1, 2)]
+    assert r["n_shared"] == expected_shared
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["containment"] == expected_shared / float(min(len(a), len(b)))
+    # the unrelated doc pairs with nobody
+    assert all(3 not in k for k in pairs)
