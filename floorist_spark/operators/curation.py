@@ -1511,14 +1511,19 @@ def c18_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("target_tokens", F.expr("total_tokens DIV n_langs"))
         .withColumn(
             "repeat_factor",
+            # tokens = 0 guarded explicitly: DIV-by-zero yields NULL and
+            # greatest()'s NULL handling is engine/version-dependent (the
+            # d15 portability lesson) — never let a NULL reach it
             F.expr(
+                f"IF(tokens = 0, CAST(1 AS BIGINT), "
                 f"least(CAST({MAX_REPEAT} AS BIGINT), "
-                "greatest(CAST(1 AS BIGINT), target_tokens DIV tokens))"
+                "greatest(CAST(1 AS BIGINT), target_tokens DIV tokens)))"
             ),
         )
         .withColumn("effective_tokens", F.expr("repeat_factor * tokens"))
         .withColumn(
-            "capped", F.expr(f"target_tokens DIV tokens > {MAX_REPEAT}")
+            "capped",
+            F.expr(f"tokens > 0 AND target_tokens DIV tokens > {MAX_REPEAT}"),
         )
     )
     return (
@@ -1558,11 +1563,13 @@ WITH per_lang AS (
   FROM per_lang
 ), p2 AS (
   SELECT *, total_tokens // n_langs AS target_tokens,
-         least(CAST({MAX_REPEAT} AS BIGINT),
-               greatest(CAST(1 AS BIGINT),
-                        (total_tokens // n_langs) // tokens))
-           AS repeat_factor,
-         (total_tokens // n_langs) // tokens > {MAX_REPEAT} AS capped
+         CASE WHEN tokens = 0 THEN CAST(1 AS BIGINT)
+              ELSE least(CAST({MAX_REPEAT} AS BIGINT),
+                         greatest(CAST(1 AS BIGINT),
+                                  (total_tokens // n_langs) // tokens))
+         END AS repeat_factor,
+         tokens > 0 AND (total_tokens // n_langs) // tokens > {MAX_REPEAT}
+           AS capped
   FROM planned
 ), p3 AS (
   SELECT *, repeat_factor * tokens AS effective_tokens FROM p2

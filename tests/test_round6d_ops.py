@@ -394,3 +394,29 @@ def test_m15_version_pair_shares_resynced_chunks(spark, tmp_path):
     assert r["containment"] == expected_shared / float(min(len(a), len(b)))
     # the unrelated doc pairs with nobody
     assert all(3 not in k for k in pairs)
+
+
+def test_c18_whitespace_only_language_floor(spark, tmp_path):
+    """The shared tokenizer never yields zero tokens (split('') = ['']),
+    so every language has tokens >= n_docs and the DIV in the repeat
+    rule is always well-defined; the operator additionally guards
+    tokens = 0 defensively (greatest()'s NULL handling is
+    engine-version-dependent — the d15 portability lesson). This pins
+    the 1-token floor a whitespace-only doc actually gets."""
+    from floorist_spark.operators.curation import c18_oversample_plan
+
+    rows = [
+        (1, "w w w w w w w w", "en", "s"),   # 8 tokens
+        (2, "   ", "blankish", "s"),          # normalizes to one '' token
+    ]
+    out = _write_docs(
+        spark, tmp_path, rows,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    got = {r["lang"]: r for r in c18_oversample_plan(spark, out).collect()}
+    b = got["blankish"]
+    assert b["tokens"] == 1           # the tokenizer floor, not zero
+    # total 9, target 4 -> 4 // 1 = 4 = MAX_REPEAT exactly, not capped
+    assert b["repeat_factor"] == 4
+    assert bool(b["capped"]) is False
+    assert b["effective_tokens"] == 4
