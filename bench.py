@@ -120,6 +120,12 @@ HEADLINE = (
     "d22_boilerplate_census",
     "d23_dup_graph_pagerank",
     "m15_chunk_overlap_pairs",
+    "d24_exact_substring_spans",
+    "t23_encoding_anomalies",
+    "c19_contamination_report",
+    "s19_tombstone_compaction",
+    "e33_outage_gaps",
+    "m16_payload_size_census",
 )
 
 

@@ -1583,6 +1583,106 @@ FROM p3 ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# c19 — eval-side contamination report (the dual of c05)
+# ---------------------------------------------------------------------------
+
+
+def c19_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per EVAL-document contamination report: for every held-out doc (the
+    c01 hash-deterministic test split), how many of its distinct word
+    n-grams appear anywhere in the train split, the hit fraction, and a
+    ``contaminated`` verdict at the 0.8 threshold (compared in exact
+    integer math, ``5*n_hit >= 4*n_ngrams``). c05 answers "which TRAIN
+    docs leak the eval set" (for filtering); this answers "which EVAL
+    items are compromised" (for reporting benchmark validity) — the two
+    reports a decontamination run always publishes together. New
+    surface, SURVEY §7.2.7.
+
+    Scale shape: mirrors c05's broadcast discipline from the other side
+    — the eval n-gram set is tiny at any corpus size, so the train scan
+    is reduced by a BROADCAST semi-join against it and only the distinct
+    HIT grams (bounded by the eval set, not the corpus) flow back; the
+    per-eval-doc aggregation then joins eval grams against that small
+    hit set, again broadcast. No train-side text ever shuffles."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(tf.norm_spark("text"))
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_bucket_spark("split", 100)).alias("bucket"),
+            F.expr(toks).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(
+                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
+            ).alias("ngrams"),
+        )
+    )
+    base = track(base.persist())
+    eval_ng = base.filter(F.col("bucket") >= VAL_UPTO).select(
+        "doc_id", F.explode("ngrams").alias("ng")
+    )
+    train_ng = base.filter(F.col("bucket") < TRAIN_UPTO).select(
+        F.explode("ngrams").alias("ng")
+    )
+    hits = (
+        train_ng.join(F.broadcast(eval_ng.select("ng").distinct()), "ng")
+        .select("ng")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_ng.join(F.broadcast(hits), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            F.expr("CAST(n_hit AS DOUBLE) / n_ngrams").alias("hit_frac"),
+            F.expr("5 * n_hit >= 4 * n_ngrams").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C19_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_bucket_duck("split", 100)} AS bucket,
+         {{toks}} AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, bucket, list_distinct({{ngrams}}) AS ngrams FROM tok
+), eval_ng AS (
+  SELECT doc_id, unnest(ngrams) AS ng FROM base WHERE bucket >= {VAL_UPTO}
+), train_ng AS (
+  SELECT DISTINCT unnest(ngrams) AS ng FROM base WHERE bucket < {TRAIN_UPTO}
+)
+SELECT e.doc_id,
+  count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS hit_frac,
+  5 * sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) >= 4 * count(*)
+    AS contaminated
+FROM eval_ng e LEFT JOIN train_ng t ON e.ng = t.ng
+GROUP BY e.doc_id ORDER BY e.doc_id
+""".format(
+    toks=tf.tokens_duck(tf.norm_duck("text")),
+    ngrams=tf.word_ngrams_duck("toks", DECON_NGRAM),
+)
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1602,6 +1702,7 @@ QUERIES = {
     "c16_dedup_aware_mixture": c16_dedup_aware_mixture,
     "c17_budget_waterfill": c17_budget_waterfill,
     "c18_oversample_plan": c18_oversample_plan,
+    "c19_contamination_report": c19_contamination_report,
 }
 
 ORACLES = {
@@ -1623,4 +1724,5 @@ ORACLES = {
     "c16_dedup_aware_mixture": _c16_sql(),
     "c17_budget_waterfill": _c17_sql(),
     "c18_oversample_plan": _c18_sql(),
+    "c19_contamination_report": C19_SQL,
 }

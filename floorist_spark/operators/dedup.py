@@ -1900,6 +1900,176 @@ FROM pr{PR_ITERS} ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d24 — exact-substring duplicated-span census (anchor n-grams → merged spans)
+# ---------------------------------------------------------------------------
+
+#: Anchor width in tokens: a duplicated span must share at least one full
+#: 8-token window with another document to be detected — the positional
+#: dual of d14's set-containment (here WHERE the overlap sits matters,
+#: because coverage = merged interval length, not gram counts).
+ANCHOR_W = 8
+
+
+def d24_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document census of text covered by exact cross-document
+    duplicated spans — the ExactSubstr dedup shape (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is "covered" when it lies inside an 8-token anchor window
+    whose content appears verbatim in at least one OTHER document;
+    overlapping/abutting windows merge into spans, and the report is the
+    merged coverage per doc (count + fraction), with anchor totals for
+    calibration. Docs with no duplicated span report zeros. New surface
+    beyond the reference (SURVEY §7.2.7); complements d14 (pairwise gram
+    containment, no positions) and t09 (WITHIN-doc repetition).
+
+    Scale shape: anchors reduce to md5 digests immediately — the
+    duplicate test is one digest groupBy with ``min(doc_id) <>
+    max(doc_id)`` (map-side combinable, no count-distinct); the join
+    back to positions is digest-keyed and 1:1 per anchor row (the dup
+    set is distinct digests, so no fan-out); the interval merge is a
+    per-doc window over only the DUPLICATED positions (a tiny fraction
+    of the corpus on healthy data). No exchange ever carries text wider
+    than one 8-token gram's digest."""
+    from pyspark.sql.window import Window
+
+    base = (
+        _docs_parallel(spark, sf_dir)
+        .select("doc_id", F.expr(_NORM_S).alias("nrm"))
+        .select("doc_id", F.expr(tf.tokens_spark("nrm")).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+            F.expr(tf.word_ngrams_spark("toks", ANCHOR_W)).alias("grams"),
+        )
+    )
+    # read twice (anchor explode + per-doc totals): cache the gram arrays
+    base = track(base.persist())
+    anchors = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "g")
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), F.md5("g").alias("d"))
+    dup_d = (
+        anchors.groupBy("d")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("x"))
+        .filter("x")
+        .select("d")
+    )
+    dup_anchors = anchors.join(dup_d, "d").withColumn(
+        "end_", F.col("idx") + F.lit(ANCHOR_W - 1)
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        dup_anchors.withColumn("pmax", F.max("end_").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.expr("CASE WHEN pmax IS NULL OR idx > pmax THEN 1 ELSE 0 END"),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+    )
+    per_doc_cov = (
+        spans.groupBy("doc_id", "isl")
+        .agg(F.min("idx").alias("s"), F.max("end_").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("covered_tokens"),
+        )
+    )
+    n_dup = dup_anchors.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_anchors")
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(size(grams) AS BIGINT)").alias("n_anchors"),
+        )
+        .join(n_dup, "doc_id", "left")
+        .join(per_doc_cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_anchors",
+            F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias(
+                "n_dup_anchors"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+        )
+        # normalized text of '' still tokenizes to [''] → n_tokens >= 1
+        .withColumn(
+            "dup_span_frac",
+            F.expr("CAST(covered_tokens AS DOUBLE) / n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d24_sql() -> str:
+    toks = tf.tokens_duck(_NORM_D)
+    grams = tf.word_ngrams_duck("toks", ANCHOR_W)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {grams} AS grams
+  FROM toks
+), anchors AS (
+  SELECT doc_id, i AS idx, md5(list_extract(grams, CAST(i AS INTEGER))) AS d
+  FROM base, LATERAL unnest(range(1, len(grams) + 1)) AS t(i)
+), dupd AS (
+  SELECT d FROM anchors GROUP BY d HAVING min(doc_id) <> max(doc_id)
+), da AS (
+  SELECT a.doc_id, a.idx, a.idx + {ANCHOR_W - 1} AS end_
+  FROM anchors a JOIN dupd USING (d)
+), isl AS (
+  SELECT doc_id, idx, end_,
+         CASE WHEN max(end_) OVER (PARTITION BY doc_id ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR idx > max(end_) OVER (PARTITION BY doc_id ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM da
+), isl2 AS (
+  SELECT doc_id, idx, end_,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY idx
+           ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), per_span AS (
+  SELECT doc_id, g, min(idx) AS s, max(end_) AS e FROM isl2
+  GROUP BY doc_id, g
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens
+  FROM per_span GROUP BY doc_id
+), ndup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_anchors FROM da
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, CAST(len(b.grams) AS BIGINT) AS n_anchors,
+       CAST(coalesce(n.n_dup_anchors, 0) AS BIGINT) AS n_dup_anchors,
+       CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+         AS dup_span_frac
+FROM base b
+LEFT JOIN ndup n USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -1923,6 +2093,7 @@ QUERIES = {
     "d21_shingle_novelty": d21_shingle_novelty,
     "d22_boilerplate_census": d22_boilerplate_census,
     "d23_dup_graph_pagerank": d23_dup_graph_pagerank,
+    "d24_exact_substring_spans": d24_exact_substring_spans,
 }
 
 ORACLES = {
@@ -1948,4 +2119,5 @@ ORACLES = {
     "d21_shingle_novelty": D21_SQL,
     "d22_boilerplate_census": D22_SQL,
     "d23_dup_graph_pagerank": _d23_sql(),
+    "d24_exact_substring_spans": _d24_sql(),
 }

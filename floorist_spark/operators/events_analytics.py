@@ -2339,6 +2339,89 @@ FROM agg ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e33 — outage census: top-K largest inter-event gaps per event type
+# ---------------------------------------------------------------------------
+
+#: Gaps reported per event type — top-K is scale-free (a fixed seconds
+#: threshold returns everything at low traffic and nothing at high).
+OUTAGE_TOP_K = 5
+
+
+def e33_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage/coverage census: for every event type, the K largest gaps
+    between consecutive events — the "was the collector down?" report a
+    telemetry pipeline runs before trusting any windowed aggregate
+    (e01/e11 silently interpolate through a collector outage; this
+    surfaces it). Gap arithmetic is exact BIGINT microseconds
+    (``unix_micros``/``epoch_us``) — no float timestamps. Ranking is
+    fully deterministic: gaps tie-break on gap end, then event id. New
+    surface, SURVEY §7.2.7.
+
+    Scale shape: one shuffle partitioned by event_type for the lag
+    window, then the rank+filter compiles to WindowGroupLimit — Spark
+    pushes the top-K INTO the sort, so no partition ever materializes
+    its full gap list (the q17 pattern). Event types are a bounded
+    dimension; per-type skew is irrelevant because the window carries
+    only (ts, event_id) pairs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        _load_events(spark, sf_dir)
+        .select("event_id", "event_type", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_us",
+            F.expr("unix_micros(ts) - unix_micros(prev_ts)"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gap_us").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= OUTAGE_TOP_K)
+        .select(
+            "event_type",
+            F.col("rk").cast("int").alias("gap_rank"),
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            "gap_us",
+            F.col("prev_id").alias("start_event_id"),
+            F.col("event_id").alias("end_event_id"),
+        )
+        .orderBy("event_type", "gap_rank")
+    )
+
+
+E33_SQL = f"""
+WITH g AS (
+  SELECT event_type, event_id, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_ts,
+         lag(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_id
+  FROM events
+), gaps AS (
+  SELECT event_type, event_id, ts, prev_ts, prev_id,
+         epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+  FROM g WHERE prev_ts IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY gap_us DESC, ts ASC, event_id ASC) AS rk
+  FROM gaps
+)
+SELECT event_type, CAST(rk AS INTEGER) AS gap_rank, prev_ts AS gap_start,
+       ts AS gap_end, gap_us, prev_id AS start_event_id,
+       event_id AS end_event_id
+FROM ranked WHERE rk <= {OUTAGE_TOP_K}
+ORDER BY event_type, gap_rank
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2369,6 +2452,7 @@ QUERIES = {
     "e30_bot_regularity": e30_bot_regularity,
     "e31_seasonality_profile": e31_seasonality_profile,
     "e32_ewma_trend": e32_ewma_trend,
+    "e33_outage_gaps": e33_outage_gaps,
 }
 
 ORACLES = {
@@ -2401,4 +2485,5 @@ ORACLES = {
     "e30_bot_regularity": E30_SQL,
     "e31_seasonality_profile": E31_SQL,
     "e32_ewma_trend": E32_SQL,
+    "e33_outage_gaps": E33_SQL,
 }

@@ -1411,6 +1411,105 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# m16 — payload size / dedup census per source (the storage data card)
+# ---------------------------------------------------------------------------
+
+
+def m16_payload_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage data card for a binary corpus: document count,
+    total / max / exact-median payload bytes, distinct-payload count and
+    the dedup ratio — what capacity planning and CAS (content-addressable
+    store) sizing read before an ingest. Median is the deterministic
+    lower median (rank ``(n+1) DIV 2`` under (bytes, doc_id) order). New
+    surface, SURVEY §7.2.7.
+
+    Scale shape: everything except the median is a map-side-combinable
+    per-source aggregate (distinct payloads go as md5 digests, never
+    bytes). The median's per-source sort window carries only
+    (n_bytes, doc_id) pairs — 16 bytes/row; at extreme per-source
+    cardinality the production swap-in is approx_percentile on the same
+    column, which this report's schema anticipates (sources are a
+    bounded dimension, so the final join is trivially broadcast)."""
+    from pyspark.sql.window import Window
+
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "coalesce(CAST(text AS BINARY), CAST('' AS BINARY))"
+            ).alias("payload"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
+            F.md5("payload").alias("dg"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("n_bytes", "doc_id")
+    wall = Window.partitionBy("source")
+    med = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wall))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("source", F.col("n_bytes").alias("median_bytes"))
+    )
+    agg = sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.countDistinct("dg").alias("n_distinct_payloads"),
+    )
+    return (
+        agg.join(F.broadcast(med), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "max_bytes",
+            "median_bytes",
+            "n_distinct_payloads",
+            F.expr("CAST(n_distinct_payloads AS DOUBLE) / n_docs").alias(
+                "dedup_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+M16_SQL = """
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         md5(coalesce(text, '')) AS dg
+  FROM documents
+), med AS (
+  SELECT source, n_bytes AS median_bytes FROM (
+    SELECT source, n_bytes,
+           row_number() OVER (PARTITION BY source
+             ORDER BY n_bytes, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM sized
+  ) WHERE rn = (n + 1) // 2
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+         CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct_payloads
+  FROM sized GROUP BY source
+)
+SELECT a.source, a.n_docs, a.total_bytes, a.max_bytes, m.median_bytes,
+       a.n_distinct_payloads,
+       CAST(a.n_distinct_payloads AS DOUBLE) / a.n_docs AS dedup_ratio
+FROM agg a JOIN med m ON a.source = m.source
+ORDER BY a.source
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1427,6 +1526,7 @@ QUERIES = {
     "m13_vad_segments": m13_vad_segments,
     "m14_cdc_chunks": m14_cdc_chunks,
     "m15_chunk_overlap_pairs": m15_chunk_overlap_pairs,
+    "m16_payload_size_census": m16_payload_size_census,
 }
 
 ORACLES = {
@@ -1445,4 +1545,5 @@ ORACLES = {
     "m13_vad_segments": M13_SQL,
     "m14_cdc_chunks": M14_SQL,
     "m15_chunk_overlap_pairs": M15_SQL,
+    "m16_payload_size_census": M16_SQL,
 }

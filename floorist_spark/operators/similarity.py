@@ -1752,6 +1752,81 @@ FROM final WHERE fused_rank <= {FUSE_K} ORDER BY query_id, fused_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# s19 — tombstone / compaction audit over the sign-LSH index
+# ---------------------------------------------------------------------------
+
+#: Hash-deterministic tombstones: vectors whose salted id-bucket is 0
+#: (~10%) play the "deleted since last index build" set.
+TOMB_MOD = 10
+
+
+def s19_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance audit: per sign-LSH cell, live vs tombstoned
+    vector counts, reclaimable bytes (float32 payload), dead fraction,
+    and a ``needs_compaction`` verdict at the 20% threshold (exact
+    integer compare, ``5*n_dead >= n_total``). ANN indexes serve deletes
+    as tombstones until a cell is rebuilt; this report is what the
+    maintenance loop reads to rebuild ONLY dirty cells instead of the
+    whole index — the incremental complement of s14's recall-health
+    audit. Deletions are hash-derived from vec_id, so the audit is
+    reproducible at any scale. New surface, SURVEY §7.2.7.
+
+    Scale shape: one scan reduced to per-cell aggregates — every term
+    (counts, byte sums) is map-side combinable, the exchange carries
+    ≤2^8 cell rows, and no vector payload ever shuffles (the byte sum
+    folds ``size(embedding)`` before the exchange)."""
+    dead = f"({tf.idbucket_spark('tomb', TOMB_MOD, 'vec_id')}) = 0"
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+            F.expr(dead).alias("dead"),
+            F.expr("CAST(size(embedding) * 4 AS BIGINT)").alias("nbytes"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.expr("IF(dead, 1, 0)")).cast("bigint").alias("n_dead"),
+            F.sum(F.expr("IF(dead, nbytes, 0)"))
+            .cast("bigint")
+            .alias("reclaim_bytes"),
+        )
+        .select(
+            "bucket",
+            "n_total",
+            "n_dead",
+            F.expr("n_total - n_dead").alias("n_live"),
+            "reclaim_bytes",
+            F.expr("CAST(n_dead AS DOUBLE) / n_total").alias("dead_frac"),
+            F.expr("5 * n_dead >= n_total").alias("needs_compaction"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _s19_sql() -> str:
+    dead = f"({tf.idbucket_duck('tomb', TOMB_MOD, 'vec_id')}) = 0"
+    return f"""
+WITH f AS (
+  SELECT {_sign_bucket_duck("embedding")} AS bucket,
+         {dead} AS dead,
+         CAST(len(embedding) * 4 AS BIGINT) AS nbytes
+  FROM embeddings
+), agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+         CAST(sum(CASE WHEN dead THEN nbytes ELSE 0 END) AS BIGINT)
+           AS reclaim_bytes
+  FROM f GROUP BY bucket
+)
+SELECT bucket, n_total, n_dead, n_total - n_dead AS n_live, reclaim_bytes,
+       CAST(n_dead AS DOUBLE) / n_total AS dead_frac,
+       5 * n_dead >= n_total AS needs_compaction
+FROM agg ORDER BY bucket
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1771,6 +1846,7 @@ QUERIES = {
     "s16_mmr_diversify": s16_mmr_diversify,
     "s17_hard_negatives": s17_hard_negatives,
     "s18_rrf_fusion": s18_rrf_fusion,
+    "s19_tombstone_compaction": s19_tombstone_compaction,
 }
 
 ORACLES = {
@@ -1792,4 +1868,5 @@ ORACLES = {
     "s16_mmr_diversify": _s16_sql(),
     "s17_hard_negatives": S17_SQL,
     "s18_rrf_fusion": _s18_sql(),
+    "s19_tombstone_compaction": _s19_sql(),
 }

@@ -1698,6 +1698,113 @@ FROM census ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# t23 — encoding-anomaly audit (mojibake / control / replacement chars)
+# ---------------------------------------------------------------------------
+
+#: U+FFFD REPLACEMENT CHARACTER — what a lossy decode leaves behind.
+_T23_REPL = "�"
+#: C0/C1-ish control chars EXCLUDING \t \n \r (legitimate in text).
+_T23_CTRL = "".join(
+    chr(c) for c in [*range(1, 9), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F]
+)
+#: Zero-width chars that survive naive cleaning and poison tokenizers.
+_T23_ZW = "​‌‍﻿"
+#: Every ASCII char 0x01..0x7F — translate() removes these, leaving only
+#: non-ASCII, so the count needs no regex on either engine.
+_T23_ASCII = "".join(chr(c) for c in range(1, 128))
+#: UTF-8-read-as-cp1252 signatures: 'â€' (leading bytes of smart quotes /
+#: dashes) and 'Ã' (leading byte of Latin-1 accented letters).
+_T23_MOJI_PAIR = "â€"
+_T23_MOJI_LEAD = "Ã"
+
+
+def t23_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-health audit: counts of U+FFFD replacement
+    chars, non-\\t\\n\\r control chars, zero-width chars, non-ASCII chars,
+    and the two classic UTF-8-as-cp1252 mojibake signatures, plus a
+    ``suspicious`` verdict — the pre-tokenization hygiene gate a crawl
+    pipeline runs before any quality scoring (a page full of U+FFFD has
+    already lost the original bytes; control chars break sentencepiece).
+    New surface beyond the reference (SURVEY §7.2.7).
+
+    Scale shape: a pure per-row projection — ``translate``/``replace``
+    length arithmetic only, no regex, no shuffle before the final sort.
+    Every counter is whole-stage-codegen JVM work; the DuckDB twin uses
+    the identical translate/replace identities, so no engine ever
+    enumerates characters row-by-row in Python."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(t)
+
+    def _occ_str(sub: str) -> F.Column:
+        return n_chars - F.length(F.replace(t, F.lit(sub), F.lit("")))
+
+    n_repl = _occ_str(_T23_REPL)
+    n_ctrl = n_chars - F.length(F.translate(t, _T23_CTRL, ""))
+    n_zw = n_chars - F.length(F.translate(t, _T23_ZW, ""))
+    n_nonascii = F.length(F.translate(t, _T23_ASCII, ""))
+    # the pair signature removes 2 chars per hit → halve (always even)
+    n_moji = (_occ_str(_T23_MOJI_PAIR) / 2).cast("bigint") + _occ_str(
+        _T23_MOJI_LEAD
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            n_chars.cast("bigint").alias("n_chars"),
+            n_repl.cast("bigint").alias("n_repl"),
+            n_ctrl.cast("bigint").alias("n_ctrl"),
+            n_zw.cast("bigint").alias("n_zero_width"),
+            n_nonascii.cast("bigint").alias("n_non_ascii"),
+            n_moji.cast("bigint").alias("n_mojibake"),
+        )
+        .withColumn(
+            "non_ascii_frac",
+            F.expr(
+                "CAST(n_non_ascii AS DOUBLE) / greatest(n_chars, 1)"
+            ),
+        )
+        .withColumn(
+            "suspicious",
+            F.expr("n_repl > 0 OR n_ctrl > 0 OR n_mojibake > 0"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t23_sql() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(n_chars - length(replace(t, '{q(_T23_REPL)}', '')) AS BIGINT)
+         AS n_repl,
+       CAST(n_chars - length(translate(t, '{q(_T23_CTRL)}', '')) AS BIGINT)
+         AS n_ctrl,
+       CAST(n_chars - length(translate(t, '{q(_T23_ZW)}', '')) AS BIGINT)
+         AS n_zero_width,
+       CAST(length(translate(t, '{q(_T23_ASCII)}', '')) AS BIGINT)
+         AS n_non_ascii,
+       CAST((n_chars - length(replace(t, '{q(_T23_MOJI_PAIR)}', ''))) // 2
+            + (n_chars - length(replace(t, '{q(_T23_MOJI_LEAD)}', '')))
+            AS BIGINT) AS n_mojibake,
+       CAST(length(translate(t, '{q(_T23_ASCII)}', '')) AS DOUBLE)
+         / greatest(n_chars, 1) AS non_ascii_frac,
+       (n_chars - length(replace(t, '{q(_T23_REPL)}', ''))) > 0
+         OR (n_chars - length(translate(t, '{q(_T23_CTRL)}', ''))) > 0
+         OR ((n_chars - length(replace(t, '{q(_T23_MOJI_PAIR)}', ''))) // 2
+             + (n_chars - length(replace(t, '{q(_T23_MOJI_LEAD)}', '')))) > 0
+         AS suspicious
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1721,6 +1828,7 @@ QUERIES = {
     "t20_readability": t20_readability,
     "t21_vocab_coverage": t21_vocab_coverage,
     "t22_rake_keyphrases": t22_rake_keyphrases,
+    "t23_encoding_anomalies": t23_encoding_anomalies,
 }
 
 ORACLES = {
@@ -1746,4 +1854,5 @@ ORACLES = {
     "t20_readability": T20_SQL,
     "t21_vocab_coverage": T21_SQL,
     "t22_rake_keyphrases": _t22_sql(),
+    "t23_encoding_anomalies": _t23_sql(),
 }
