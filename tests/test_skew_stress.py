@@ -270,3 +270,37 @@ def test_t22_rake_exact_under_mass_repetition(spark, tmp_path):
     assert got["sum_deg"] == 3 * 3 * n
     assert got["sum_freq"] == 3 * n
     assert got["score"] == 3.0
+
+
+def test_d24_spans_exact_under_mass_duplication(spark, tmp_path):
+    """20k byte-identical 12-token docs plus 1k unique docs: every anchor
+    digest of the hot text is shared by 20k documents, but d24 never
+    pairs documents — the dup test is a min/max digest aggregate
+    (map-side-combined hot key) and the join back is 1:1 per anchor row
+    — so each hot doc reports FULL coverage (one merged span of all 12
+    tokens) and every unique doc reports zero, exactly."""
+    from floorist_spark.operators.dedup import d24_exact_substring_spans
+
+    n_hot, n_cold = 20_000, 1_000
+    hot_text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    docs = spark.range(n_hot + n_cold).selectExpr(
+        "id AS doc_id",
+        # cold docs: every token carries the doc id, so no 8-gram is
+        # shared between any two cold docs
+        f"IF(id < {n_hot}, '{hot_text}', array_join(transform("
+        "sequence(1, 10), i -> concat('u', CAST(id AS STRING), 'x', "
+        "CAST(i AS STRING))), ' ')) AS text",
+    )
+    out = str(tmp_path / "massdup24")
+    docs.write.parquet(f"{out}/documents.parquet")
+    res = d24_exact_substring_spans(spark, out)
+    agg = res.selectExpr(
+        f"sum(IF(doc_id < {n_hot}, 1, 0)) AS hot_rows",
+        f"sum(IF(doc_id < {n_hot} AND n_spans = 1 AND covered_tokens = 12 "
+        "AND n_dup_anchors = 5, 1, 0)) AS hot_exact",
+        f"sum(IF(doc_id >= {n_hot} AND covered_tokens = 0 "
+        "AND n_dup_anchors = 0, 1, 0)) AS cold_clean",
+    ).collect()[0]
+    assert agg["hot_rows"] == n_hot
+    assert agg["hot_exact"] == n_hot  # 12 tokens -> 5 anchors, all dup
+    assert agg["cold_clean"] == n_cold
