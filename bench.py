@@ -126,6 +126,11 @@ HEADLINE = (
     "s19_tombstone_compaction",
     "e33_outage_gaps",
     "m16_payload_size_census",
+    "c20_shard_manifest",
+    "e34_conversion_lag",
+    "s20_cell_rebalance",
+    "t24_source_divergence",
+    "d25_lsh_recall_audit",
 )
 
 

@@ -1683,6 +1683,103 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# c20 — shard manifest via a distributed two-level prefix sum
+# ---------------------------------------------------------------------------
+
+#: Token budget per output shard (docs are assigned by where their
+#: cumulative START offset falls — a doc may straddle the boundary).
+SHARD_TOKENS = 4096
+#: doc_id range width per prefix-sum bucket: the corpus-order dimension
+#: along which partial sums are computed before the tiny bucket-offset
+#: pass (≙ one task's worth of manifest rows on a real cluster).
+SHARD_BUCKET_W = 100
+
+
+def c20_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest: assign documents (in doc_id order) to fixed
+    token-budget output shards and report per-shard doc count, token
+    total, id range, and fill ratio — the writer plan a packing job
+    executes (c04 packs WITHIN a context window; this plans BETWEEN
+    files). Assignment is by cumulative start offset, so the manifest is
+    a pure function of (order, token counts). New surface, SURVEY §7.2.7.
+
+    Scale shape: the naive formulation is a GLOBAL running sum — an
+    unpartitioned window that serializes the whole corpus through one
+    task. This implementation is the distributed two-level prefix sum:
+    (1) per-bucket token totals (map-side combinable; buckets are
+    contiguous doc_id ranges), (2) a running sum over the BUCKET totals
+    — thousands of rows, one tiny task — broadcast back as offsets,
+    (3) an intra-bucket running sum windowed PER BUCKET. Identical
+    integer result to the global window (the DuckDB oracle IS the global
+    window), but no stage ever sees more than one bucket's rows in one
+    task."""
+    from pyspark.sql.window import Window
+
+    ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
+    per_doc = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(ntok).alias("ntok"),
+        F.expr(f"doc_id DIV {SHARD_BUCKET_W}").alias("bkt"),
+    )
+    bucket_totals = per_doc.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_totals.select(
+        "bkt", F.coalesce(F.sum("btok").over(w_bkt), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        per_doc.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "start_off",
+            F.col("off") + F.coalesce(F.sum("ntok").over(w_in), F.lit(0)),
+        )
+        .withColumn("shard_id", F.expr(f"start_off DIV {SHARD_TOKENS}"))
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.expr(f"CAST(tokens AS DOUBLE) / {SHARD_TOKENS}"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _c20_sql() -> str:
+    toks = tf.tokens_duck(tf.norm_duck("text"))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS ntok FROM documents
+), pre AS (
+  SELECT doc_id, ntok,
+         coalesce(sum(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM per_doc
+), assigned AS (
+  SELECT doc_id, ntok, start_off // {SHARD_TOKENS} AS shard_id FROM pre
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       CAST(sum(ntok) AS DOUBLE) / {SHARD_TOKENS} AS fill_ratio
+FROM assigned GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1703,6 +1800,7 @@ QUERIES = {
     "c17_budget_waterfill": c17_budget_waterfill,
     "c18_oversample_plan": c18_oversample_plan,
     "c19_contamination_report": c19_contamination_report,
+    "c20_shard_manifest": c20_shard_manifest,
 }
 
 ORACLES = {
@@ -1725,4 +1823,5 @@ ORACLES = {
     "c17_budget_waterfill": _c17_sql(),
     "c18_oversample_plan": _c18_sql(),
     "c19_contamination_report": C19_SQL,
+    "c20_shard_manifest": _c20_sql(),
 }

@@ -2070,6 +2070,133 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d25 — LSH recall audit against exact all-pairs ground truth on a stratum
+# ---------------------------------------------------------------------------
+
+#: Hash-gated audit stratum: docs whose salted id-bucket is 0 (~5%).
+#: In production the stratum is sized ABSOLUTELY (e.g. 10k docs) so the
+#: all-pairs ground truth stays fixed-cost no matter how the corpus
+#: grows; the hash gate makes membership reproducible.
+AUDIT_MOD = 20
+
+
+def d25_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall curve: exact all-pairs Jaccard over a
+    hash-sampled document stratum is the ground truth; for each Jaccard
+    ventile bucket (exact integer bucketing, ``(20·|∩|) DIV |∪|``), the
+    fraction of truth pairs the banded-MinHash candidate stage actually
+    surfaced. d13 audits the ESTIMATOR on pairs LSH found — conditioned
+    on discovery, it cannot see a missed pair; this measures discovery
+    itself (the 1−(1−j⁴)⁸ S-curve, empirically), which is the number a
+    production pipeline must monitor to know its dedup is not silently
+    under-recalling. New surface, SURVEY §7.2.7.
+
+    Scale shape: the ONE deliberately quadratic operator in the repo —
+    quadratic in the STRATUM, which is fixed-size by construction (the
+    audit-pattern answer to "exact ground truth at 100 TB"): |stratum|²
+    work is a constant, not a corpus term. The candidate side reuses the
+    memoized band table; the recall join touches only stratum pairs."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    stratum = hashed.filter(
+        F.expr(f"({tf.idbucket_spark('audit', AUDIT_MOD)}) = 0")
+    )
+    truth = (
+        stratum.alias("a")
+        .crossJoin(stratum.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(size(array_intersect(array_distinct(a.sh), "
+                "array_distinct(b.sh))) AS BIGINT)"
+            ).alias("i"),
+            F.expr(
+                "CAST(size(array_union(a.sh, b.sh)) AS BIGINT)"
+            ).alias("u"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("IF(u = 0, CAST(20 AS BIGINT), (20 * i) DIV u)").alias(
+                "jac_bucket"
+            ),
+        )
+    )
+    bands = _band_rows(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy("jac_bucket")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "jac_bucket",
+            F.expr("CAST(jac_bucket AS DOUBLE) / 20").alias("jac_lo"),
+            "n_truth",
+            "n_found",
+            F.expr("CAST(n_found AS DOUBLE) / n_truth").alias("recall"),
+        )
+        .orderBy("jac_bucket")
+    )
+
+
+def _d25_sql() -> str:
+    return f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+stratum AS (
+  SELECT doc_id, sh FROM sh
+  WHERE ({tf.idbucket_duck("audit", AUDIT_MOD)}) = 0
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))
+              AS BIGINT) AS i,
+         CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS u
+  FROM stratum a JOIN stratum b ON a.doc_id < b.doc_id
+),
+bucketed AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN u = 0 THEN CAST(20 AS BIGINT)
+              ELSE (20 * i) // u END AS jac_bucket
+  FROM truth
+),
+agg AS (
+  SELECT jac_bucket, CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_found
+  FROM bucketed t
+  LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY jac_bucket
+)
+SELECT jac_bucket, CAST(jac_bucket AS DOUBLE) / 20 AS jac_lo,
+       n_truth, n_found,
+       CAST(n_found AS DOUBLE) / n_truth AS recall
+FROM agg ORDER BY jac_bucket
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2094,6 +2221,7 @@ QUERIES = {
     "d22_boilerplate_census": d22_boilerplate_census,
     "d23_dup_graph_pagerank": d23_dup_graph_pagerank,
     "d24_exact_substring_spans": d24_exact_substring_spans,
+    "d25_lsh_recall_audit": d25_lsh_recall_audit,
 }
 
 ORACLES = {
@@ -2120,4 +2248,5 @@ ORACLES = {
     "d22_boilerplate_census": D22_SQL,
     "d23_dup_graph_pagerank": _d23_sql(),
     "d24_exact_substring_spans": _d24_sql(),
+    "d25_lsh_recall_audit": _d25_sql(),
 }

@@ -2422,6 +2422,110 @@ ORDER BY event_type, gap_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# e34 — conversion-lag histogram (first view → first purchase)
+# ---------------------------------------------------------------------------
+
+#: Lag histogram in hour buckets, capped: the tail beyond this collapses
+#: into one ">= cap" bucket so the report stays bounded at any horizon.
+CONV_LAG_CAP_HOURS = 48
+
+
+def e34_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: for every user whose first
+    ``purchase`` follows their first ``view``, the view→purchase lag in
+    exact BIGINT microseconds, bucketed by hour (capped at 48h) with
+    per-bucket user counts, share, and cumulative share — the
+    time-to-convert curve growth teams read next to the e09 funnel
+    (which counts WHO converts; this reports HOW FAST). New surface,
+    SURVEY §7.2.7.
+
+    Scale shape: one shuffle on user_id folds each user to two
+    first-event timestamps (min() is map-side combinable, so the hot-user
+    problem never materializes); the histogram is a second aggregate on
+    the bounded bucket dimension, and the share/cumulative windows run
+    on ≤49 rows. Lags are integer micros end-to-end — the share division
+    is the only float op, performed once per bucket."""
+    from pyspark.sql.window import Window
+
+    firsts = (
+        _load_events(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .filter(
+            "first_view IS NOT NULL AND first_purchase IS NOT NULL "
+            "AND first_purchase >= first_view"
+        )
+        .select(
+            F.expr(
+                "unix_micros(first_purchase) - unix_micros(first_view)"
+            ).alias("lag_us")
+        )
+    )
+    hist = (
+        firsts.select(
+            F.expr(
+                f"least(lag_us DIV 3600000000, "
+                f"CAST({CONV_LAG_CAP_HOURS} AS BIGINT))"
+            ).alias("lag_hours_bucket")
+        )
+        .groupBy("lag_hours_bucket")
+        .agg(F.count("*").alias("n_users"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("lag_hours_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("total", F.sum("n_users").over(w_all))
+        .withColumn("cum", F.sum("n_users").over(w_cum))
+        .select(
+            "lag_hours_bucket",
+            "n_users",
+            F.expr("CAST(n_users AS DOUBLE) / total").alias("share"),
+            F.expr("CAST(cum AS DOUBLE) / total").alias("cum_share"),
+        )
+        .orderBy("lag_hours_bucket")
+    )
+
+
+E34_SQL = f"""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+), lags AS (
+  SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lag_us
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+), hist AS (
+  SELECT least(lag_us // 3600000000, CAST({CONV_LAG_CAP_HOURS} AS BIGINT))
+           AS lag_hours_bucket,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM lags GROUP BY 1
+)
+SELECT lag_hours_bucket, n_users,
+       CAST(n_users AS DOUBLE) / sum(n_users) OVER () AS share,
+       CAST(sum(n_users) OVER (ORDER BY lag_hours_bucket
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / sum(n_users) OVER ()
+         AS cum_share
+FROM hist ORDER BY lag_hours_bucket
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2453,6 +2557,7 @@ QUERIES = {
     "e31_seasonality_profile": e31_seasonality_profile,
     "e32_ewma_trend": e32_ewma_trend,
     "e33_outage_gaps": e33_outage_gaps,
+    "e34_conversion_lag": e34_conversion_lag,
 }
 
 ORACLES = {
@@ -2486,4 +2591,5 @@ ORACLES = {
     "e31_seasonality_profile": E31_SQL,
     "e32_ewma_trend": E32_SQL,
     "e33_outage_gaps": E33_SQL,
+    "e34_conversion_lag": E34_SQL,
 }

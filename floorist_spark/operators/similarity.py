@@ -1827,6 +1827,86 @@ FROM agg ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# s20 — cell rebalancing plan over the sign-LSH index
+# ---------------------------------------------------------------------------
+
+
+def s20_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance rebalancing plan: per sign-LSH cell, its vector
+    count against the uniform target (total ÷ observed cells), and the
+    action a maintenance job would take — ``split`` when the cell holds
+    more than 2× target (with the estimated sub-cell count), ``merge``
+    when under half the target, ``keep`` otherwise. Skewed cells are THE
+    failure mode of bucketed ANN (one hot cell turns probes into scans
+    — the same degeneracy the dedup family caps with MAX_BAND_BUCKET);
+    this report is how the index keeps probe cost bounded over time.
+    All thresholds are exact integer compares. Complements s14 (recall
+    health) and s19 (tombstones): the three together are the index
+    maintenance dashboard. New surface, SURVEY §7.2.7.
+
+    Scale shape: one map-side-combinable count per cell, then the
+    target/action math runs on the ≤2^8-row cell dimension (the totals
+    window is a no-op there). No vector payload leaves the scan."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.expr(_sign_bucket_spark("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cells.withColumn("total", F.sum("n_vecs").over(w))
+        .withColumn("n_cells", F.count("*").over(w))
+        .withColumn("target", F.expr("greatest(total DIV n_cells, 1)"))
+        .select(
+            "bucket",
+            "n_vecs",
+            "target",
+            F.expr(
+                "CASE WHEN n_vecs > 2 * target THEN 'split' "
+                "WHEN 2 * n_vecs < target THEN 'merge' "
+                "ELSE 'keep' END"
+            ).alias("action"),
+            F.expr(
+                "CASE WHEN n_vecs > 2 * target "
+                "THEN (n_vecs + target - 1) DIV target "
+                "ELSE CAST(1 AS BIGINT) END"
+            ).alias("est_parts"),
+            F.expr("CAST(n_vecs AS DOUBLE) / target").alias("load_factor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _s20_sql() -> str:
+    return f"""
+WITH cells AS (
+  SELECT {_sign_bucket_duck("embedding")} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_vecs) OVER () AS BIGINT) AS total,
+         CAST(count(*) OVER () AS BIGINT) AS n_cells
+  FROM cells
+), p AS (
+  SELECT *, greatest(total // n_cells, 1) AS target FROM t
+)
+SELECT bucket, n_vecs, target,
+       CASE WHEN n_vecs > 2 * target THEN 'split'
+            WHEN 2 * n_vecs < target THEN 'merge'
+            ELSE 'keep' END AS action,
+       CASE WHEN n_vecs > 2 * target THEN (n_vecs + target - 1) // target
+            ELSE CAST(1 AS BIGINT) END AS est_parts,
+       CAST(n_vecs AS DOUBLE) / target AS load_factor
+FROM p ORDER BY bucket
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1847,6 +1927,7 @@ QUERIES = {
     "s17_hard_negatives": s17_hard_negatives,
     "s18_rrf_fusion": s18_rrf_fusion,
     "s19_tombstone_compaction": s19_tombstone_compaction,
+    "s20_cell_rebalance": s20_cell_rebalance,
 }
 
 ORACLES = {
@@ -1869,4 +1950,5 @@ ORACLES = {
     "s17_hard_negatives": S17_SQL,
     "s18_rrf_fusion": _s18_sql(),
     "s19_tombstone_compaction": _s19_sql(),
+    "s20_cell_rebalance": _s20_sql(),
 }

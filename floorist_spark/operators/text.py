@@ -1805,6 +1805,121 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t24 — per-source distribution divergence vs the corpus (exact TVD)
+# ---------------------------------------------------------------------------
+
+
+def t24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance between the source's unigram
+    distribution and the whole corpus: TVD = ½·Σ_t |p_s(t) − p(t)| — the
+    mixture diagnostic that tells a curator which source is most
+    atypical before reweighting (c06/c16 decide HOW MUCH of each source;
+    this reports how DIFFERENT each one is). KL needs log — not pinned
+    cross-engine (the t07/t19 transcendental rule) — so the engine keeps
+    the equivalent signal exact-rational: Σ|c_s·T − c·T_s| accumulates
+    in DECIMAL(38,0)/HUGEINT (order-independent integer addition, no
+    float folding anywhere), and the single final division is the only
+    float op. The exact numerator is also emitted as a STRING so the
+    gate compares it digit-for-digit (the q11 sum_charge lesson:
+    decimal→double casts are engine-dependent at scale; decimal→string→
+    double is correctly rounded in both). Worst case 2·T² needs 38
+    digits only past T = 7·10¹⁸ tokens — three orders above a 100 TB
+    corpus. New surface, SURVEY §7.2.7.
+
+    Scale shape: one corpus scan → (source, token) counts (map-side
+    combinable; hot tokens pre-fold per partition); corpus counts and
+    per-source totals re-aggregate that dictionary-sized table, never
+    the corpus; the (token × source) grid is dictionary × a bounded
+    source dimension, built by cross-joining the corpus dictionary with
+    the BROADCAST source totals."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(_NORM_S)
+    sc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c_s"))
+    )
+    sc = track(sc.persist())
+    corpus = sc.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    src_tot = sc.groupBy("source").agg(F.sum("c_s").alias("t_s"))
+    grand = sc.select(F.sum("c_s").alias("t_all"))
+    grid = (
+        corpus.crossJoin(F.broadcast(src_tot))
+        .join(sc, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "t_s",
+            "t_all",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            "c",
+        )
+    )
+    return (
+        grid.groupBy("source", "t_s", "t_all")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(abs(c_s * t_all - c * t_s) AS DECIMAL(38, 0))"
+                )
+            ).alias("num"),
+            F.sum(F.expr("IF(c_s > 0, 1, 0)")).cast("bigint").alias(
+                "n_types"
+            ),
+            F.count("*").alias("n_corpus_types"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_corpus_types",
+            F.col("t_s").alias("total_tokens"),
+            F.expr("CAST(num AS STRING)").alias("tvd_num"),
+            F.expr(
+                "CAST(CAST(num AS STRING) AS DOUBLE) / "
+                "(2.0d * CAST(t_s AS DOUBLE) * CAST(t_all AS DOUBLE))"
+            ).alias("tvd"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t24_sql() -> str:
+    toks = tf.tokens_duck(_NORM_D)
+    return f"""
+WITH sc AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+), counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+  FROM sc GROUP BY source, tok
+), corpus AS (
+  SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM counts GROUP BY tok
+), src_tot AS (
+  SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM counts GROUP BY source
+), grand AS (
+  SELECT CAST(sum(c_s) AS BIGINT) AS t_all FROM counts
+), grid AS (
+  SELECT s.source, s.t_s, g.t_all, coalesce(k.c_s, 0) AS c_s, co.c
+  FROM corpus co CROSS JOIN src_tot s CROSS JOIN grand g
+  LEFT JOIN counts k ON k.source = s.source AND k.tok = co.tok
+), agg AS (
+  SELECT source, t_s, t_all,
+         sum(CAST(abs(c_s * t_all - c * t_s) AS HUGEINT)) AS num,
+         CAST(sum(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_types,
+         CAST(count(*) AS BIGINT) AS n_corpus_types
+  FROM grid GROUP BY source, t_s, t_all
+)
+SELECT source, n_types, n_corpus_types, t_s AS total_tokens,
+       CAST(num AS VARCHAR) AS tvd_num,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / (2.0 * CAST(t_s AS DOUBLE) * CAST(t_all AS DOUBLE)) AS tvd
+FROM agg ORDER BY source
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1829,6 +1944,7 @@ QUERIES = {
     "t21_vocab_coverage": t21_vocab_coverage,
     "t22_rake_keyphrases": t22_rake_keyphrases,
     "t23_encoding_anomalies": t23_encoding_anomalies,
+    "t24_source_divergence": t24_source_divergence,
 }
 
 ORACLES = {
@@ -1855,4 +1971,5 @@ ORACLES = {
     "t21_vocab_coverage": T21_SQL,
     "t22_rake_keyphrases": _t22_sql(),
     "t23_encoding_anomalies": _t23_sql(),
+    "t24_source_divergence": _t24_sql(),
 }

@@ -99,3 +99,63 @@ def test_m16_median_join_broadcasts_and_no_payload_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "payload#" not in line, line
+
+
+def test_c20_no_corpus_wide_single_partition_window(spark):
+    from floorist_spark.operators.curation import c20_shard_manifest
+
+    plan = _plan(c20_shard_manifest(spark, SF_SMOKE))
+    # the two-level prefix sum: exactly one SinglePartition exchange, and
+    # it feeds the BUCKET-TOTAL window (rows = n_buckets, post-aggregate)
+    # — the corpus-sized running sum runs windowed PER BUCKET
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan  # offsets join back
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e34_two_bounded_aggregates_no_join(spark):
+    from floorist_spark.operators.events_analytics import e34_conversion_lag
+
+    plan = _plan(e34_conversion_lag(spark, SF_SMOKE))
+    # user fold + bucket histogram; share/cum windows run on <=49 rows
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial" in plan
+
+
+def test_s20_single_partial_aggregate_no_join(spark):
+    from floorist_spark.operators.similarity import s20_cell_rebalance
+
+    plan = _plan(s20_cell_rebalance(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial" in plan
+
+
+def test_t24_no_text_shuffle_and_broadcast_totals(spark):
+    from floorist_spark.operators.text import t24_source_divergence
+
+    plan = _plan(t24_source_divergence(spark, SF_SMOKE))
+    # source totals and the grand total ride broadcasts; exchanges carry
+    # dictionary rows (source, tok, counts) — never document text
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_d25_candidates_stay_bucket_joined(spark):
+    from floorist_spark.operators.dedup import d25_lsh_recall_audit
+
+    plan = _plan(d25_lsh_recall_audit(spark, SF_SMOKE))
+    # the stratum all-pairs is by-design bounded-quadratic; the CANDIDATE
+    # side must remain an equi-join on (band, sig) — no text or shingle
+    # array ever shuffles
+    assert "Join [band" in plan or "band#" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "nrm#" not in line, line
