@@ -220,6 +220,48 @@ FROM base ORDER BY doc_id
 DECON_NGRAM = 3
 
 
+def _decon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, ngrams): the c01 split bucket plus each doc's
+    DISTINCT word-DECON_NGRAM-grams — the shared input of both
+    contamination reports (c05 train-side, c19 eval-side). Persisted
+    (released at the catalog boundary) because both split branches read
+    it AND as the optimization barrier against Catalyst's
+    InferFiltersFromGenerate inlining the tokenize+n-gram expression
+    twice per row (details in c05's docstring)."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(tf.norm_spark("text"))
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_bucket_spark("split", 100)).alias("bucket"),
+            F.expr(toks).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(
+                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
+            ).alias("ngrams"),
+        )
+    )
+    return track(base.persist())
+
+
+#: DuckDB twin of :func:`_decon_base` — the tok/base CTE pair shared by
+#: the c05 and c19 oracles.
+_DECON_BASE_CTES = """tok AS (
+  SELECT doc_id, {bucket} AS bucket, {toks} AS toks FROM documents
+), base AS (
+  SELECT doc_id, bucket, list_distinct({ngrams}) AS ngrams FROM tok
+)""".format(
+    bucket=_bucket_duck("split", 100),
+    toks=tf.tokens_duck(tf.norm_duck("text")),
+    ngrams=tf.word_ngrams_duck("toks", DECON_NGRAM),
+)
+
+
 def c05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag eval-set leakage: for every train-split document, the count and
     fraction of its distinct word n-grams that also occur anywhere in the
@@ -241,26 +283,9 @@ def c05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     and predicate pushdown inlines the whole tokenize+n-gram expression
     into a pre-repartition filter, re-evaluating it twice per row in the
     single-task scan stage (measured 20s vs 3s at sf0.1 — the third
-    sibling of the [[spark-hof-lambda-recompute]] traps)."""
-    from floorist_spark.operators._cache import track
-
-    toks = tf.tokens_spark(tf.norm_spark("text"))
-    base = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr(_bucket_spark("split", 100)).alias("bucket"),
-            F.expr(toks).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "bucket",
-            F.expr(
-                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
-            ).alias("ngrams"),
-        )
-    )
-    base = track(base.persist())
+    sibling of the [[spark-hof-lambda-recompute]] traps). The base
+    construction is shared with c19 via :func:`_decon_base`."""
+    base = _decon_base(spark, sf_dir)
     test_ng = (
         base.filter(F.col("bucket") >= VAL_UPTO)
         .select(F.explode("ngrams").alias("ng"))
@@ -292,15 +317,7 @@ def c05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 C05_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, {_bucket_duck("split", 100)} AS bucket,
-         {{toks}} AS toks
-  FROM documents
-), base AS (
-  SELECT doc_id, bucket,
-         list_distinct({{ngrams}}) AS ngrams
-  FROM tok
-), test_ng AS (
+WITH {_DECON_BASE_CTES}, test_ng AS (
   SELECT DISTINCT unnest(ngrams) AS ng FROM base WHERE bucket >= {VAL_UPTO}
 ), train_ng AS (
   SELECT doc_id, unnest(ngrams) AS ng FROM base WHERE bucket < {TRAIN_UPTO}
@@ -312,10 +329,7 @@ SELECT t.doc_id,
     AS contamination_frac
 FROM train_ng t LEFT JOIN test_ng e ON t.ng = e.ng
 GROUP BY t.doc_id ORDER BY t.doc_id
-""".format(
-    toks=tf.tokens_duck(tf.norm_duck("text")),
-    ngrams=tf.word_ngrams_duck("toks", DECON_NGRAM),
-)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1604,29 +1618,15 @@ def c19_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reduced by a BROADCAST semi-join against it and only the distinct
     HIT grams (bounded by the eval set, not the corpus) flow back; the
     per-eval-doc aggregation then joins eval grams against that small
-    hit set, again broadcast. No train-side text ever shuffles."""
-    from floorist_spark.operators._cache import track
-
-    toks = tf.tokens_spark(tf.norm_spark("text"))
-    base = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr(_bucket_spark("split", 100)).alias("bucket"),
-            F.expr(toks).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "bucket",
-            F.expr(
-                f"array_distinct({tf.word_ngrams_spark('toks', DECON_NGRAM)})"
-            ).alias("ngrams"),
-        )
-    )
-    base = track(base.persist())
-    eval_ng = base.filter(F.col("bucket") >= VAL_UPTO).select(
-        "doc_id", F.explode("ngrams").alias("ng")
-    )
+    hit set, again broadcast. No train-side text ever shuffles. Every
+    eval doc gets a row — one too short to form any n-gram reports
+    (0, 0, 0.0, false) rather than vanishing, because in a validity
+    report absence would read as "clean" when it means "not
+    assessable". The base construction is shared with c05 via
+    :func:`_decon_base`."""
+    base = _decon_base(spark, sf_dir)
+    eval_split = base.filter(F.col("bucket") >= VAL_UPTO)
+    eval_ng = eval_split.select("doc_id", F.explode("ngrams").alias("ng"))
     train_ng = base.filter(F.col("bucket") < TRAIN_UPTO).select(
         F.explode("ngrams").alias("ng")
     )
@@ -1636,7 +1636,7 @@ def c19_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    return (
+    per_doc = (
         eval_ng.join(F.broadcast(hits), "ng", "left")
         .groupBy("doc_id")
         .agg(
@@ -1645,42 +1645,56 @@ def c19_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_hit"),
         )
+    )
+    return (
+        eval_split.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias(
+                "n_ngrams"
+            ),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
         .select(
             "doc_id",
             "n_ngrams",
             "n_hit",
-            F.expr("CAST(n_hit AS DOUBLE) / n_ngrams").alias("hit_frac"),
-            F.expr("5 * n_hit >= 4 * n_ngrams").alias("contaminated"),
+            F.expr(
+                "IF(n_ngrams = 0, 0.0d, CAST(n_hit AS DOUBLE) / n_ngrams)"
+            ).alias("hit_frac"),
+            F.expr("n_ngrams > 0 AND 5 * n_hit >= 4 * n_ngrams").alias(
+                "contaminated"
+            ),
         )
         .orderBy("doc_id")
     )
 
 
 C19_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, {_bucket_duck("split", 100)} AS bucket,
-         {{toks}} AS toks
-  FROM documents
-), base AS (
-  SELECT doc_id, bucket, list_distinct({{ngrams}}) AS ngrams FROM tok
-), eval_ng AS (
+WITH {_DECON_BASE_CTES}, eval_ng AS (
   SELECT doc_id, unnest(ngrams) AS ng FROM base WHERE bucket >= {VAL_UPTO}
 ), train_ng AS (
   SELECT DISTINCT unnest(ngrams) AS ng FROM base WHERE bucket < {TRAIN_UPTO}
+), per_doc AS (
+  SELECT e.doc_id,
+    CAST(count(*) AS BIGINT) AS n_ngrams,
+    CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hit
+  FROM eval_ng e LEFT JOIN train_ng t ON e.ng = t.ng
+  GROUP BY e.doc_id
 )
-SELECT e.doc_id,
-  count(*) AS n_ngrams,
-  CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-  CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-    / count(*) AS hit_frac,
-  5 * sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END) >= 4 * count(*)
-    AS contaminated
-FROM eval_ng e LEFT JOIN train_ng t ON e.ng = t.ng
-GROUP BY e.doc_id ORDER BY e.doc_id
-""".format(
-    toks=tf.tokens_duck(tf.norm_duck("text")),
-    ngrams=tf.word_ngrams_duck("toks", DECON_NGRAM),
-)
+SELECT b.doc_id,
+  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+  CASE WHEN coalesce(p.n_ngrams, 0) = 0 THEN 0.0
+       ELSE CAST(p.n_hit AS DOUBLE) / p.n_ngrams END AS hit_frac,
+  coalesce(p.n_ngrams, 0) > 0 AND 5 * coalesce(p.n_hit, 0)
+    >= 4 * coalesce(p.n_ngrams, 0) AS contaminated
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+WHERE b.bucket >= {VAL_UPTO}
+ORDER BY b.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1690,9 +1704,11 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 #: Token budget per output shard (docs are assigned by where their
 #: cumulative START offset falls — a doc may straddle the boundary).
 SHARD_TOKENS = 4096
-#: doc_id range width per prefix-sum bucket: the corpus-order dimension
-#: along which partial sums are computed before the tiny bucket-offset
-#: pass (≙ one task's worth of manifest rows on a real cluster).
+#: FLOOR for the prefix-sum bucket width. The actual width is derived
+#: from the corpus as ~sqrt(id-range), which balances the two levels:
+#: ~sqrt(N) buckets through the single-task offset pass and ~sqrt(N)
+#: rows per intra-bucket window — neither level is ever corpus-sized.
+#: A fixed width would only SHRINK the serial task by a constant.
 SHARD_BUCKET_W = 100
 
 
@@ -1708,19 +1724,31 @@ def c20_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window that serializes the whole corpus through one
     task. This implementation is the distributed two-level prefix sum:
     (1) per-bucket token totals (map-side combinable; buckets are
-    contiguous doc_id ranges), (2) a running sum over the BUCKET totals
-    — thousands of rows, one tiny task — broadcast back as offsets,
-    (3) an intra-bucket running sum windowed PER BUCKET. Identical
-    integer result to the global window (the DuckDB oracle IS the global
-    window), but no stage ever sees more than one bucket's rows in one
-    task."""
+    contiguous doc_id ranges whose width is derived as ~sqrt(id-range),
+    so BOTH levels stay ~sqrt(N)-sized), (2) a running sum over the
+    BUCKET totals — the one single-partition window, ~sqrt(N) rows —
+    broadcast back as offsets, (3) an intra-bucket running sum windowed
+    PER BUCKET (~sqrt(N) rows per task, all buckets in parallel).
+    Identical integer result to the global window (the DuckDB oracle IS
+    the global window — shard assignment does not depend on the bucket
+    width), but no stage ever serializes more than ~sqrt(N) rows
+    through one task. The width derivation costs one cheap doc_id-only
+    pre-scan (column-pruned to parquet metadata + one column)."""
     from pyspark.sql.window import Window
 
     ntok = f"CAST(size({tf.tokens_spark(tf.norm_spark('text'))}) AS BIGINT)"
-    per_doc = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(ntok).alias("ntok"),
-        F.expr(f"doc_id DIV {SHARD_BUCKET_W}").alias("bkt"),
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(ntok).alias("ntok"))
+    width = docs.select(
+        F.expr(
+            f"greatest(CAST({SHARD_BUCKET_W} AS BIGINT), "
+            "CAST(ceil((max(doc_id) + 1) / "
+            "ceil(sqrt(max(doc_id) + 1))) AS BIGINT))"
+        ).alias("w")
+    )
+    per_doc = (
+        docs.crossJoin(F.broadcast(width))
+        .withColumn("bkt", F.expr("doc_id DIV w"))
+        .drop("w")
     )
     bucket_totals = per_doc.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
     w_bkt = Window.orderBy("bkt").rowsBetween(

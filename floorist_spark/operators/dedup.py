@@ -2074,11 +2074,16 @@ ORDER BY doc_id
 # d25 — LSH recall audit against exact all-pairs ground truth on a stratum
 # ---------------------------------------------------------------------------
 
-#: Hash-gated audit stratum: docs whose salted id-bucket is 0 (~5%).
-#: In production the stratum is sized ABSOLUTELY (e.g. 10k docs) so the
-#: all-pairs ground truth stays fixed-cost no matter how the corpus
-#: grows; the hash gate makes membership reproducible.
+#: Audit-stratum floor modulus (small corpora sample at ~5%) ...
 AUDIT_MOD = 20
+#: ... and the ABSOLUTE size target that dominates at scale: the
+#: effective modulus is max(AUDIT_MOD, ceil(N / AUDIT_TARGET)), so the
+#: expected stratum stays ≤ ~AUDIT_TARGET docs however the corpus grows
+#: — |stratum|² ground-truth work is genuinely fixed-cost, not a
+#: corpus term. The 32-bit salted-md5 gate keeps membership
+#: reproducible and selectivity meaningful up to mod ~4·10⁹
+#: (corpora of ~2·10¹² docs at this target).
+AUDIT_TARGET = 500
 
 
 def d25_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,13 +2098,26 @@ def d25_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-recalling. New surface, SURVEY §7.2.7.
 
     Scale shape: the ONE deliberately quadratic operator in the repo —
-    quadratic in the STRATUM, which is fixed-size by construction (the
-    audit-pattern answer to "exact ground truth at 100 TB"): |stratum|²
-    work is a constant, not a corpus term. The candidate side reuses the
-    memoized band table; the recall join touches only stratum pairs."""
+    quadratic in the STRATUM, whose expected size is capped at
+    AUDIT_TARGET by deriving the sampling modulus from the corpus count
+    (see AUDIT_TARGET): |stratum|² work is fixed-cost, not a corpus
+    term. The candidate side reuses the memoized band table; the recall
+    join touches only stratum pairs."""
     hashed = _hashed_shingles(spark, sf_dir)
-    stratum = hashed.filter(
-        F.expr(f"({tf.idbucket_spark('audit', AUDIT_MOD)}) = 0")
+    mod = hashed.select(
+        F.expr(
+            f"greatest(CAST({AUDIT_MOD} AS BIGINT), "
+            f"(count(*) + {AUDIT_TARGET - 1}) DIV {AUDIT_TARGET})"
+        ).alias("m")
+    )
+    h32 = (
+        "CAST(conv(substring(md5(concat('audit:', "
+        "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    stratum = (
+        hashed.crossJoin(F.broadcast(mod))
+        .filter(F.expr(f"{h32} % m = 0"))
+        .select("doc_id", "sh")
     )
     truth = (
         stratum.alias("a")
@@ -2165,9 +2183,16 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+params AS (
+  SELECT greatest(CAST({AUDIT_MOD} AS BIGINT),
+         (CAST(count(*) AS BIGINT) + {AUDIT_TARGET - 1}) // {AUDIT_TARGET})
+           AS m
+  FROM documents
+),
 stratum AS (
-  SELECT doc_id, sh FROM sh
-  WHERE ({tf.idbucket_duck("audit", AUDIT_MOD)}) = 0
+  SELECT doc_id, sh FROM sh, params
+  WHERE CAST(concat('0x', substr(md5(concat('audit:',
+          CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % m = 0
 ),
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

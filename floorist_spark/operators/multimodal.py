@@ -54,11 +54,15 @@ FRAME_STRIDE = 4
 _HEX_DIGITS = "0123456789abcdef"
 
 
-def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, payload binary): utf-8 bytes of the document text — the
-    stand-in for an image/audio/video blob column. Repartitioned to session
-    parallelism: the single-file testdata scan would otherwise feed ONE
-    Python worker; with many partitions each runs its own Arrow pipe.
+def _payloads(
+    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [*extra,] payload binary): utf-8 bytes of the document
+    text — the stand-in for an image/audio/video blob column; ``extra``
+    carries additional metadata columns (e.g. ``source`` for m16)
+    alongside. Repartitioned to session parallelism: the single-file
+    testdata scan would otherwise feed ONE Python worker; with many
+    partitions each runs its own Arrow pipe.
 
     NULL text coalesces to the empty payload so every downstream decode
     loop (``payload.decode(...)`` in m05/m11 etc.) is total — a NULL
@@ -71,6 +75,7 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
+            *extra,
             F.expr("coalesce(CAST(text AS BINARY), CAST('' AS BINARY))").alias(
                 "payload"
             ),
@@ -1433,22 +1438,11 @@ def m16_payload_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded dimension, so the final join is trivially broadcast)."""
     from pyspark.sql.window import Window
 
-    sized = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            "source",
-            F.expr(
-                "coalesce(CAST(text AS BINARY), CAST('' AS BINARY))"
-            ).alias("payload"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
-            F.md5("payload").alias("dg"),
-        )
+    sized = _payloads(spark, sf_dir, extra=("source",)).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
+        F.md5("payload").alias("dg"),
     )
     w = Window.partitionBy("source").orderBy("n_bytes", "doc_id")
     wall = Window.partitionBy("source")

@@ -1708,7 +1708,11 @@ _T23_REPL = "�"
 _T23_CTRL = "".join(
     chr(c) for c in [*range(1, 9), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F]
 )
-#: Zero-width chars that survive naive cleaning and poison tokenizers.
+#: Zero-width chars that survive naive cleaning and inflate tokenizer
+#: vocab. Counted but NOT flagged in ``suspicious`` on their own: ZWJ/
+#: ZWNJ are load-bearing in emoji sequences and Indic/Persian scripts,
+#: and a leading BOM is routine — unlike U+FFFD/control/mojibake, their
+#: presence is not evidence of a broken decode.
 _T23_ZW = "​‌‍﻿"
 #: Every ASCII char 0x01..0x7F — translate() removes these, leaving only
 #: non-ASCII, so the count needs no regex on either engine.
@@ -1726,7 +1730,11 @@ def t23_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``suspicious`` verdict — the pre-tokenization hygiene gate a crawl
     pipeline runs before any quality scoring (a page full of U+FFFD has
     already lost the original bytes; control chars break sentencepiece).
-    New surface beyond the reference (SURVEY §7.2.7).
+    The verdict flags only broken-DECODE evidence (replacement/control/
+    mojibake); zero-width and non-ASCII counts are reported but never
+    flag alone — both are routine in legitimate multilingual text (see
+    the ``_T23_ZW`` note). New surface beyond the reference (SURVEY
+    §7.2.7).
 
     Scale shape: a pure per-row projection — ``translate``/``replace``
     length arithmetic only, no regex, no shuffle before the final sort.
@@ -1861,9 +1869,13 @@ def t24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.groupBy("source", "t_s", "t_all")
         .agg(
+            # the operands are widened to DECIMAL BEFORE the multiply —
+            # a BIGINT product c·T overflows at ~3e9 tokens, three
+            # orders below the 38-digit envelope the sum needs
             F.sum(
                 F.expr(
-                    "CAST(abs(c_s * t_all - c * t_s) AS DECIMAL(38, 0))"
+                    "abs(CAST(c_s AS DECIMAL(38, 0)) * t_all "
+                    "- CAST(c AS DECIMAL(38, 0)) * t_s)"
                 )
             ).alias("num"),
             F.sum(F.expr("IF(c_s > 0, 1, 0)")).cast("bigint").alias(
@@ -1906,7 +1918,8 @@ WITH sc AS (
   LEFT JOIN counts k ON k.source = s.source AND k.tok = co.tok
 ), agg AS (
   SELECT source, t_s, t_all,
-         sum(CAST(abs(c_s * t_all - c * t_s) AS HUGEINT)) AS num,
+         sum(abs(CAST(c_s AS HUGEINT) * t_all - CAST(c AS HUGEINT) * t_s))
+           AS num,
          CAST(sum(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_types,
          CAST(count(*) AS BIGINT) AS n_corpus_types

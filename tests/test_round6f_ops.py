@@ -174,7 +174,12 @@ def test_d25_planted_neardup_recalled_and_disjoint_pair_not(spark, tmp_path):
         d25_lsh_recall_audit,
     )
 
-    in_stratum = [i for i in range(1, 3000) if _bucket("audit", i, AUDIT_MOD) == 0]
+    # 3-doc corpus -> effective mod = max(AUDIT_MOD, ceil(3/500)) =
+    # AUDIT_MOD; membership is the 32-bit (8-hex) salted md5 gate
+    def _h32(i: int) -> int:
+        return int(hashlib.md5(f"audit:{i}".encode()).hexdigest()[:8], 16)
+
+    in_stratum = [i for i in range(1, 30000) if _h32(i) % AUDIT_MOD == 0]
     a, b, c = in_stratum[0], in_stratum[1], in_stratum[2]
     body = (
         "the quick brown fox jumps over the lazy dog while the band plays "
