@@ -1225,7 +1225,12 @@ def c16_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan left-joined against d16's cluster table
     (derived from the memoized near-dup chain — no corpus re-pair), then
     everything shrinks to the (lang, cluster-size) key before any float
-    appears. Float determinism: effective tokens are a SORTED fold of
+    appears. The cluster join is deliberately UNHINTED: the cluster
+    table is one row per clustered doc — unbounded on duplicate-heavy
+    corpora — so forcing a broadcast would violate the bounded-side rule
+    (the 1e4ba04 lesson applies broadcasts only to sides bounded BY
+    CONSTRUCTION); AQE broadcasts it when stats show it small and
+    shuffles on doc_id otherwise. Float determinism: effective tokens are a SORTED fold of
     exact per-(lang, size) BIGINT sums divided once per group — the c06
     rule (plain float sums are partial-agg-order-dependent); the
     normalizers fold the per-language values sorted the same way, and
@@ -1239,7 +1244,7 @@ def c16_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = d16_soft_dedup_weights(spark, sf_dir).select("doc_id", "n_members")
     grp = (
-        docs.join(F.broadcast(w), "doc_id", "left")
+        docs.join(w, "doc_id", "left")
         .select(
             "lang",
             "n",

@@ -1087,6 +1087,70 @@ CDC_MULT = 2654435761
 CDC_WIN = 4
 
 
+def _cdc_ends(b) -> list:
+    """CDC boundary END indices for one payload byte array (numpy
+    uint8): positions where the multiplicative hash of the trailing
+    4-byte window lands in the low 1/CDC_DIV of the uint32 space, with
+    the final byte always closing the last chunk. Shared by m14 (chunk
+    census) and m15 (cross-doc overlap) so the boundary algorithm has
+    exactly one Python site — its DuckDB twin is :func:`_cdc_ctes`."""
+    import numpy as np
+
+    n = len(b)
+    if n == 0:
+        return []
+    if n < CDC_WIN:
+        return [n - 1]
+    w = (
+        b[3:].astype(np.uint32)
+        | (b[2:-1].astype(np.uint32) << np.uint32(8))
+        | (b[1:-2].astype(np.uint32) << np.uint32(16))
+        | (b[:-3].astype(np.uint32) << np.uint32(24))
+    )
+    h = w * np.uint32(CDC_MULT)  # wraps mod 2^32
+    ends = list(np.flatnonzero(h < (1 << 32) // CDC_DIV) + 3)
+    if not ends or ends[-1] != n - 1:
+        ends.append(n - 1)
+    return ends
+
+
+def _cdc_ctes() -> str:
+    """DuckDB twin of :func:`_cdc_ends` as the shared hx → bytes → win →
+    flags → chunked CTE chain (per-byte rows with a per-doc chunk_id).
+    The window bytes are widened to BIGINT BEFORE the b3·2²⁴ product —
+    as INT32 that product overflows for any byte ≥ 0x80, i.e. on the
+    first multibyte UTF-8 character (the all-ASCII testdata sits exactly
+    at the 2³¹−1 edge and masked it)."""
+    return f"""hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+bytes AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2))
+              AS BIGINT) AS b,
+         substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS h2
+  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+), win AS (
+  SELECT doc_id, i, h2,
+         lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
+         lag(b, 3) OVER w AS b3, b
+  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), flags AS (
+  SELECT doc_id, i, h2,
+         CASE WHEN b3 IS NULL THEN FALSE
+              ELSE (CAST(b3 * 16777216 + b2 * 65536 + b1 * 256 + b
+                         AS HUGEINT) * {CDC_MULT}) % 4294967296
+                   < {(1 << 32) // CDC_DIV}
+         END AS boundary
+  FROM win
+), chunked AS (
+  SELECT doc_id, i, h2,
+         CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+              (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM flags
+)"""
+
+
 def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking census: split each payload at positions
     where the hash of the trailing 4-byte window ≡ 0 (mod CDC_DIV), then
@@ -1124,23 +1188,7 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8)
                 n = len(b)
-                if n == 0:
-                    ends: list[int] = []
-                elif n < CDC_WIN:
-                    ends = [n - 1]
-                else:
-                    w = (
-                        b[3:].astype(np.uint32)
-                        | (b[2:-1].astype(np.uint32) << np.uint32(8))
-                        | (b[1:-2].astype(np.uint32) << np.uint32(16))
-                        | (b[:-3].astype(np.uint32) << np.uint32(24))
-                    )
-                    h = w * np.uint32(CDC_MULT)  # wraps mod 2^32
-                    ends = list(
-                        np.flatnonzero(h < (1 << 32) // CDC_DIV) + 3
-                    )
-                    if not ends or ends[-1] != n - 1:
-                        ends.append(n - 1)
+                ends = _cdc_ends(b)
                 starts = [0] + [e + 1 for e in ends[:-1]]
                 chunks = [
                     b[s : e + 1].tobytes() for s, e in zip(starts, ends)
@@ -1182,34 +1230,7 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M14_SQL = f"""
-WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
-bytes AS (
-  SELECT doc_id, i,
-         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
-           AS b,
-         substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS h2
-  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
-), win AS (
-  SELECT doc_id, i, h2,
-         lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
-         lag(b, 3) OVER w AS b3, b
-  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-), flags AS (
-  SELECT doc_id, i, h2,
-         CASE WHEN b3 IS NULL THEN FALSE
-              ELSE (CAST(b3 * 16777216 + b2 * 65536 + b1 * 256 + b
-                         AS HUGEINT) * {CDC_MULT}) % 4294967296
-                   < {(1 << 32) // CDC_DIV}
-         END AS boundary
-  FROM win
-), chunked AS (
-  SELECT doc_id, i, h2,
-         CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
-              (PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS chunk_id
-  FROM flags
-), per_chunk AS (
+WITH {_cdc_ctes()}, per_chunk AS (
   SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS clen,
          md5(string_agg(h2, '' ORDER BY i)) AS digest
   FROM chunked GROUP BY doc_id, chunk_id
@@ -1277,24 +1298,9 @@ def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8)
-                n = len(b)
-                if n == 0:
+                ends = _cdc_ends(b)
+                if not ends:
                     continue
-                if n < CDC_WIN:
-                    ends = [n - 1]
-                else:
-                    w = (
-                        b[3:].astype(np.uint32)
-                        | (b[2:-1].astype(np.uint32) << np.uint32(8))
-                        | (b[1:-2].astype(np.uint32) << np.uint32(16))
-                        | (b[:-3].astype(np.uint32) << np.uint32(24))
-                    )
-                    h = w * np.uint32(CDC_MULT)
-                    ends = list(
-                        np.flatnonzero(h < (1 << 32) // CDC_DIV) + 3
-                    )
-                    if not ends or ends[-1] != n - 1:
-                        ends.append(n - 1)
                 starts = [0] + [e + 1 for e in ends[:-1]]
                 # distinct digests per doc (a repeated chunk counts once);
                 # md5 over the lowercase hex rendering = the oracle's
@@ -1359,34 +1365,7 @@ def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M15_SQL = f"""
-WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
-bytes AS (
-  SELECT doc_id, i,
-         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
-           AS b,
-         substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS h2
-  FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
-), win AS (
-  SELECT doc_id, i, h2,
-         lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
-         lag(b, 3) OVER w AS b3, b
-  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-), flags AS (
-  SELECT doc_id, i, h2,
-         CASE WHEN b3 IS NULL THEN FALSE
-              ELSE (CAST(b3 * 16777216 + b2 * 65536 + b1 * 256 + b
-                         AS HUGEINT) * {CDC_MULT}) % 4294967296
-                   < {(1 << 32) // CDC_DIV}
-         END AS boundary
-  FROM win
-), chunked AS (
-  SELECT doc_id, i, h2,
-         CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
-              (PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS chunk_id
-  FROM flags
-), dd AS MATERIALIZED (
+WITH {_cdc_ctes()}, dd AS MATERIALIZED (
   SELECT DISTINCT doc_id, digest FROM (
     SELECT doc_id, md5(string_agg(h2, '' ORDER BY i)) AS digest
     FROM chunked GROUP BY doc_id, chunk_id)

@@ -1401,11 +1401,10 @@ def s16_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = pool.drop("c_emb")
     score = f"{MMR_LAMBDA} * cosine - {MMR_ONE_MINUS} * max_sim_prev"
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
+    # the round-1 pick reuses `w` — pool rank and first pick MUST share
+    # one total order or the oracle's greedy chain diverges on ties
     picked = (
-        pool.withColumn("r", F.row_number().over(w1))
+        pool.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select(
             "query_id",

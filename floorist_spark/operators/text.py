@@ -1475,16 +1475,12 @@ def t21_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
     n_types = counts.agg(F.count("*").alias("n_types"))
     topk = counts.orderBy(F.col("cnt").desc(), "tok").limit(k_max)
-    w = Window.orderBy(F.col("cnt").desc(), "tok").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     ranked = topk.select(
         "tok",
         "cnt",
         F.row_number().over(
             Window.orderBy(F.col("cnt").desc(), "tok")
         ).alias("rk"),
-        F.sum("cnt").over(w).alias("cum_cnt"),
     )
     sizes = spark.range(1).select(
         F.explode(F.array(*[F.lit(n) for n in VOCAB_SIZES])).alias("vocab_size")
@@ -1531,10 +1527,7 @@ WITH toks AS (
   SELECT CAST(count(*) AS BIGINT) AS n_types FROM counts
 ), ranked AS (
   SELECT tok, cnt,
-         row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
-         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_cnt
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rk
   FROM counts
   ORDER BY cnt DESC, tok LIMIT {max(VOCAB_SIZES)}
 ), sizes AS (

@@ -420,3 +420,40 @@ def test_c18_whitespace_only_language_floor(spark, tmp_path):
     assert b["repeat_factor"] == 4
     assert bool(b["capped"]) is False
     assert b["effective_tokens"] == 4
+
+
+def test_m14_m15_oracle_survives_non_ascii_payloads(spark, tmp_path):
+    """Regression: the CDC oracle's 4-byte window product overflowed
+    INT32 for any byte >= 0x80 (the all-ASCII testdata sits exactly at
+    the 2^31-1 edge and masked it) — the first multibyte UTF-8 char made
+    DuckDB throw 'Overflow in multiplication of INT32'. The shared
+    _cdc_ctes() chain now widens to BIGINT first; this pins engine ==
+    oracle on a multibyte corpus for both m14 and m15."""
+    import duckdb
+
+    from floorist_spark.operators.multimodal import (
+        M14_SQL,
+        M15_SQL,
+        m14_cdc_chunks,
+        m15_chunk_overlap_pairs,
+    )
+    from tests.oracle_compare import compare_results
+
+    body = "héllo wörld — ünïcode pâyload " * 40
+    rows = [(1, body), (2, body + " v2 tail"), (3, "plain ascii text " * 30)]
+    out = _write_docs(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    compare_results(
+        m14_cdc_chunks(spark, out).toPandas(),
+        con.execute(M14_SQL).fetchdf(),
+        "m14-nonascii",
+    )
+    spark_15 = m15_chunk_overlap_pairs(spark, out).toPandas()
+    compare_results(spark_15, con.execute(M15_SQL).fetchdf(), "m15-nonascii")
+    # the two versions genuinely share re-synced chunks
+    assert len(spark_15) == 1 and spark_15.iloc[0]["n_shared"] >= 2
+    con.close()
