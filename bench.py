@@ -131,6 +131,7 @@ HEADLINE = (
     "s20_cell_rebalance",
     "t24_source_divergence",
     "d25_lsh_recall_audit",
+    "m17_block_size_sweep",
 )
 
 

@@ -1483,6 +1483,114 @@ ORDER BY a.source
 """
 
 
+# ---------------------------------------------------------------------------
+# m17 — block-size sweep: CAS dedup savings per candidate block width
+# ---------------------------------------------------------------------------
+
+#: candidate block widths (bytes) for the sweep — the knob a CAS store
+#: tunes: small blocks dedup more but cost more metadata per byte
+SWEEP_WIDTHS = (64, 256, 1024)
+
+
+def m17_block_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size tuning sweep: for each candidate fixed block width,
+    the corpus-wide dedup outcome — total vs distinct blocks, raw vs
+    unique bytes, the savings fraction, and metadata overhead (one
+    digest-table row per distinct block) — the one-table answer to
+    "what block size should our content-addressed store use?" before
+    committing to an ingest format. m12 censuses ownership at the
+    CHOSEN width; this is how the width gets chosen. Blocks are
+    addressed on the hex form like m12 (exact 2× byte offsets, DuckDB
+    lacks BLOB substring). New surface, SURVEY §7.2.7.
+
+    Scale shape: ONE corpus scan fans each payload out to its blocks
+    for all widths via a literal-array explode (width dimension is 3,
+    in-plan, no re-scan per width); every exchange carries (width,
+    digest, block-bytes) — never payload bytes; both aggregates are
+    map-side combinable and the final table is |SWEEP_WIDTHS| rows."""
+    widths = ", ".join(str(w) for w in SWEEP_WIDTHS)
+    hx = (
+        _payloads(spark, sf_dir)
+        .select(F.expr("lower(hex(payload))").alias("hx"))
+        .select(
+            "hx", F.explode(F.expr(f"array({widths})")).alias("block_w")
+        )
+    )
+    blocks = hx.select(
+        "block_w",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, "
+                "greatest(CAST(ceil(length(hx) / (2.0d * block_w)) AS INT) - 1, 0)), "
+                "i -> substring(hx, i * 2 * block_w + 1, 2 * block_w))"
+            )
+        ).alias("blk"),
+    ).select(
+        "block_w",
+        F.md5("blk").alias("dg"),
+        F.expr("CAST(length(blk) DIV 2 AS BIGINT)").alias("nbytes"),
+    )
+    per_digest = blocks.groupBy("block_w", "dg").agg(
+        F.count("*").alias("n_copies"), F.min("nbytes").alias("nbytes")
+    )
+    return (
+        per_digest.groupBy("block_w")
+        .agg(
+            F.sum("n_copies").alias("total_blocks"),
+            F.count("*").alias("distinct_blocks"),
+            F.sum(F.expr("n_copies * nbytes")).alias("total_bytes"),
+            F.sum("nbytes").alias("unique_bytes"),
+        )
+        .select(
+            F.col("block_w").cast("bigint").alias("block_w"),
+            "total_blocks",
+            "distinct_blocks",
+            "total_bytes",
+            "unique_bytes",
+            F.expr(
+                "1.0d - CAST(unique_bytes AS DOUBLE) / total_bytes"
+            ).alias("savings_frac"),
+            F.expr(
+                "CAST(distinct_blocks AS DOUBLE) / total_blocks"
+            ).alias("metadata_ratio"),
+        )
+        .orderBy("block_w")
+    )
+
+
+M17_SQL = f"""
+WITH hx AS (
+  SELECT lower(hex(encode(coalesce(text, '')))) AS hx FROM documents
+), fanned AS (
+  SELECT hx, w AS block_w
+  FROM hx, LATERAL unnest([{", ".join(str(w) for w in SWEEP_WIDTHS)}]) AS t(w)
+), blocks AS (
+  SELECT block_w,
+         md5(substr(hx, CAST(i * 2 * block_w + 1 AS BIGINT),
+                    CAST(2 * block_w AS BIGINT))) AS dg,
+         CAST(length(substr(hx, CAST(i * 2 * block_w + 1 AS BIGINT),
+                            CAST(2 * block_w AS BIGINT))) // 2 AS BIGINT)
+           AS nbytes
+  FROM fanned, LATERAL unnest(range(0,
+       greatest(CAST(ceil(length(hx) / (2.0 * block_w)) AS BIGINT), 1)))
+       AS t(i)
+), per_digest AS (
+  SELECT block_w, dg, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(nbytes) AS BIGINT) AS nbytes
+  FROM blocks GROUP BY block_w, dg
+)
+SELECT CAST(block_w AS BIGINT) AS block_w,
+       CAST(sum(n_copies) AS BIGINT) AS total_blocks,
+       CAST(count(*) AS BIGINT) AS distinct_blocks,
+       CAST(sum(n_copies * nbytes) AS BIGINT) AS total_bytes,
+       CAST(sum(nbytes) AS BIGINT) AS unique_bytes,
+       1.0 - CAST(sum(nbytes) AS DOUBLE) / sum(n_copies * nbytes)
+         AS savings_frac,
+       CAST(count(*) AS DOUBLE) / sum(n_copies) AS metadata_ratio
+FROM per_digest GROUP BY block_w ORDER BY block_w
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1500,6 +1608,7 @@ QUERIES = {
     "m14_cdc_chunks": m14_cdc_chunks,
     "m15_chunk_overlap_pairs": m15_chunk_overlap_pairs,
     "m16_payload_size_census": m16_payload_size_census,
+    "m17_block_size_sweep": m17_block_size_sweep,
 }
 
 ORACLES = {
@@ -1519,4 +1628,5 @@ ORACLES = {
     "m14_cdc_chunks": M14_SQL,
     "m15_chunk_overlap_pairs": M15_SQL,
     "m16_payload_size_census": M16_SQL,
+    "m17_block_size_sweep": M17_SQL,
 }

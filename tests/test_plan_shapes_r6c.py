@@ -161,3 +161,17 @@ def test_d25_candidates_stay_bucket_joined(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line and "nrm#" not in line, line
+
+
+def test_m17_digest_only_exchanges_single_scan(spark):
+    from floorist_spark.operators.multimodal import m17_block_size_sweep
+
+    plan = _plan(m17_block_size_sweep(spark, SF_SMOKE))
+    # width fan-out is in-plan (one scan); exchanges carry
+    # (width, digest, bytes) — never hex/payload text
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "hx#" not in line and "payload#" not in line, line

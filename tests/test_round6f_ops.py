@@ -202,3 +202,32 @@ def test_d25_planted_neardup_recalled_and_disjoint_pair_not(spark, tmp_path):
     assert by_bucket[hi]["n_found"] == by_bucket[hi]["n_truth"] == 1
     assert by_bucket[hi]["recall"] == 1.0
     assert by_bucket[0]["n_truth"] == 2 and by_bucket[0]["n_found"] == 0
+
+
+# -- m17: hand-computable savings on planted identical payloads ----------------
+
+
+def test_m17_savings_per_width_on_planted_corpus(spark, tmp_path):
+    from floorist_spark.operators.multimodal import (
+        SWEEP_WIDTHS,
+        m17_block_size_sweep,
+    )
+
+    assert SWEEP_WIDTHS == (64, 256, 1024)
+    rows = [(1, "a" * 128), (2, "a" * 128), (3, None)]  # NULL -> empty payload
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["block_w"]: r for r in m17_block_size_sweep(spark, out).collect()}
+    assert set(got) == {64, 256, 1024}
+    w64 = got[64]
+    # two identical 128-byte docs -> 2 blocks of 64 each, all one digest,
+    # plus the empty doc's one empty block
+    assert (w64["total_blocks"], w64["distinct_blocks"]) == (5, 2)
+    assert (w64["total_bytes"], w64["unique_bytes"]) == (256, 64)
+    assert w64["savings_frac"] == 1 - 64 / 256
+    assert w64["metadata_ratio"] == 2 / 5
+    for w in (256, 1024):
+        r = got[w]
+        # one short 128-byte block per doc, shared digest, plus the empty
+        assert (r["total_blocks"], r["distinct_blocks"]) == (3, 2)
+        assert (r["total_bytes"], r["unique_bytes"]) == (256, 128)
+        assert r["savings_frac"] == 0.5
