@@ -77,13 +77,17 @@ def _with_cache_release(
 #: (tests/test_llm_operators.py enforces both invariants). Pure ordering —
 #: membership and semantics of every entry are unchanged.
 #:
-#: Round-6 rotation: IN the 9 entries no driver round has ever gated
-#: (e25, e26, t17, s14, c14, d16, d17, d18, m11 — all selfcheck-green per
-#: VERDICT r5) plus d15 (round-5's one red row, oracle now
-#: portability-hardened); OUT 9 entries CORRECTNESS_r05 hash-validated
-#: (e23, e24, c13, t16, e22, s07, d10, m07, t08). After this round every
-#: deterministic catalog entry will have been externally gated at least
-#: once.
+#: Round-6 rotation (rebuilt mid-round after the extension waves): the
+#: window keeps the round-5 verdict's 10 asks — d15 (the one red row,
+#: oracle portability-hardened) and the 9 entries no earlier driver
+#: round had gated (e25, e26, t17, s14, c14, d16, d17, d18, m11) — and
+#: fills the remaining 39 slots with the round-6 additions (c15–c20,
+#: d19–d25, e27–e34, m13–m17, s15–s20, t18–t24), every one
+#: selfcheck-green at sf0.01 AND sf0.1. OUT: everything
+#: CORRECTNESS_r05 already hash-validated. m12 is the one round-6
+#: addition left for the next window (the 49-cap forces one out; it
+#: carries the strongest independent stress coverage —
+#: test_skew_stress hot-block census vs a planted corpus).
 GATE_PRIORITY = [
     "e25_attribution",
     "e26_alert_throttle",
@@ -95,45 +99,45 @@ GATE_PRIORITY = [
     "d18_dup_graph_triangles",
     "m11_scene_cuts",
     "d15_passage_dedup",
-    "s13_filtered_ann",
-    "t15_bpe_merges",
-    "m10_contrastive_pairs",
-    "c12_passage_chunks",
-    "t14_langid_confusion",
-    "e20_hll_distinct",
-    "e21_cms_heavy_hitters",
-    "t13_gopher_rules",
-    "c11_bloom_decontaminate",
-    "t12_bigram_lm_score",
-    "c10_quality_weighted_sample",
-    "s12_knn_classify",
-    "e19_cooccurrence_lift",
-    "m09_aspect_bucket_batches",
-    "s05_kmeans_ivf_assign",
-    "s11_pq_quantize",
-    "e17_path_analysis",
-    "e18_stream_stream_join",
-    "m08_perceptual_hash",
-    "c08_snapshot_diff",
-    "c09_stride_interleave",
-    "d11_semantic_dedup",
-    "d12_crossmodal_neardup",
-    "d13_minhash_calibration",
-    "d14_ngram_containment",
-    "e08_streaming_sessions",
-    "e09_funnel",
-    "e10_retention",
-    "e11_gapfill_hourly",
-    "e12_json_extract",
-    "e13_event_transitions",
-    "e14_hourly_anomaly",
-    "e16_continuous_aggregate",
-    "s08_quantized_rerank",
-    "s09_ann_recall",
-    "s10_knn_graph",
-    "t09_dup_ngram_fraction",
-    "t10_tfidf_topk",
-    "t11_feature_hashing",
+    "c15_curriculum_phases",
+    "c16_dedup_aware_mixture",
+    "c17_budget_waterfill",
+    "c18_oversample_plan",
+    "c19_contamination_report",
+    "c20_shard_manifest",
+    "d19_lsh_tuning_curve",
+    "d20_source_dup_overlap",
+    "d21_shingle_novelty",
+    "d22_boilerplate_census",
+    "d23_dup_graph_pagerank",
+    "d24_exact_substring_spans",
+    "d25_lsh_recall_audit",
+    "e27_dwell_histogram",
+    "e28_lateness_audit",
+    "e29_streaming_funnel",
+    "e30_bot_regularity",
+    "e31_seasonality_profile",
+    "e32_ewma_trend",
+    "e33_outage_gaps",
+    "e34_conversion_lag",
+    "m13_vad_segments",
+    "m14_cdc_chunks",
+    "m15_chunk_overlap_pairs",
+    "m16_payload_size_census",
+    "m17_block_size_sweep",
+    "s15_probe_frontier",
+    "s16_mmr_diversify",
+    "s17_hard_negatives",
+    "s18_rrf_fusion",
+    "s19_tombstone_compaction",
+    "s20_cell_rebalance",
+    "t18_pii_scrub",
+    "t19_distribution_outliers",
+    "t20_readability",
+    "t21_vocab_coverage",
+    "t22_rake_keyphrases",
+    "t23_encoding_anomalies",
+    "t24_source_divergence",
 ]
 
 
