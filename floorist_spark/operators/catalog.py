@@ -84,10 +84,11 @@ def _with_cache_release(
 #: fills the remaining 39 slots with the round-6 additions (c15–c20,
 #: d19–d25, e27–e34, m13–m17, s15–s20, t18–t24), every one
 #: selfcheck-green at sf0.01 AND sf0.1. OUT: everything
-#: CORRECTNESS_r05 already hash-validated. m12 is the one round-6
-#: addition left for the next window (the 49-cap forces one out; it
-#: carries the strongest independent stress coverage —
-#: test_skew_stress hot-block census vs a planted corpus).
+#: CORRECTNESS_r05 already hash-validated. m12 and d26 are the two
+#: round-6 additions left for the next window (the 49-cap forces them
+#: out; both carry the strongest independent stress coverage —
+#: test_skew_stress hot-block census and test_round6g_ops planted/
+#: mass-dup cluster censuses vs hand-computed corpora).
 GATE_PRIORITY = [
     "e25_attribution",
     "e26_alert_throttle",

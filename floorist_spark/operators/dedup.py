@@ -2222,6 +2222,133 @@ FROM agg ORDER BY jac_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# d26 — duplicate-cluster size census (log2 histogram + dedup savings)
+# ---------------------------------------------------------------------------
+
+
+def d26_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed histogram of exact-duplicate cluster sizes with the
+    storage the keep-lowest-doc_id policy (d01/d02) reclaims per bucket:
+    for every bucket [2^b, 2^(b+1)) of copies-per-cluster, the cluster
+    count, doc count, duplicate-doc count, total/duplicate chars, the
+    corpus share, and the cumulative savings counted from the LARGEST
+    clusters down — the "head of duplication" report dedup papers lead
+    with, and the number that decides whether mass-dup spam (one huge
+    bucket) or a long tail of pairs is paying for the dedup run. d20
+    answers *who ships duplicates*; this answers *how duplication is
+    distributed and what dropping it saves*. New surface, SURVEY §7.2.7
+    (the reference has no dedup analytics at all).
+
+    Determinism/portability: bucket = floor(log₂ n_copies) is computed
+    as ``length(bin(n_copies)) - 1`` — pure integer/string arithmetic,
+    identical in both engines (float log₂ can land on 2.999… for exact
+    powers of two, and which side it rounds to is engine-dependent).
+    The keeper's chars come from ``min_by(n_chars, doc_id)`` — doc_id is
+    unique, so no tie exists. Cumulative sums use an explicit ROWS
+    frame over the distinct-keyed bucket order; each frac is a single
+    exact-BIGINT division (correctly rounded identically in IEEE).
+
+    Scale shape: one digest shuffle (map-side partial agg on the 16-byte
+    md5 — never text, the d-family rule), then a ≤63-row bucket
+    aggregate; the corpus totals ride a broadcast 1-row crossJoin and
+    the cumulative window sorts ≤63 rows on one task. No pairing, no
+    O(N²), nothing driver-side."""
+    digests = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"md5(CAST({_NORM_S} AS BINARY))").alias("d"),
+    )
+    clusters = digests.groupBy("d").agg(
+        F.count("*").alias("n_copies"),
+        F.sum("n_chars").alias("chars_total"),
+        F.expr("min_by(n_chars, doc_id)").alias("keeper_chars"),
+    )
+    totals = digests.agg(
+        F.count("*").alias("corpus_docs"),
+        F.sum("n_chars").cast("bigint").alias("corpus_chars"),
+    )
+    per_bucket = (
+        clusters.select(
+            F.expr("CAST(length(bin(n_copies)) - 1 AS INT)").alias("bucket"),
+            "n_copies",
+            "chars_total",
+            F.expr("chars_total - keeper_chars").alias("chars_dup"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("n_copies - 1")).cast("bigint").alias("n_dup_docs"),
+            F.sum("chars_total").cast("bigint").alias("chars_total"),
+            F.sum("chars_dup").cast("bigint").alias("chars_dup"),
+        )
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "bucket",
+            "shiftleft(CAST(1 AS BIGINT), bucket) AS copies_lo",
+            "shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 AS copies_hi",
+            "n_clusters",
+            "n_docs",
+            "n_dup_docs",
+            "chars_total",
+            "chars_dup",
+            "CAST(n_docs AS DOUBLE) / corpus_docs AS doc_frac",
+            "CAST(chars_dup AS DOUBLE) / corpus_chars AS dup_char_frac",
+            "sum(n_dup_docs) OVER (ORDER BY bucket DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_dup_docs",
+            "sum(chars_dup) OVER (ORDER BY bucket DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_chars_dup",
+        )
+        .orderBy("bucket")
+    )
+
+
+D26_SQL = f"""
+WITH digests AS (
+  SELECT doc_id, n_chars, md5({_NORM_D}) AS d FROM documents
+),
+clusters AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         CAST(min_by(n_chars, doc_id) AS BIGINT) AS keeper_chars
+  FROM digests GROUP BY d
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS corpus_docs,
+         CAST(sum(n_chars) AS BIGINT) AS corpus_chars
+  FROM digests
+),
+per_bucket AS (
+  SELECT CAST(length(bin(n_copies)) - 1 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(n_copies) AS BIGINT) AS n_docs,
+         CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_docs,
+         CAST(sum(chars_total) AS BIGINT) AS chars_total,
+         CAST(sum(chars_total - keeper_chars) AS BIGINT) AS chars_dup
+  FROM clusters GROUP BY 1
+)
+SELECT b.bucket,
+       CAST(1 AS BIGINT) << b.bucket AS copies_lo,
+       (CAST(1 AS BIGINT) << (b.bucket + 1)) - 1 AS copies_hi,
+       n_clusters, n_docs, n_dup_docs, chars_total, chars_dup,
+       CAST(n_docs AS DOUBLE) / corpus_docs AS doc_frac,
+       CAST(chars_dup AS DOUBLE) / corpus_chars AS dup_char_frac,
+       CAST(sum(n_dup_docs) OVER (ORDER BY b.bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_dup_docs,
+       CAST(sum(chars_dup) OVER (ORDER BY b.bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_chars_dup
+FROM per_bucket b CROSS JOIN totals
+ORDER BY b.bucket
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2247,6 +2374,7 @@ QUERIES = {
     "d23_dup_graph_pagerank": d23_dup_graph_pagerank,
     "d24_exact_substring_spans": d24_exact_substring_spans,
     "d25_lsh_recall_audit": d25_lsh_recall_audit,
+    "d26_cluster_size_census": d26_cluster_size_census,
 }
 
 ORACLES = {
@@ -2274,4 +2402,5 @@ ORACLES = {
     "d23_dup_graph_pagerank": _d23_sql(),
     "d24_exact_substring_spans": _d24_sql(),
     "d25_lsh_recall_audit": _d25_sql(),
+    "d26_cluster_size_census": D26_SQL,
 }
