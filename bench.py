@@ -132,6 +132,10 @@ HEADLINE = (
     "t24_source_divergence",
     "d25_lsh_recall_audit",
     "m17_block_size_sweep",
+    "d26_cluster_size_census",
+    "t25_code_detect",
+    "c21_ctx_length_sweep",
+    "e35_seasonal_anomaly",
 )
 
 

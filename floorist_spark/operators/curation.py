@@ -1813,6 +1813,110 @@ FROM assigned GROUP BY shard_id ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c21 — context-length padding/split sweep (per-width waste accounting)
+# ---------------------------------------------------------------------------
+
+#: candidate training context widths (tokens per sequence slot)
+CTX_WIDTHS = (256, 512, 1024, 2048, 4096)
+
+
+def c21_ctx_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length tuning sweep: for each candidate width L, the
+    padding and document-splitting cost of training with L-token
+    sequence slots — per-document chunks = ⌈tokens/L⌉, padding =
+    chunks·L − tokens, plus how many documents must split across slot
+    boundaries (cross-chunk attention breakage). Short contexts waste
+    nothing on padding but shatter long documents; long contexts keep
+    documents whole but burn compute on pad tokens — this emits the
+    exact trade-off curve, the design input for choosing L before c04
+    commits to greedy packing at ONE budget (the m17 sweep-vs-operator
+    pattern applied to sequence length). New surface, SURVEY §7.2.7.
+
+    Determinism: chunk counts are integer ceiling divisions, every
+    aggregate is an exact BIGINT sum, and each frac is one exact-BIGINT
+    division — bit-identical across engines by construction.
+
+    Scale shape: the tokenizer runs ONCE per document (token counts are
+    materialized before the width fan-out), then a 5× explode of
+    (n_tokens, width) INT PAIRS — never text — feeds one map-side-
+    combinable 5-group aggregate. One scan, one tiny shuffle, output
+    bounded by the width list at any corpus size."""
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    widths = ", ".join(str(w) for w in CTX_WIDTHS)
+    return (
+        _docs(spark, sf_dir)
+        .select(F.expr(f"CAST({ntok} AS BIGINT)").alias("n_tokens"))
+        .select(
+            "n_tokens",
+            F.expr(f"explode(array({widths}))").alias("ctx_len"),
+        )
+        .select(
+            "ctx_len",
+            "n_tokens",
+            F.expr("(n_tokens + ctx_len - 1) DIV ctx_len").alias("n_chunks"),
+        )
+        .groupBy("ctx_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum(F.expr("n_chunks * ctx_len - n_tokens"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.sum(F.expr("IF(n_chunks > 1, 1, 0)"))
+            .cast("bigint")
+            .alias("n_split_docs"),
+        )
+        .select(
+            F.col("ctx_len").cast("int").alias("ctx_len"),
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            "pad_tokens",
+            "n_split_docs",
+            F.expr(
+                "CAST(pad_tokens AS DOUBLE) / greatest(n_chunks * ctx_len, 1)"
+            ).alias("pad_frac"),
+            F.expr("CAST(n_split_docs AS DOUBLE) / n_docs").alias(
+                "split_frac"
+            ),
+        )
+        .orderBy("ctx_len")
+    )
+
+
+def _c21_sql() -> str:
+    ntok = f"len({tf.tokens_duck(tf.norm_duck('text'))})"
+    values = ", ".join(f"({w})" for w in CTX_WIDTHS)
+    return f"""
+WITH toks AS (
+  SELECT CAST({ntok} AS BIGINT) AS n_tokens FROM documents
+),
+fan AS (
+  SELECT v.ctx_len, n_tokens,
+         (n_tokens + v.ctx_len - 1) // v.ctx_len AS n_chunks
+  FROM toks CROSS JOIN (VALUES {values}) v(ctx_len)
+),
+agg AS (
+  SELECT ctx_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         CAST(sum(n_chunks * ctx_len - n_tokens) AS BIGINT) AS pad_tokens,
+         CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_split_docs
+  FROM fan GROUP BY ctx_len
+)
+SELECT CAST(ctx_len AS INT) AS ctx_len, n_docs, total_tokens, n_chunks,
+       pad_tokens, n_split_docs,
+       CAST(pad_tokens AS DOUBLE) / greatest(n_chunks * ctx_len, 1)
+         AS pad_frac,
+       CAST(n_split_docs AS DOUBLE) / n_docs AS split_frac
+FROM agg ORDER BY ctx_len
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1834,6 +1938,7 @@ QUERIES = {
     "c18_oversample_plan": c18_oversample_plan,
     "c19_contamination_report": c19_contamination_report,
     "c20_shard_manifest": c20_shard_manifest,
+    "c21_ctx_length_sweep": c21_ctx_length_sweep,
 }
 
 ORACLES = {
@@ -1857,4 +1962,5 @@ ORACLES = {
     "c18_oversample_plan": _c18_sql(),
     "c19_contamination_report": C19_SQL,
     "c20_shard_manifest": _c20_sql(),
+    "c21_ctx_length_sweep": _c21_sql(),
 }

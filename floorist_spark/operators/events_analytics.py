@@ -2526,6 +2526,146 @@ FROM hist ORDER BY lag_hours_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# e35 — seasonally-adjusted hourly anomaly (residual vs hour-of-week cell)
+# ---------------------------------------------------------------------------
+
+#: how many worst hours the seasonal-anomaly report returns
+E35_TOP_K = 20
+
+
+def e35_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours anomalous FOR THEIR SLOT: z-score of each calendar hour's
+    event count against the mean/σ of its own hour-of-week cell (Tue
+    03:00 compares to other Tue 03:00s), reporting the TOP_K most
+    anomalous hours ranked by |z|. e14 flags global volume outliers —
+    on any corpus with real weekly seasonality it fires every Monday
+    peak and misses a dead Tuesday night that is merely "average"
+    globally; deseasonalizing against the e31 grid is the standard
+    fix. Ranked top-K rather than thresholded: a cell observed n times
+    bounds |z| at √(n−1) (z is computed against the cell's own
+    population moments), so any fixed cutoff silently emits NOTHING
+    until the corpus spans enough weeks — a monitor wants its K worst
+    hours regardless. Zero-filled over the full calendar span (the e11
+    densification) so silent hours are scored, not skipped — an outage
+    IS the anomaly a monitor must catch.
+
+    Determinism (the e14 rule): per-cell moments are EXACT integer sums
+    (n, Σc, Σc²), zero-variance cells are filtered with the exact
+    DECIMAL(38,0)/HUGEINT compare BEFORE any float division (Spark
+    yields NULL, DuckDB inf/NaN on σ=0 — neither engine ever scores
+    the undefined case), and the z arithmetic is a fixed IEEE
+    expression tree both engines evaluate identically. dow is Spark
+    ``dayofweek − 1`` so 0 = Sunday matches DuckDB (the e31 rule).
+    Overflow headroom: ss·n ≤ (2⁶³−1)² ≈ 8.5e37 < 1e38 from BIGINT
+    inputs, so DECIMAL(38,0) and HUGEINT agree on every reachable
+    input.
+
+    Ranking determinism: the sort key is (|z| DESC, hour) — |z| is the
+    same IEEE double on both engines and hour is unique, so the K-row
+    cut line cannot differ.
+
+    Scale shape: one map-side-combined hourly rollup, a sequence()-
+    exploded calendar from a broadcast 1-row bounds aggregate (never a
+    second corpus scan), a ≤168-row cell-moments aggregate broadcast
+    back over the hours table; the top-K is a TakeOrdered over the
+    hours table, never a global sort. Nothing corpus-sized shuffles
+    twice."""
+    ev = _load_events(spark, sf_dir)
+    agg = ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = ev.agg(
+        F.expr("date_trunc('hour', min(ts))").alias("lo"),
+        F.expr("date_trunc('hour', max(ts))").alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    hourly = (
+        calendar.join(agg, "hour", "left")
+        .select(
+            "hour",
+            F.expr("(dayofweek(hour) - 1) * 24 + hour(hour)").alias("cell"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+    cell_stats = hourly.groupBy("cell").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.expr("n_events * n_events")).alias("ss"),
+    )
+    mean = "CAST(s AS DOUBLE) / n_hours"
+    z = (
+        f"(n_events - ({mean})) / "
+        f"sqrt(CAST(ss AS DOUBLE) / n_hours - ({mean}) * ({mean}))"
+    )
+    return (
+        hourly.join(F.broadcast(cell_stats), "cell")
+        .filter(
+            F.expr(
+                "CAST(ss AS DECIMAL(38,0)) * n_hours "
+                "> CAST(s AS DECIMAL(38,0)) * s"
+            )
+        )
+        .select(
+            "hour",
+            "cell",
+            "n_events",
+            F.expr(mean).alias("cell_mean"),
+            F.expr(z).alias("z"),
+        )
+        .orderBy(F.expr("abs(z)").desc(), "hour")
+        .limit(E35_TOP_K)
+    )
+
+
+def _e35_sql() -> str:
+    mean = "CAST(s AS DOUBLE) / n_hours"
+    z = (
+        f"(n_events - ({mean})) / "
+        f"sqrt(CAST(ss AS DOUBLE) / n_hours - ({mean}) * ({mean}))"
+    )
+    return f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+calendar AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+hourly AS (
+  SELECT c.hour,
+         dayofweek(c.hour) * 24 + hour(c.hour) AS cell,
+         CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+  FROM calendar c LEFT JOIN agg a ON a.hour = c.hour
+),
+cs AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM hourly GROUP BY cell
+),
+scored AS (
+  SELECT h.hour, h.cell, h.n_events,
+         {mean} AS cell_mean,
+         {z} AS z
+  FROM hourly h JOIN cs USING (cell)
+  WHERE CAST(ss AS HUGEINT) * n_hours > CAST(s AS HUGEINT) * s
+)
+SELECT hour, cell, n_events, cell_mean, z
+FROM scored
+ORDER BY abs(z) DESC, hour
+LIMIT {E35_TOP_K}
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2558,6 +2698,7 @@ QUERIES = {
     "e32_ewma_trend": e32_ewma_trend,
     "e33_outage_gaps": e33_outage_gaps,
     "e34_conversion_lag": e34_conversion_lag,
+    "e35_seasonal_anomaly": e35_seasonal_anomaly,
 }
 
 ORACLES = {
@@ -2592,4 +2733,5 @@ ORACLES = {
     "e32_ewma_trend": E32_SQL,
     "e33_outage_gaps": E33_SQL,
     "e34_conversion_lag": E34_SQL,
+    "e35_seasonal_anomaly": _e35_sql(),
 }

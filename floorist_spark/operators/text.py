@@ -1926,6 +1926,129 @@ FROM agg ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# t25 — code-vs-prose detection (structural signals, no classifier)
+# ---------------------------------------------------------------------------
+
+#: statement/structure punctuation counted for the per-line density
+#: signal (semicolons counted separately — they are the strongest
+#: single-char code marker and worth their own column).
+_T25_PUNCT = "{}()[]<>="
+#: keyword fragments counted by substring occurrence. Chosen to span
+#: Python/JS/C with low prose collision (each either carries a trailing
+#: space or is prose-rare); a hit count ≥2 is required before keywords
+#: influence the verdict, so a stray "return" in prose cannot flip it.
+_T25_KWS = ("def ", "return ", "import ", "function", "#include", "const ", "var ")
+#: verdict thresholds: dense statement punctuation alone (≥3 marks per
+#: line) OR indentation structure (≥25% of lines) corroborated by ≥2
+#: keyword hits.
+T25_PUNCT_PER_LINE = 3.0
+T25_INDENT_FRAC = 0.25
+T25_MIN_KW = 2
+
+
+def t25_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection from structural signals: per-line
+    statement-punctuation density, leading-indentation fraction,
+    semicolon count, and multi-language keyword hits, combined into a
+    ``looks_code`` verdict. The corpus-hygiene gate an LLM pipeline runs
+    to ROUTE documents — code goes to a code-aware tokenizer/quality
+    stack (t02/t13 prose heuristics misfire badly on source files:
+    stopword ratio ≈ 0, "mean word length" of an identifier soup is
+    garbage) — and the complement of t03's natural-language ID. Runs on
+    the RAW text: code structure lives in newlines and leading
+    whitespace that normalization collapses. New surface, SURVEY §7.2.7.
+
+    Determinism/portability: every counter is translate/replace length
+    arithmetic or a substring-equality line filter (the t23 rule — no
+    regex on either engine); ratios are single exact-BIGINT divisions
+    and the verdict compares those to shared literals, so both engines
+    execute identical IEEE ops.
+
+    Scale shape: a pure per-row projection over one corpus scan — the
+    line filter is a JVM higher-order function over the split array, no
+    shuffle before the final sort, no Python anywhere."""
+    kw_terms = " + ".join(
+        f"(length(t) - length(replace(t, '{kw}', ''))) DIV {len(kw)}"
+        for kw in _T25_KWS
+    )
+    per_line = "CAST(n_semi + n_punct AS DOUBLE) / n_lines"
+    ind_frac = "CAST(indent_lines AS DOUBLE) / n_lines"
+    verdict = (
+        f"({per_line}) >= {T25_PUNCT_PER_LINE} OR "
+        f"(({ind_frac}) >= {T25_INDENT_FRAC} AND kw_hits >= {T25_MIN_KW})"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr("coalesce(text, '')").alias("t"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(split(t, char(10))) AS BIGINT)").alias(
+                "n_lines"
+            ),
+            F.expr(
+                "CAST(length(t) - length(translate(t, ';', '')) AS BIGINT)"
+            ).alias("n_semi"),
+            F.expr(
+                f"CAST(length(t) - length(translate(t, '{_T25_PUNCT}', ''))"
+                " AS BIGINT)"
+            ).alias("n_punct"),
+            F.expr(
+                "CAST(size(filter(split(t, char(10)), l -> "
+                "substring(l, 1, 1) = char(9) OR substring(l, 1, 2) = '  '))"
+                " AS BIGINT)"
+            ).alias("indent_lines"),
+            F.expr(f"CAST({kw_terms} AS BIGINT)").alias("kw_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_semi",
+            "n_punct",
+            "indent_lines",
+            "kw_hits",
+            F.expr(per_line).alias("punct_per_line"),
+            F.expr(ind_frac).alias("indent_frac"),
+            F.expr(verdict).alias("looks_code"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t25_sql() -> str:
+    kw_terms = " + ".join(
+        f"(length(t) - length(replace(t, '{kw}', ''))) // {len(kw)}"
+        for kw in _T25_KWS
+    )
+    per_line = "CAST(n_semi + n_punct AS DOUBLE) / n_lines"
+    ind_frac = "CAST(indent_lines AS DOUBLE) / n_lines"
+    return f"""
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+         CAST(length(t) - length(translate(t, ';', '')) AS BIGINT)
+           AS n_semi,
+         CAST(length(t) - length(translate(t, '{_T25_PUNCT}', ''))
+           AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split(t, chr(10)), l ->
+           substr(l, 1, 1) = chr(9) OR substr(l, 1, 2) = '  '))
+           AS BIGINT) AS indent_lines,
+         CAST({kw_terms} AS BIGINT) AS kw_hits
+  FROM c
+)
+SELECT doc_id, n_lines, n_semi, n_punct, indent_lines, kw_hits,
+       {per_line} AS punct_per_line,
+       {ind_frac} AS indent_frac,
+       ({per_line}) >= {T25_PUNCT_PER_LINE}
+         OR (({ind_frac}) >= {T25_INDENT_FRAC}
+             AND kw_hits >= {T25_MIN_KW}) AS looks_code
+FROM sig ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1951,6 +2074,7 @@ QUERIES = {
     "t22_rake_keyphrases": t22_rake_keyphrases,
     "t23_encoding_anomalies": t23_encoding_anomalies,
     "t24_source_divergence": t24_source_divergence,
+    "t25_code_detect": t25_code_detect,
 }
 
 ORACLES = {
@@ -1978,4 +2102,5 @@ ORACLES = {
     "t22_rake_keyphrases": _t22_sql(),
     "t23_encoding_anomalies": _t23_sql(),
     "t24_source_divergence": _t24_sql(),
+    "t25_code_detect": _t25_sql(),
 }

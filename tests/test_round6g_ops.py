@@ -1,9 +1,12 @@
-"""Crafted-case semantics for d26 (duplicate-cluster size census):
-planted clusters of known sizes/chars with hand-computed bucket rows,
-the head-first cumulative savings, a mass-duplicated stress corpus, and
-the executed-plan pin for the digest-only exchange claim."""
+"""Crafted-case semantics for the round-6 seventh wave (d26 cluster-size
+census, t25 code detection, c21 context-length sweep, e35 seasonal
+anomaly): planted inputs with hand-computable answers, plus the
+executed-plan pins for each op's scale-shape claim."""
 
 from __future__ import annotations
+
+import datetime as dt
+import math
 
 import pytest
 
@@ -135,3 +138,183 @@ def test_d26_exchanges_carry_digests_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line and "nrm#" not in line, line
+
+
+# -- t25: code-vs-prose detection ---------------------------------------------
+
+
+def test_t25_python_shaped_doc_flags_via_indent_and_keywords(spark, tmp_path):
+    from floorist_spark.operators.text import t25_code_detect
+
+    code = "def f(x):\n  return x + 1\n\nimport os\n  y = f(2);\n"
+    rows = [(1, code, 0)]
+    out = _write_docs(spark, tmp_path, rows)
+    r = t25_code_detect(spark, out).collect()[0]
+    # lines: ["def f(x):", "  return x + 1", "", "import os",
+    #         "  y = f(2);", ""]
+    assert r["n_lines"] == 6
+    assert r["n_semi"] == 1
+    assert r["n_punct"] == 5  # ( ) in line 1; = ( ) in line 5
+    assert r["indent_lines"] == 2
+    assert r["kw_hits"] == 3  # "def ", "return ", "import "
+    assert r["punct_per_line"] == 6 / 6
+    assert r["indent_frac"] == 2 / 6
+    # indent path: frac >= 0.25 and kw_hits >= 2
+    assert bool(r["looks_code"]) is True
+
+
+def test_t25_punct_density_path_and_prose_negative(spark, tmp_path):
+    from floorist_spark.operators.text import t25_code_detect
+
+    rows = [
+        # dense statement punctuation, zero keywords -> punct path
+        (1, "a=1;b=2;c=3;", 0),
+        # plain prose -> everything near zero
+        (2, "This is a plain sentence about nothing in particular.", 0),
+        # a stray prose "return " alone (kw_hits 1 < 2) must not flip it
+        (3, "  We return to the topic.\n  More prose here.", 0),
+        # empty text is total: one line, all counters zero
+        (4, "", 0),
+        (5, None, 0),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in t25_code_detect(spark, out).collect()}
+    assert got[1]["n_semi"] == 3
+    assert got[1]["n_punct"] == 3
+    assert got[1]["punct_per_line"] == 6.0
+    assert bool(got[1]["looks_code"]) is True
+    assert bool(got[2]["looks_code"]) is False
+    # doc 3: indent_frac = 1.0 but only one keyword hit
+    assert got[3]["indent_lines"] == 2
+    assert got[3]["kw_hits"] == 1
+    assert bool(got[3]["looks_code"]) is False
+    for d in (4, 5):
+        assert got[d]["n_lines"] == 1
+        assert got[d]["n_semi"] == 0
+        assert bool(got[d]["looks_code"]) is False
+
+
+def test_t25_is_a_pure_projection(spark):
+    from floorist_spark.operators.text import t25_code_detect
+
+    plan = (
+        t25_code_detect(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+# -- c21: context-length padding/split sweep ----------------------------------
+
+
+def test_c21_exact_padding_and_split_accounting(spark, tmp_path):
+    from floorist_spark.operators.curation import CTX_WIDTHS, c21_ctx_length_sweep
+
+    assert CTX_WIDTHS[0] == 256
+    rows = [
+        (1, " ".join(["tok"] * 100), 0),
+        (2, " ".join(["tok"] * 300), 0),
+        (3, "tok", 0),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["ctx_len"]: r for r in c21_ctx_length_sweep(spark, out).collect()}
+    assert set(got) == set(CTX_WIDTHS)
+
+    r256 = got[256]
+    assert r256["n_docs"] == 3
+    assert r256["total_tokens"] == 401
+    # chunks: ceil(100/256)=1, ceil(300/256)=2, ceil(1/256)=1
+    assert r256["n_chunks"] == 4
+    assert r256["pad_tokens"] == (256 - 100) + (2 * 256 - 300) + (256 - 1)
+    assert r256["n_split_docs"] == 1
+    assert r256["pad_frac"] == r256["pad_tokens"] / (4 * 256)
+    assert r256["split_frac"] == 1 / 3
+
+    r512 = got[512]
+    assert r512["n_chunks"] == 3
+    assert r512["pad_tokens"] == (512 - 100) + (512 - 300) + (512 - 1)
+    assert r512["n_split_docs"] == 0
+    assert r512["split_frac"] == 0.0
+
+    # monotonicity across the sweep: pad never decreases with width once
+    # nothing splits; splits never increase with width
+    widths = sorted(CTX_WIDTHS)
+    for a, b in zip(widths, widths[1:]):
+        assert got[a]["n_split_docs"] >= got[b]["n_split_docs"]
+        assert got[a]["n_chunks"] >= got[b]["n_chunks"]
+
+
+def test_c21_single_corpus_scan_and_tiny_shuffle(spark):
+    from floorist_spark.operators.curation import c21_ctx_length_sweep
+
+    df = c21_ctx_length_sweep(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tokenizer runs before the width fan-out: ONE scan of documents
+    assert plan.count("FileScan parquet") == 1
+    # the only exchange is the 5-group aggregate on ctx_len
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "ctx_len" in line, line
+
+
+# -- e35: seasonally-adjusted anomaly -----------------------------------------
+
+
+def test_e35_planted_spike_dominates_and_flat_cells_are_filtered(
+    spark, tmp_path
+):
+    from floorist_spark.operators.events_analytics import e35_seasonal_anomaly
+
+    # three exact weeks starting on a Sunday 00:00; one event per hour,
+    # plus 9 extra in week 1 at hour-of-week cell 40 -> that cell's
+    # counts are [1, 10, 1]: n=3, s=12, ss=102, mean=4, var=34-16=18.
+    # Every other cell is [1,1,1] (variance 0 -> exact-filtered).
+    base = dt.datetime(2024, 6, 2)  # a Sunday
+    rows = []
+    eid = 0
+    for w in range(3):
+        for c in range(168):
+            ts = base + dt.timedelta(hours=w * 168 + c)
+            n = 10 if (w == 1 and c == 40) else 1
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, ts, 1, "view", 0.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+
+    got = e35_seasonal_anomaly(spark, out).collect()
+    # only cell 40's three hours survive the variance filter
+    assert len(got) == 3
+    assert all(r["cell"] == 40 for r in got)
+    top = got[0]
+    assert top["n_events"] == 10
+    assert top["cell_mean"] == 4.0
+    assert top["z"] == 6 / math.sqrt(18.0)
+    for r in got[1:]:
+        assert r["n_events"] == 1
+        assert r["z"] == -3 / math.sqrt(18.0)
+    # ranked by |z| desc then hour: the two -0.707 hours in time order
+    assert got[1]["hour"] < got[2]["hour"]
+
+
+def test_e35_single_corpus_scan_with_broadcast_moments(spark):
+    from floorist_spark.operators.events_analytics import e35_seasonal_anomaly
+
+    df = e35_seasonal_anomaly(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hourly rollup feeds both moments and scoring; the cell-moments
+    # side rides a broadcast hash join, and the top-K is TakeOrdered,
+    # not a global sort of the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
