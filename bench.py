@@ -136,6 +136,7 @@ HEADLINE = (
     "t25_code_detect",
     "c21_ctx_length_sweep",
     "e35_seasonal_anomaly",
+    "s21_embedding_hygiene",
 )
 
 

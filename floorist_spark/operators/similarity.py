@@ -1906,6 +1906,151 @@ FROM p ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# s21 — embedding-hygiene audit (the index-ingest admission gate)
+# ---------------------------------------------------------------------------
+
+
+def s21_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-hygiene report, the admission gate an index
+    runs BEFORE ingest: vector count, zero-norm count (cosine is
+    undefined — these crash or silently rank first depending on the
+    engine), exact-duplicate count within the label (index bloat:
+    identical vectors waste cells and skew kNN votes), cross-label
+    CONFLICT count (the same exact vector under different labels —
+    poisoned supervision for s12/s17), and the norm envelope
+    (min/median/max — a collapsed or exploding norm distribution is
+    the classic sign of a broken encoder checkpoint). Duplicate counts
+    are rows in a within-label dup group; conflict counts are rows
+    whose exact value crosses labels — disjoint failure modes reported
+    separately. Complements the maintenance dashboard (s14/s19/s20)
+    with the ingest-side check. New surface, SURVEY §7.2.7.
+
+    Float determinism: norms use the shared strict-left-fold fragments
+    (textfrag.norm2_*) — bit-identical across engines; min/max are
+    order-independent; the median is the EXACT element at rank
+    (n+1) DIV 2 under (norm, vec_id) order — no interpolation, because
+    Spark's percentile() midpoint arithmetic and DuckDB's
+    quantile_cont can disagree by 1 ulp on double inputs. Zero-norm
+    is an exact ``= 0.0`` compare on identically-computed doubles.
+
+    Scale shape: duplicate/conflict detection groups on the RAW vector
+    value, so those two exchanges carry the 256-byte embedding — the
+    honest exactness trade at audit scale; the production swap is a
+    fingerprint over the raw float bits (same plan shape, 16-byte
+    keys), not values rendered to strings (float→string formats are
+    engine-dependent). Everything else shuffles on the tiny label key;
+    the median window sorts per label, the approx_percentile sketch is
+    the 10⁹-vector swap-in (the c13 rule)."""
+    from pyspark.sql.window import Window
+
+    norm = tf.norm2_spark("embedding")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(norm).alias("norm")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    # within-label exact-duplicate groups; then labels-per-value over the
+    # already-distinct (label, value) rows — the second aggregate and the
+    # join-back touch one row per distinct value, not per vector
+    per_label_val = vecs.groupBy("label", "embedding").agg(
+        F.count("*").alias("n_copies")
+    )
+    per_val = per_label_val.groupBy("embedding").agg(
+        F.count("*").alias("n_labels")
+    )
+    flagged = (
+        per_label_val.join(per_val, "embedding")
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("IF(n_copies > 1, n_copies, 0)"))
+            .cast("bigint")
+            .alias("n_dup_vecs"),
+            F.sum(F.expr("IF(n_labels > 1, n_copies, 0)"))
+            .cast("bigint")
+            .alias("n_conflict_vecs"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("norm", "vec_id")
+    ranked = emb.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_label", F.count("*").over(Window.partitionBy("label"))
+    )
+    stats = ranked.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.expr("IF(norm = CAST(0 AS DOUBLE), 1, 0)"))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.min("norm").alias("min_norm"),
+        F.max(F.expr("IF(rn = (n_label + 1) DIV 2, norm, NULL)")).alias(
+            "median_norm"
+        ),
+        F.max("norm").alias("max_norm"),
+    )
+    return (
+        stats.join(flagged, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "n_zero_norm",
+            "n_dup_vecs",
+            "n_conflict_vecs",
+            "min_norm",
+            "median_norm",
+            "max_norm",
+        )
+        .orderBy("label")
+    )
+
+
+def _s21_sql() -> str:
+    norm = tf.norm2_duck("embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {norm} AS norm FROM embeddings
+),
+per_label_val AS (
+  SELECT label, embedding, CAST(count(*) AS BIGINT) AS n_copies
+  FROM e GROUP BY label, embedding
+),
+per_val AS (
+  SELECT embedding, CAST(count(*) AS BIGINT) AS n_labels
+  FROM per_label_val GROUP BY embedding
+),
+flagged AS (
+  SELECT label,
+         CAST(sum(CASE WHEN g.n_copies > 1 THEN g.n_copies ELSE 0 END)
+              AS BIGINT) AS n_dup_vecs,
+         CAST(sum(CASE WHEN p.n_labels > 1 THEN g.n_copies ELSE 0 END)
+              AS BIGINT) AS n_conflict_vecs
+  FROM per_label_val g JOIN per_val p USING (embedding)
+  GROUP BY label
+),
+ranked AS (
+  SELECT label, norm,
+         row_number() OVER (PARTITION BY label ORDER BY norm, vec_id)
+           AS rn,
+         count(*) OVER (PARTITION BY label) AS n_label
+  FROM e
+),
+stats AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN norm = 0.0::DOUBLE THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_zero_norm,
+         min(norm) AS min_norm,
+         max(CASE WHEN rn = (n_label + 1) // 2 THEN norm END)
+           AS median_norm,
+         max(norm) AS max_norm
+  FROM ranked GROUP BY label
+)
+SELECT s.label, n_vecs, n_zero_norm, n_dup_vecs, n_conflict_vecs,
+       min_norm, median_norm, max_norm
+FROM stats s JOIN flagged f ON s.label = f.label
+ORDER BY s.label
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -1927,6 +2072,7 @@ QUERIES = {
     "s18_rrf_fusion": s18_rrf_fusion,
     "s19_tombstone_compaction": s19_tombstone_compaction,
     "s20_cell_rebalance": s20_cell_rebalance,
+    "s21_embedding_hygiene": s21_embedding_hygiene,
 }
 
 ORACLES = {
@@ -1950,4 +2096,5 @@ ORACLES = {
     "s18_rrf_fusion": _s18_sql(),
     "s19_tombstone_compaction": _s19_sql(),
     "s20_cell_rebalance": _s20_sql(),
+    "s21_embedding_hygiene": _s21_sql(),
 }

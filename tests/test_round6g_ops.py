@@ -307,6 +307,62 @@ def test_e35_planted_spike_dominates_and_flat_cells_are_filtered(
     assert got[1]["hour"] < got[2]["hour"]
 
 
+# -- s21: embedding-hygiene audit ---------------------------------------------
+
+
+def test_s21_planted_zero_dup_and_conflict_vectors(spark, tmp_path):
+    from floorist_spark.operators.similarity import s21_embedding_hygiene
+
+    rows = [
+        # label 0: a 3-4-5 vector twice (within-label dup, also crosses
+        # into label 1), and the zero vector
+        (1, [3.0, 4.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [0.0, 0.0], 0),
+        # label 1: one clean vector and one copy of label 0's dup
+        (4, [6.0, 8.0], 1),
+        (5, [3.0, 4.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+
+    got = {r["label"]: r for r in s21_embedding_hygiene(spark, out).collect()}
+    assert set(got) == {0, 1}
+
+    l0 = got[0]
+    assert l0["n_vecs"] == 3
+    assert l0["n_zero_norm"] == 1
+    assert l0["n_dup_vecs"] == 2  # both copies of [3,4]
+    assert l0["n_conflict_vecs"] == 2  # [3,4] also lives under label 1
+    assert l0["min_norm"] == 0.0
+    # norms sorted: 0, 5, 5 -> rank (3+1)//2 = 2 -> 5.0
+    assert l0["median_norm"] == 5.0
+    assert l0["max_norm"] == 5.0
+
+    l1 = got[1]
+    assert l1["n_vecs"] == 2
+    assert l1["n_zero_norm"] == 0
+    assert l1["n_dup_vecs"] == 0  # no within-label copy
+    assert l1["n_conflict_vecs"] == 1  # its [3,4] row
+    assert (l1["min_norm"], l1["max_norm"]) == (5.0, 10.0)
+    # rank (2+1)//2 = 1 -> the smaller norm
+    assert l1["median_norm"] == 5.0
+
+
+def test_s21_value_join_is_one_row_per_distinct_value(spark):
+    from floorist_spark.operators.similarity import s21_embedding_hygiene
+
+    df = s21_embedding_hygiene(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # both flag aggregates are hash aggregates with map-side partials,
+    # and the final stats/flags join keys on the tiny label column
+    assert "HashAggregate" in plan
+
+
 def test_e35_single_corpus_scan_with_broadcast_moments(spark):
     from floorist_spark.operators.events_analytics import e35_seasonal_anomaly
 
