@@ -2550,34 +2550,51 @@ def e35_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     densification) so silent hours are scored, not skipped — an outage
     IS the anomaly a monitor must catch.
 
-    Determinism (the e14 rule): per-cell moments are EXACT integer sums
-    (n, Σc, Σc²), zero-variance cells are filtered with the exact
-    DECIMAL(38,0)/HUGEINT compare BEFORE any float division (Spark
-    yields NULL, DuckDB inf/NaN on σ=0 — neither engine ever scores
-    the undefined case), and the z arithmetic is a fixed IEEE
-    expression tree both engines evaluate identically. dow is Spark
-    ``dayofweek − 1`` so 0 = Sunday matches DuckDB (the e31 rule).
-    Overflow headroom: ss·n ≤ (2⁶³−1)² ≈ 8.5e37 < 1e38 from BIGINT
-    inputs, so DECIMAL(38,0) and HUGEINT agree on every reachable
-    input.
+    Determinism (the e14 rule, hardened): per-cell moments are EXACT
+    integer sums (n, Σc, Σc²); zero-variance cells are filtered with
+    the exact DECIMAL(38,0)/HUGEINT compare BEFORE any float division;
+    and the variance itself is built from the exact integer numerator
+    n·Σc² − (Σc)² rendered via STRING→DOUBLE (the _dsum rule), NOT the
+    one-pass ss/n − mean² form — that form cancels catastrophically
+    and can round to ≤ 0 even when the exact gate passes, which would
+    resurface the Spark-NULL vs DuckDB-inf divergence inside the
+    top-K. The exact numerator is ≥ 1 whenever the gate holds, so
+    sqrt(var) > 0 strictly and both engines execute the identical IEEE
+    tree. dow is Spark ``dayofweek − 1`` so 0 = Sunday matches DuckDB
+    (the e31 rule). Overflow headroom: ss·n ≤ (2⁶³−1)² ≈ 8.5e37 <
+    1e38 from BIGINT inputs, so DECIMAL(38,0) and HUGEINT agree on
+    every reachable input.
 
     Ranking determinism: the sort key is (|z| DESC, hour) — |z| is the
     same IEEE double on both engines and hour is unique, so the K-row
     cut line cannot differ.
 
-    Scale shape: one map-side-combined hourly rollup, a sequence()-
-    exploded calendar from a broadcast 1-row bounds aggregate (never a
-    second corpus scan), a ≤168-row cell-moments aggregate broadcast
-    back over the hours table; the top-K is a TakeOrdered over the
-    hours table, never a global sort. Nothing corpus-sized shuffles
-    twice."""
+    Scale shape: ONE corpus scan feeding a map-side-combined hourly
+    rollup (persisted — bounds AND scoring read it; date_trunc is
+    monotone so the calendar bounds are min/max of the rolled-up
+    hours, pinned by the cache-reuse plan test), a sequence()-
+    exploded calendar from a broadcast 1-row bounds aggregate, a
+    ≤168-row cell-moments aggregate broadcast back over the hours
+    table; the top-K is a TakeOrdered over the hours table, never a
+    global sort."""
+    from floorist_spark.operators._cache import track
+
     ev = _load_events(spark, sf_dir)
-    agg = ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour")).agg(
-        F.count("*").alias("n")
+    # date_trunc is monotone, so the calendar bounds are the min/max of
+    # the ALREADY-ROLLED-UP hours — one corpus scan feeds everything.
+    # The rollup is persisted (tiny: one row per hour) because both the
+    # bounds and the scoring join read it; unpersisted, Spark replays
+    # the subtree and scans the corpus twice (the e14 lesson, pinned by
+    # the FileScan-count plan test).
+    agg = track(
+        ev.groupBy(F.expr("date_trunc('hour', ts)").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
-    bounds = ev.agg(
-        F.expr("date_trunc('hour', min(ts))").alias("lo"),
-        F.expr("date_trunc('hour', max(ts))").alias("hi"),
+    agg.count()
+    bounds = agg.agg(
+        F.min("hour").alias("lo"),
+        F.max("hour").alias("hi"),
     )
     calendar = bounds.select(
         F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
@@ -2596,10 +2613,18 @@ def e35_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("n_events * n_events")).alias("ss"),
     )
     mean = "CAST(s AS DOUBLE) / n_hours"
-    z = (
-        f"(n_events - ({mean})) / "
-        f"sqrt(CAST(ss AS DOUBLE) / n_hours - ({mean}) * ({mean}))"
+    # variance from the EXACT integer numerator n·Σc² − (Σc)², rendered
+    # through STRING (the _dsum rule) — the one-pass ss/n − mean² form
+    # cancels catastrophically and can round to ≤ 0 even when the exact
+    # gate passes, resurfacing the Spark-NULL/DuckDB-inf divergence
+    # inside the ranking; the exact numerator is ≥ 1 whenever the gate
+    # holds, so sqrt(var) > 0 strictly on both engines.
+    var = (
+        "CAST(CAST(CAST(ss AS DECIMAL(38,0)) * n_hours "
+        "- CAST(s AS DECIMAL(38,0)) * s AS STRING) AS DOUBLE) "
+        "/ (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE))"
     )
+    z = f"(n_events - ({mean})) / sqrt({var})"
     return (
         hourly.join(F.broadcast(cell_stats), "cell")
         .filter(
@@ -2622,19 +2647,19 @@ def e35_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _e35_sql() -> str:
     mean = "CAST(s AS DOUBLE) / n_hours"
-    z = (
-        f"(n_events - ({mean})) / "
-        f"sqrt(CAST(ss AS DOUBLE) / n_hours - ({mean}) * ({mean}))"
+    var = (
+        "CAST(CAST(CAST(ss AS HUGEINT) * n_hours "
+        "- CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE) "
+        "/ (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE))"
     )
+    z = f"(n_events - ({mean})) / sqrt({var})"
     return f"""
 WITH agg AS (
   SELECT date_trunc('hour', ts) AS hour, count(*) AS n
   FROM events GROUP BY 1
 ),
 bounds AS (
-  SELECT date_trunc('hour', min(ts)) AS lo,
-         date_trunc('hour', max(ts)) AS hi
-  FROM events
+  SELECT min(hour) AS lo, max(hour) AS hi FROM agg
 ),
 calendar AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour

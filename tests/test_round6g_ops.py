@@ -374,3 +374,9 @@ def test_e35_single_corpus_scan_with_broadcast_moments(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # ONE corpus scan: bounds and scoring both read the PERSISTED hourly
+    # rollup (every reference is an InMemoryTableScan — the raw FileScan
+    # appears only inside the printed cached subtree, the e14 replay
+    # lesson). Four references: bounds->calendar and the rollup join
+    # side, each under the twice-expanded hourly subtree.
+    assert plan.count("InMemoryTableScan") >= 2
