@@ -137,6 +137,7 @@ HEADLINE = (
     "c21_ctx_length_sweep",
     "e35_seasonal_anomaly",
     "s21_embedding_hygiene",
+    "d27_threshold_sweep",
 )
 
 

@@ -2349,6 +2349,156 @@ ORDER BY b.bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# d27 — Jaccard-threshold operating-point sweep (what would τ cost?)
+# ---------------------------------------------------------------------------
+
+#: candidate keep/drop thresholds priced by the sweep; parsed as DOUBLE
+#: literals by both engines (e-notation) so every comparison uses the
+#: identical IEEE value.
+D27_THRESHOLDS = ("0.70e0", "0.75e0", "0.80e0", "0.85e0", "0.90e0")
+
+
+def d27_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating-point sweep: for each candidate Jaccard threshold
+    τ, the verified-pair count, the documents touched by any ≥τ pair,
+    the documents the pairwise keep-lowest rule would drop, the drop
+    fraction, and the surviving corpus size. d04 commits to ONE τ
+    (0.8); this prices the alternatives BEFORE committing — the
+    m17/c21 sweep-vs-operator pattern applied to the dedup knob every
+    pipeline actually argues about (drop too little and near-dups
+    survive training; drop too much and you pay recall for nothing).
+    Thresholds below LSH's recall knee are priced against the SAME
+    candidate set the production pipeline would see (the 1−(1−τ⁴)⁸
+    S-curve d19/d25 audit), which is the honest comparison: the sweep
+    answers "what does moving τ do to THIS index", not to an oracle
+    with perfect recall. New surface, SURVEY §7.2.7.
+
+    Determinism: the drop rule is the pairwise keep-lowest convention
+    (doc_b of an ordered pair is droppable) — transitive-closure drops
+    are d09/d10's job at the chosen τ; this sweep's counts are
+    single-pass exact. Jaccard is the shared integer-cardinality ratio
+    (one division), every τ a shared e-notation literal, all counts
+    BIGINT, the final fracs single exact divisions.
+
+    Scale shape: candidates re-derive from the memoized shingle/band
+    tables (one shuffle over ~candidate pairs, never all-pairs, bucket
+    cap inherited); the τ fan-out multiplies the CANDIDATE table
+    (thousands of rows) by |thresholds|, not the corpus; both
+    aggregates are map-side combinable on the 5-value τ key and the
+    threshold dimension left-joins so every τ row survives an empty
+    filter."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    bands = _band_rows(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(tf.jaccard_spark("sh_a", "sh_b")).alias("j"),
+        )
+    )
+    taulist = ", ".join(D27_THRESHOLDS)
+    taus = spark.range(1).select(
+        F.expr(f"explode(array({taulist}))").alias("tau")
+    )
+    fan = scored.select(
+        "doc_a", "doc_b", "j", F.expr(f"explode(array({taulist}))").alias("tau")
+    ).filter(F.expr("j >= tau"))
+    pairs_agg = fan.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_droppable"),
+    )
+    docs_agg = (
+        fan.select("tau", F.explode(F.expr("array(doc_a, doc_b)")).alias("doc"))
+        .groupBy("tau")
+        .agg(F.countDistinct("doc").alias("n_docs_in_pairs"))
+    )
+    totals = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("corpus_docs")
+    )
+    return (
+        taus.join(pairs_agg, "tau", "left")
+        .join(docs_agg, "tau", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
+            F.coalesce("n_droppable", F.lit(0))
+            .cast("bigint")
+            .alias("n_droppable"),
+            F.expr(
+                "CAST(coalesce(n_droppable, 0) AS DOUBLE) / corpus_docs"
+            ).alias("drop_frac"),
+            F.expr("corpus_docs - coalesce(n_droppable, 0)")
+            .cast("bigint")
+            .alias("survivors"),
+        )
+        .orderBy("tau")
+    )
+
+
+def _d27_sql() -> str:
+    taulist = ", ".join(f"({t})" for t in D27_THRESHOLDS)
+    return f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+scored AS (
+  SELECT doc_a, doc_b, {tf.jaccard_duck("a.sh", "b.sh")} AS j
+  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+            JOIN sh b ON b.doc_id = cand.doc_b
+),
+taus AS (SELECT tau FROM (VALUES {taulist}) t(tau)),
+fan AS (
+  SELECT tau, doc_a, doc_b FROM scored CROSS JOIN taus WHERE j >= tau
+),
+pa AS (
+  SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT doc_b) AS BIGINT) AS n_droppable
+  FROM fan GROUP BY tau
+),
+da AS (
+  SELECT tau, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_in_pairs
+  FROM (
+    SELECT tau, doc_a AS doc FROM fan
+    UNION ALL
+    SELECT tau, doc_b AS doc FROM fan
+  ) GROUP BY tau
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+SELECT t.tau,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs,
+       CAST(coalesce(n_droppable, 0) AS BIGINT) AS n_droppable,
+       CAST(coalesce(n_droppable, 0) AS DOUBLE) / corpus_docs AS drop_frac,
+       CAST(corpus_docs - coalesce(n_droppable, 0) AS BIGINT) AS survivors
+FROM taus t LEFT JOIN pa USING (tau) LEFT JOIN da USING (tau)
+CROSS JOIN tot
+ORDER BY t.tau
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2375,6 +2525,7 @@ QUERIES = {
     "d24_exact_substring_spans": d24_exact_substring_spans,
     "d25_lsh_recall_audit": d25_lsh_recall_audit,
     "d26_cluster_size_census": d26_cluster_size_census,
+    "d27_threshold_sweep": d27_threshold_sweep,
 }
 
 ORACLES = {
@@ -2403,4 +2554,5 @@ ORACLES = {
     "d24_exact_substring_spans": _d24_sql(),
     "d25_lsh_recall_audit": _d25_sql(),
     "d26_cluster_size_census": D26_SQL,
+    "d27_threshold_sweep": _d27_sql(),
 }

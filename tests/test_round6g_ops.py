@@ -307,6 +307,73 @@ def test_e35_planted_spike_dominates_and_flat_cells_are_filtered(
     assert got[1]["hour"] < got[2]["hour"]
 
 
+# -- d27: Jaccard-threshold operating-point sweep -----------------------------
+
+
+def test_d27_mid_jaccard_pair_crosses_only_low_thresholds(spark, tmp_path):
+    """A planted prefix pair whose exact shingle Jaccard lands in
+    [0.75, 0.80) — counted at tau 0.70/0.75, absent at 0.80+ — plus a
+    disjoint doc that never pairs. Seeded construction verified to be
+    surfaced by the LSH bands (81/104-char prefix: j ~ 77/100)."""
+    import random
+    import string
+
+    from floorist_spark.operators.dedup import d27_threshold_sweep
+
+    rng = random.Random()
+    rng.seed(7)
+    base = "".join(rng.choice(string.ascii_lowercase) for _ in range(104))
+    prefix = base[:81]
+    other = "".join(rng.choice(string.ascii_lowercase) for _ in range(80))
+    rows = [(1, base, 0), (2, prefix, 0), (3, other, 0)]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["tau"]: r for r in d27_threshold_sweep(spark, out).collect()}
+    assert sorted(got) == [0.70, 0.75, 0.80, 0.85, 0.90]
+    for tau in (0.70, 0.75):
+        r = got[tau]
+        assert r["n_pairs"] == 1
+        assert r["n_docs_in_pairs"] == 2
+        assert r["n_droppable"] == 1  # doc 2, the higher id of the pair
+        assert r["survivors"] == 2
+        assert r["drop_frac"] == 1 / 3
+    for tau in (0.80, 0.85, 0.90):
+        r = got[tau]
+        assert r["n_pairs"] == 0
+        assert r["n_docs_in_pairs"] == 0
+        assert r["n_droppable"] == 0
+        assert r["survivors"] == 3  # empty thresholds keep their row
+        assert r["drop_frac"] == 0.0
+
+
+def test_d27_exact_duplicates_count_at_every_threshold(spark, tmp_path):
+    from floorist_spark.operators.dedup import d27_threshold_sweep
+
+    rows = [
+        (1, "identical payload text here", 0),
+        (2, "identical payload text here", 0),
+        (3, "completely different content", 0),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["tau"]: r for r in d27_threshold_sweep(spark, out).collect()}
+    # identical docs share every band signature: candidate with j = 1.0
+    for r in got.values():
+        assert r["n_pairs"] == 1
+        assert r["n_droppable"] == 1
+        assert r["survivors"] == 2
+
+
+def test_d27_fanout_multiplies_candidates_not_corpus(spark):
+    from floorist_spark.operators.dedup import d27_threshold_sweep
+
+    df = d27_threshold_sweep(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # corpus totals ride a broadcast; no text column in any exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "nrm#" not in line, line
+
+
 # -- s21: embedding-hygiene audit ---------------------------------------------
 
 
