@@ -138,6 +138,7 @@ HEADLINE = (
     "e35_seasonal_anomaly",
     "s21_embedding_hygiene",
     "d27_threshold_sweep",
+    "m18_caption_rate_audit",
 )
 
 

@@ -85,8 +85,8 @@ def _with_cache_release(
 #: d19–d25, e27–e34, m13–m17, s15–s20, t18–t24), every one
 #: selfcheck-green at sf0.01 AND sf0.1. OUT: everything
 #: CORRECTNESS_r05 already hash-validated. m12 and the wave-7/8/9
-#: additions (d26, t25, c21, e35, s21, d27) are the round-6 entries left
-#: for the next
+#: additions (d26, t25, c21, e35, s21, d27, m18) are the round-6 entries
+#: left for the next
 #: window (the 49-cap forces them out; each carries independent
 #: crafted-corpus coverage — test_skew_stress hot-block census and the
 #: test_round6g_ops planted/mass-dup/planted-spike suites vs

@@ -1591,6 +1591,117 @@ FROM per_digest GROUP BY block_w ORDER BY block_w
 """
 
 
+# ---------------------------------------------------------------------------
+# m18 — caption-rate audit (caption/media consistency over the audio slice)
+# ---------------------------------------------------------------------------
+
+#: how many fastest/slowest transcription rates the audit flags
+M18_TOP_K = 10
+
+
+def m18_caption_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption/media consistency audit over the audio slice of the m02
+    catalog: tokens-per-second of each asset's caption against its
+    duration, flagging the K fastest and K slowest rates — transcripts
+    at implausible words-per-second are the classic sign of misaligned
+    caption/media pairs (wrong-file joins, truncated audio, subtitle
+    drift), and catching them BEFORE contrastive training (m10) is the
+    difference between hard negatives and poisoned positives. Duration
+    is m02's digest-derived intrinsic (a real pipeline reads it from
+    the container header); the caption is the document text. New
+    surface, SURVEY §7.2.7.
+
+    Rank-based flags, not thresholds (the e35 rule): plausibility
+    bounds are corpus-relative, so the audit surfaces its K worst each
+    side regardless of scale. Boundary ties INCLUDE every row at the
+    Kth rate on both engines (the cut compares against the Kth value,
+    not the row number), so the flag set is deterministic.
+
+    Scale shape: one corpus scan projecting (doc_id, tokens, duration)
+    for the audio third; both Kth-rate probes are TakeOrdered top-K
+    (per-partition top-K + driver merge, never a global sort or a
+    single-partition window) whose 1-row min/max aggregates broadcast
+    back over the slice. wps is a single exact-BIGINT division."""
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
+    dur = (
+        "CAST(conv(substring(md5(coalesce(text, '')), 1, 4), 16, 10) "
+        "% 3600 + 1 AS BIGINT)"
+    )
+    aud = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr("pmod(doc_id, 3) = 1"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({ntok} AS BIGINT)").alias("n_tokens"),
+            F.expr(dur).alias("duration_s"),
+        )
+        .withColumn(
+            "wps", F.expr("CAST(n_tokens AS DOUBLE) / duration_s")
+        )
+    )
+    hi = (
+        aud.orderBy(F.col("wps").desc(), "doc_id")
+        .limit(M18_TOP_K)
+        .agg(F.min("wps").alias("kth_hi"))
+    )
+    lo = (
+        aud.orderBy(F.col("wps").asc(), "doc_id")
+        .limit(M18_TOP_K)
+        .agg(F.max("wps").alias("kth_lo"))
+    )
+    return (
+        aud.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "duration_s",
+            "wps",
+            F.expr(
+                "CASE WHEN wps >= kth_hi THEN 'too_fast' "
+                "WHEN wps <= kth_lo THEN 'too_slow' "
+                "ELSE 'ok' END"
+            ).alias("flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _m18_sql() -> str:
+    ntok = f"len({tf.tokens_duck(tf.norm_duck('text'))})"
+    dur = (
+        "CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 4)) AS BIGINT)"
+        " % 3600 + 1"
+    )
+    return f"""
+WITH aud AS (
+  SELECT doc_id,
+         CAST({ntok} AS BIGINT) AS n_tokens,
+         CAST({dur} AS BIGINT) AS duration_s
+  FROM documents WHERE doc_id % 3 = 1
+),
+rated AS (
+  SELECT *, CAST(n_tokens AS DOUBLE) / duration_s AS wps FROM aud
+),
+hi AS (
+  SELECT min(wps) AS kth_hi FROM (
+    SELECT wps FROM rated ORDER BY wps DESC, doc_id LIMIT {M18_TOP_K}
+  )
+),
+lo AS (
+  SELECT max(wps) AS kth_lo FROM (
+    SELECT wps FROM rated ORDER BY wps ASC, doc_id LIMIT {M18_TOP_K}
+  )
+)
+SELECT doc_id, n_tokens, duration_s, wps,
+       CASE WHEN wps >= kth_hi THEN 'too_fast'
+            WHEN wps <= kth_lo THEN 'too_slow'
+            ELSE 'ok' END AS flag
+FROM rated CROSS JOIN hi CROSS JOIN lo
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1609,6 +1720,7 @@ QUERIES = {
     "m15_chunk_overlap_pairs": m15_chunk_overlap_pairs,
     "m16_payload_size_census": m16_payload_size_census,
     "m17_block_size_sweep": m17_block_size_sweep,
+    "m18_caption_rate_audit": m18_caption_rate_audit,
 }
 
 ORACLES = {
@@ -1629,4 +1741,5 @@ ORACLES = {
     "m15_chunk_overlap_pairs": M15_SQL,
     "m16_payload_size_census": M16_SQL,
     "m17_block_size_sweep": M17_SQL,
+    "m18_caption_rate_audit": _m18_sql(),
 }

@@ -374,6 +374,66 @@ def test_d27_fanout_multiplies_candidates_not_corpus(spark):
             assert "text#" not in line and "nrm#" not in line, line
 
 
+# -- m18: caption-rate audit --------------------------------------------------
+
+
+def test_m18_flags_match_python_reference_and_skip_non_audio(spark, tmp_path):
+    """25 audio-slot docs with varied caption lengths; expected wps and
+    rank-based flags replicated in pure Python (durations via the same
+    md5 intrinsic as m02); non-audio slots must not appear."""
+    import hashlib
+
+    from floorist_spark.operators.multimodal import (
+        M18_TOP_K,
+        m18_caption_rate_audit,
+    )
+
+    audio_ids = [3 * i + 1 for i in range(25)]
+    rows = [(i, " ".join(["w"] * (5 + 7 * k)), 0) for k, i in enumerate(audio_ids)]
+    rows += [(0, "image slot doc", 0), (2, "video slot doc", 0)]
+    out = _write_docs(spark, tmp_path, rows)
+
+    exp = {}
+    for k, i in enumerate(audio_ids):
+        text = " ".join(["w"] * (5 + 7 * k))
+        dur = int(hashlib.md5(text.encode()).hexdigest()[:4], 16) % 3600 + 1
+        exp[i] = (5 + 7 * k, dur, (5 + 7 * k) / dur)
+    wps_sorted = sorted(exp.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    kth_hi = wps_sorted[M18_TOP_K - 1][1][2]
+    wps_asc = sorted(exp.items(), key=lambda kv: (kv[1][2], kv[0]))
+    kth_lo = wps_asc[M18_TOP_K - 1][1][2]
+
+    got = {r["doc_id"]: r for r in m18_caption_rate_audit(spark, out).collect()}
+    assert set(got) == set(audio_ids)  # image/video slots excluded
+    for i, (ntok, dur, wps) in exp.items():
+        r = got[i]
+        assert r["n_tokens"] == ntok
+        assert r["duration_s"] == dur
+        assert r["wps"] == wps
+        want = (
+            "too_fast"
+            if wps >= kth_hi
+            else ("too_slow" if wps <= kth_lo else "ok")
+        )
+        assert r["flag"] == want, (i, wps, kth_hi, kth_lo)
+    flags = [r["flag"] for r in got.values()]
+    assert flags.count("too_fast") == M18_TOP_K
+    assert flags.count("too_slow") == M18_TOP_K
+    assert flags.count("ok") == 5
+
+
+def test_m18_kth_probes_are_takeordered_with_broadcast_back(spark):
+    from floorist_spark.operators.multimodal import m18_caption_rate_audit
+
+    df = m18_caption_rate_audit(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold sides
+    assert "CartesianProduct" not in plan
+    # no global window: the flags come from broadcast Kth values
+    assert "Window" not in plan
+
+
 # -- s21: embedding-hygiene audit ---------------------------------------------
 
 
