@@ -36,6 +36,7 @@ HEADLINE = (
     "q31_salted_distinct_agg",
     "q32_percentiles",
     "q33_range_window",
+    "q42_full_outer_join",
     "d01_exact_dedup",
     "d03_minhash_lsh_candidates",
     "d04_lsh_jaccard_dedup",

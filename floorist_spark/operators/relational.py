@@ -1023,6 +1023,77 @@ ORDER BY l_orderkey, l_linenumber, metric
 """
 
 
+def q42_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN with null-side accounting — the one join type the
+    q-family didn't yet pin (q28 anti, q29 left, q34 exists). Positive-
+    balance customers FULL OUTER the per-customer order rollup, then
+    each row is classed both/left_only/right_only and aggregated: the
+    reconciliation shape (which records exist on only one side?) every
+    warehouse-vs-source audit runs. All outputs are BIGINT counts and
+    coalesced key extremes — no float anywhere.
+
+    Scale shape: the rollup is a map-side-combinable aggregate on
+    o_custkey; the full-outer is a key-colocated shuffle join (both
+    sides hash on custkey — AQE picks SMJ/shuffled-hash; a full outer
+    cannot broadcast and never should); the classing aggregate is a
+    3-row map-side-combinable reduce."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr("c_acctbal > 0"))
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+        .select(
+            F.expr(
+                "CASE WHEN c_custkey IS NULL THEN 'right_only' "
+                "WHEN o_custkey IS NULL THEN 'left_only' "
+                "ELSE 'both' END"
+            ).alias("match_type"),
+            F.expr("coalesce(c_custkey, o_custkey)").alias("k"),
+            F.expr("coalesce(n_orders, CAST(0 AS BIGINT))").alias("n_orders"),
+        )
+        .groupBy("match_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.min("k").alias("min_custkey"),
+            F.max("k").alias("max_custkey"),
+        )
+        .orderBy("match_type")
+    )
+
+
+Q42_SQL = """
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+),
+o AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+              WHEN o.o_custkey IS NULL THEN 'left_only'
+              ELSE 'both' END AS match_type,
+         coalesce(c.c_custkey, o.o_custkey) AS k,
+         coalesce(o.n_orders, CAST(0 AS BIGINT)) AS n_orders
+  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+)
+SELECT match_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+       min(k) AS min_custkey,
+       max(k) AS max_custkey
+FROM j GROUP BY match_type ORDER BY match_type
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -1068,6 +1139,7 @@ QUERIES = {
     "q39_lateral": q39_lateral,
     "q40_window_medley": q40_window_medley,
     "q41_unpivot": q41_unpivot,
+    "q42_full_outer_join": q42_full_outer_join,
 }
 
 ORACLES = {
@@ -1113,4 +1185,5 @@ ORACLES = {
     "q39_lateral": Q39_SQL,
     "q40_window_medley": Q40_SQL,
     "q41_unpivot": Q41_SQL,
+    "q42_full_outer_join": Q42_SQL,
 }

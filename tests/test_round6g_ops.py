@@ -434,6 +434,39 @@ def test_m18_kth_probes_are_takeordered_with_broadcast_back(spark):
     assert "Window" not in plan
 
 
+# -- q42: full outer join with null-side accounting ---------------------------
+
+
+def test_q42_all_three_match_classes_on_planted_tables(spark, tmp_path):
+    from floorist_spark.operators.relational import q42_full_outer_join
+
+    # customers 1-3 positive balance (in scope), 4 negative (excluded ->
+    # its orders become right_only); customer 3 has no orders (left_only)
+    cust = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 1.0), (4, -2.0)],
+        "c_custkey BIGINT, c_acctbal DOUBLE",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2), (103, 4)],
+        "o_orderkey BIGINT, o_custkey BIGINT",
+    )
+    out = str(tmp_path / "t")
+    cust.coalesce(1).write.parquet(f"{out}/customer.parquet")
+    orders.coalesce(1).write.parquet(f"{out}/orders.parquet")
+
+    got = {r["match_type"]: r for r in q42_full_outer_join(spark, out).collect()}
+    assert set(got) == {"both", "left_only", "right_only"}
+    b = got["both"]
+    assert (b["n_rows"], b["total_orders"]) == (2, 3)  # cust 1 (2) + 2 (1)
+    assert (b["min_custkey"], b["max_custkey"]) == (1, 2)
+    lo = got["left_only"]
+    assert (lo["n_rows"], lo["total_orders"]) == (1, 0)  # customer 3
+    assert (lo["min_custkey"], lo["max_custkey"]) == (3, 3)
+    ro = got["right_only"]
+    assert (ro["n_rows"], ro["total_orders"]) == (1, 1)  # excluded cust 4
+    assert (ro["min_custkey"], ro["max_custkey"]) == (4, 4)
+
+
 # -- s21: embedding-hygiene audit ---------------------------------------------
 
 
