@@ -351,6 +351,31 @@ def main() -> int:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # The grading driver records only the LAST 2000 characters of this
+    # output, so a catalog-sized "queries" dict pushes the line's HEAD
+    # (metric/value/totals) past the cut and the whole line fails to
+    # parse (BENCH_r06 "parsed": null). Emit a compact summary as the
+    # FINAL line — always inside the tail window, always parseable; the
+    # full per-query line above stays for local runs and readers.
+    exports = {k: v for k, v in timings.items() if k.startswith("x0")}
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {**exports, **slowest},
+        "note": "summary line; full per-query timings on the previous line",
+    }
+    if errors:
+        summary["error_names"] = sorted(errors)[:10]
+    print(json.dumps(summary))
     return 0
 
 

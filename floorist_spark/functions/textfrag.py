@@ -21,17 +21,58 @@ Spark vs DuckDB dialect notes:
 from __future__ import annotations
 
 # -- normalization -----------------------------------------------------------
+#
+# Canonicalization scope (deliberately ASCII-only — cross-engine exactness
+# beats linguistic completeness for a dedup canonical form):
+#
+# * Case fold: ``translate(col, 'A..Z', 'a..z')`` — identical by
+#   construction in Java and DuckDB. Java's ``lower()`` is Unicode- and
+#   context-sensitive where DuckDB's is not (``lower('İ')`` → ``i``+U+0307
+#   in Java vs plain ``i`` in DuckDB; final ``Σ`` → ``ς`` in Java vs ``σ``
+#   in DuckDB), so non-ASCII letters are passed through UNCHANGED — both
+#   engines then agree byte-for-byte.
+# * Whitespace: the exact class {TAB LF VT FF CR SPACE}. Java's regex
+#   ``\s`` matches U+000B vertical tab but RE2's (DuckDB) does not, so no
+#   ``\s`` appears in either dialect: control whitespace is first mapped
+#   to SPACE via ``translate`` over ``chr(9..13)`` (chr() sidesteps the
+#   engines' different string-literal backslash-escape rules), then runs
+#   collapse with the escape-free regex ``' +'``. Unicode spaces (NBSP,
+#   U+2028, U+3000, …) are NOT whitespace here — neither engine's default
+#   ``\s`` matched them before, so behavior on them is unchanged.
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+#: TAB LF VT FF CR as a literal-free SQL expression (valid in both engines)
+_CTL_WS = "concat(chr(9), chr(10), chr(11), chr(12), chr(13))"
+
+
+def fold_spark(col: str) -> str:
+    """ASCII-only case fold — bit-identical in Spark and DuckDB (see the
+    canonicalization-scope note above)."""
+    return f"translate({col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def fold_duck(col: str) -> str:
+    return f"translate({col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
 
 
 def norm_spark(col: str = "text") -> str:
-    """Lowercase + whitespace-collapse + trim — the canonical form for
-    dedup (mirrors what the reference would get from Postgres ``lower`` +
-    ``regexp_replace``; dedup itself is new surface, SURVEY §7.2.7)."""
-    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    """ASCII case fold + whitespace-collapse + trim — the canonical form
+    for dedup (mirrors what the reference would get from Postgres ``lower``
+    + ``regexp_replace``; dedup itself is new surface, SURVEY §7.2.7).
+    Cross-engine-exact by construction; scope documented at the top of
+    this section."""
+    return (
+        f"trim(regexp_replace(translate({fold_spark(col)}, {_CTL_WS}, '     '), "
+        f"' +', ' '))"
+    )
 
 
 def norm_duck(col: str = "text") -> str:
-    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return (
+        f"trim(regexp_replace(translate({fold_duck(col)}, {_CTL_WS}, '     '), "
+        f"' +', ' ', 'g'))"
+    )
 
 
 # -- salted id-hash buckets --------------------------------------------------

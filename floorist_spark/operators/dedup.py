@@ -1168,6 +1168,62 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# d15a / d15b — cross-engine divergence localization probes
+# ---------------------------------------------------------------------------
+#
+# Round-6 forensics: d15 and c20 gated red at the driver while every local
+# sweep was green, and the demonstrated root cause was a corpus-dependent
+# Spark-vs-DuckDB divergence in the shared norm fragment (Java-vs-RE2 \s on
+# U+000B; Unicode lower() on İ / final Σ — see functions/textfrag.py). The
+# round-5 fix iteration guessed blind because the gate only exposed the
+# END of the pipeline. These two probes pin the two intermediate stages any
+# token-count-derived output flows through, so a future recurrence
+# self-localizes in one gate window: d15a red → token counts diverge
+# (whitespace class); d15b red → normalized bytes diverge (case folding);
+# both green with d15/c20 red → the bug is downstream of normalization.
+
+
+def d15a_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count over the canonical normalized text — the
+    exact integer whose cross-engine drift made d15/c20 driver-red in
+    rounds 5-6. Pure narrow map over one scan; no shuffle beyond the
+    ordering sort (gate-sized output)."""
+    return (
+        _docs_parallel(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size({tf.tokens_spark(_NORM_S)}) AS BIGINT)").alias(
+                "ntok"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D15A_SQL = f"""
+SELECT doc_id, CAST(len({tf.tokens_duck(_NORM_D)}) AS BIGINT) AS ntok
+FROM documents ORDER BY doc_id
+"""
+
+
+def d15b_norm_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 of the canonical normalized text per document — byte-exact
+    check of the normalization stage itself (casing + whitespace
+    collapse), upstream of tokenization."""
+    return (
+        _docs_parallel(spark, sf_dir)
+        .select("doc_id", F.expr(f"md5({_NORM_S})").alias("norm_digest"))
+        .orderBy("doc_id")
+    )
+
+
+D15B_SQL = f"""
+SELECT doc_id, md5({_NORM_D}) AS norm_digest
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # d17 — incremental dedup: new arrivals vs. the existing corpus index
 # ---------------------------------------------------------------------------
 
@@ -2514,6 +2570,8 @@ QUERIES = {
     "d13_minhash_calibration": d13_minhash_calibration,
     "d14_ngram_containment": d14_ngram_containment,
     "d15_passage_dedup": d15_passage_dedup,
+    "d15a_token_census": d15a_token_census,
+    "d15b_norm_digest": d15b_norm_digest,
     "d16_soft_dedup_weights": d16_soft_dedup_weights,
     "d17_incremental_dedup": d17_incremental_dedup,
     "d18_dup_graph_triangles": d18_dup_graph_triangles,
@@ -2543,6 +2601,8 @@ ORACLES = {
     "d13_minhash_calibration": _d13_sql(),
     "d14_ngram_containment": _d14_sql(),
     "d15_passage_dedup": D15_SQL,
+    "d15a_token_census": D15A_SQL,
+    "d15b_norm_digest": D15B_SQL,
     "d16_soft_dedup_weights": _d16_sql(),
     "d17_incremental_dedup": _d17_sql(),
     "d18_dup_graph_triangles": _d18_sql(),

@@ -1621,15 +1621,21 @@ def m18_caption_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the audio third; both Kth-rate probes are TakeOrdered top-K
     (per-partition top-K + driver merge, never a global sort or a
     single-partition window) whose 1-row min/max aggregates broadcast
-    back over the slice. wps is a single exact-BIGINT division."""
-    ntok = f"size({tf.tokens_spark(tf.norm_spark('text'))})"
-    dur = (
-        "CAST(conv(substring(md5(coalesce(text, '')), 1, 4), 16, 10) "
-        "% 3600 + 1 AS BIGINT)"
-    )
+    back over the slice. wps is a single exact-BIGINT division.
+
+    NULL discipline (round-6 advice): text is projected ONCE as
+    ``coalesce(text, '')`` and BOTH n_tokens and duration_s derive from
+    that column — the t25/m16 convention. Deriving n_tokens from raw
+    text would hit Spark's legacy ``size(NULL) = -1`` vs DuckDB's
+    ``len(NULL) = NULL`` plus opposite NULL placement on the ASC kth-lo
+    probe; unreachable on the shipped corpora (zero NULL texts) but a
+    latent cross-engine trap."""
+    ntok = f"size({tf.tokens_spark(tf.norm_spark('txt'))})"
+    dur = "CAST(conv(substring(md5(txt), 1, 4), 16, 10) % 3600 + 1 AS BIGINT)"
     aud = (
         load_table(spark, sf_dir, "documents")
         .filter(F.expr("pmod(doc_id, 3) = 1"))
+        .select("doc_id", F.expr("coalesce(text, '')").alias("txt"))
         .select(
             "doc_id",
             F.expr(f"CAST({ntok} AS BIGINT)").alias("n_tokens"),
@@ -1668,17 +1674,17 @@ def m18_caption_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m18_sql() -> str:
-    ntok = f"len({tf.tokens_duck(tf.norm_duck('text'))})"
-    dur = (
-        "CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 4)) AS BIGINT)"
-        " % 3600 + 1"
-    )
+    ntok = f"len({tf.tokens_duck(tf.norm_duck('txt'))})"
+    dur = "CAST(concat('0x', substr(md5(txt), 1, 4)) AS BIGINT) % 3600 + 1"
     return f"""
-WITH aud AS (
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents WHERE doc_id % 3 = 1
+),
+aud AS (
   SELECT doc_id,
          CAST({ntok} AS BIGINT) AS n_tokens,
          CAST({dur} AS BIGINT) AS duration_s
-  FROM documents WHERE doc_id % 3 = 1
+  FROM base
 ),
 rated AS (
   SELECT *, CAST(n_tokens AS DOUBLE) / duration_s AS wps FROM aud

@@ -1961,9 +1961,14 @@ def t25_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism/portability: every counter is translate/replace length
     arithmetic or a substring-equality line filter (the t23 rule — no
-    regex on either engine); ratios are single exact-BIGINT divisions
-    and the verdict compares those to shared literals, so both engines
-    execute identical IEEE ops.
+    regex PATTERN on either engine); ratios are single exact-BIGINT
+    divisions and the verdict compares those to shared literals, so both
+    engines execute identical IEEE ops. One asymmetry to keep pinned
+    (round-6 advice): the line split delimiter ``char(10)`` is
+    interpreted as a Java REGEX by Spark's ``split`` but as a LITERAL by
+    DuckDB's ``string_split`` — identical for newline, but the delimiter
+    must never become a regex metacharacter; cross-engine parity for the
+    newline case is asserted by test_round6g's planted multi-line docs.
 
     Scale shape: a pure per-row projection over one corpus scan — the
     line filter is a JVM higher-order function over the split array, no

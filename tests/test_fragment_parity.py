@@ -39,6 +39,31 @@ EDGE_CASES = [
     "a  b   c    d",
 ]
 
+#: the round-6-judge divergence battery: characters on which Java and
+#: RE2/DuckDB semantics for ``\s`` / ``lower()`` genuinely differ (or
+#: nearly do). The old ``lower()+\s+`` norm fragment diverged cross-engine
+#: on the first three classes; the ASCII-fold fragment must not.
+ADVERSARIAL_CASES = [
+    "a\x0bb",  # U+000B vertical tab: Java \s matches, RE2 \s doesn't
+    "a\x0cb c\rd\ne\tf",  # the rest of the control-whitespace class
+    "İstanbul ile",  # U+0130: Java lower() → i+U+0307, DuckDB → i
+    "ı dotless I vs I",  # U+0131 dotless i
+    "ΟΣ ΒΑΣΙΛΕΥΣ ΤΕΛΟΣ.",  # final Σ: Java → ς context-sensitively, DuckDB → σ
+    "ΣΣΣ",
+    "straße GROSS ß",  # sharp s (Java lower leaves ß; upper would expand)
+    "nb sp",  # NBSP — not whitespace in either engine's default \s
+    "em sp wide",  # em space
+    "line sep",  # U+2028 line separator
+    "ideo　space",  # U+3000 ideographic space
+    "zero​width",  # U+200B zero-width space
+    "combining á mark é",  # combining acute accents
+    "i̇ precomposed vs İ",  # i + combining dot above
+    "MIXED Ääönen ÇÖĞÜŞ türkçe",
+    "\x0b\x0c\r\n\t all \x0b ws \x0c",
+]
+
+EDGE_CASES = EDGE_CASES + ADVERSARIAL_CASES
+
 
 def _corpus() -> list[str]:
     rng = random.Random(20260813)
@@ -200,3 +225,64 @@ def test_decimal_sum_render_parity_beyond_2pow53(frames):
         sp = spark.sql(f"SELECT {frag} AS x").collect()[0]["x"]
         du = con.execute(f"SELECT {frag} AS x").fetchone()[0]
         assert sp == du and sp is not None, f"{v}: spark={sp!r} duck={du!r}"
+
+
+def test_norm_divergence_battery_hand_computed(frames):
+    """The round-6 judge demonstrated three real Spark-vs-DuckDB
+    divergences in the OLD ``lower()+\\s+`` norm fragment (U+000B under
+    Java-vs-RE2 ``\\s``; ``lower('İ')``; final-Σ context folding). The
+    ASCII-fold fragment must (a) agree cross-engine — covered by the
+    battery now baked into EDGE_CASES — and (b) produce exactly these
+    canonical forms, pinned here by hand so a future 'improvement' that
+    silently reintroduces Unicode case folding fails loudly."""
+    spark, con = frames
+    expected = {
+        "a\x0bb": "a b",              # VT is whitespace in BOTH engines now
+        "İstanbul ile": "İstanbul ile",  # non-ASCII left unfolded
+        "ΟΣ ΒΑΣΙΛΕΥΣ ΤΕΛΟΣ.": "ΟΣ ΒΑΣΙΛΕΥΣ ΤΕΛΟΣ.",
+        "MiXeD CaSe": "mixed case",   # ASCII still folds
+        "a\x0c\r\n\tb": "a b",
+        "nb sp": "nb sp",   # NBSP is NOT whitespace (scope rule)
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(expected)), "text": list(expected)}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("battery_docs")
+    con.register("battery_docs", pdf)
+    sp = spark.sql(
+        f"SELECT doc_id, {tf.norm_spark('text')} AS v FROM battery_docs "
+        "ORDER BY doc_id"
+    ).toPandas()["v"].tolist()
+    du = con.execute(
+        f"SELECT {tf.norm_duck('text')} AS v FROM battery_docs ORDER BY doc_id"
+    ).fetchdf()["v"].tolist()
+    want = list(expected.values())
+    assert sp == want, f"spark norm drifted: {sp!r} != {want!r}"
+    assert du == want, f"duck norm drifted: {du!r} != {want!r}"
+
+
+def test_token_and_ngram_parity_on_battery(frames):
+    """Tokens and word n-grams — the exact quantities whose drift made
+    d15/c20 driver-red — must agree cross-engine over the full corpus
+    including the adversarial battery."""
+    spark, con = frames
+    nrm_s, nrm_d = tf.norm_spark("text"), tf.norm_duck("text")
+    _compare(
+        *frames,
+        f"size({tf.tokens_spark(nrm_s)})",
+        f"len({tf.tokens_duck(nrm_d)})",
+        "token_count",
+    )
+    _compare(*frames, f"md5({nrm_s})", f"md5({nrm_d})", "norm_digest")
+    sp = spark.sql(
+        f"SELECT doc_id, {tf.word_ngrams_spark('toks', 2)} AS v FROM "
+        f"(SELECT doc_id, {tf.tokens_spark(nrm_s)} AS toks FROM frag_docs) "
+        "ORDER BY doc_id"
+    ).toPandas()["v"].tolist()
+    du = con.execute(
+        f"SELECT {tf.word_ngrams_duck('toks', 2)} AS v FROM "
+        f"(SELECT doc_id, {tf.tokens_duck(nrm_d)} AS toks FROM frag_docs) "
+        "ORDER BY doc_id"
+    ).fetchdf()["v"].tolist()
+    for i, (a, b) in enumerate(zip(sp, du)):
+        assert list(a) == list(b), f"word_ngrams doc {i}: {a!r} != {b!r}"

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
-
 
 def _write_docs(spark, tmp_path, rows, schema="doc_id BIGINT, text STRING"):
     df = spark.createDataFrame(rows, schema)
