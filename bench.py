@@ -140,6 +140,13 @@ HEADLINE = (
     "s21_embedding_hygiene",
     "d27_threshold_sweep",
     "m18_caption_rate_audit",
+    "q43_semi_join",
+    "d28_candidate_score_histogram",
+    "s22_nprobe_cost_frontier",
+    "t26_hapax_census",
+    "c22_split_leakage_audit",
+    "e36_burst_windows",
+    "m19_modality_mix_manifest",
 )
 
 

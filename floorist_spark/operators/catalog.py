@@ -89,6 +89,10 @@ def _with_cache_release(
 #: local testdata can never exercise, so local green on these proves
 #: nothing about the fragment fix; a driver pass does. OUT: everything
 #: else CORRECTNESS_r01-r06 already hash-validated.
+#: The round-7 wave-11 additions (q43, d28, s22, t26, c22, e36, m19)
+#: stay OUT of this window by design — next-window rotation candidates,
+#: covered meanwhile by tests/test_round7_ops.py crafted cases and the
+#: full two-scale selfcheck sweep.
 GATE_PRIORITY = [
     # -- the two round-6 red rows, re-gated after the textfrag fix --------
     "d15_passage_dedup",

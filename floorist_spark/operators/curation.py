@@ -1917,6 +1917,108 @@ FROM agg ORDER BY ctx_len
 """
 
 
+# ---------------------------------------------------------------------------
+# c22 — near-dup split-leakage audit (clusters straddling train/val/test)
+# ---------------------------------------------------------------------------
+
+def c22_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the c01 hash split: a d09 near-dup
+    cluster whose members land in MORE than one split leaks — a val/test
+    document with a >= 0.8-Jaccard twin in train is memorization dressed
+    as held-out signal (the decontamination c05/c19 check against
+    EXTERNAL benchmarks; this audits the pipeline's OWN split). Reports,
+    per straddle signature ('train|val', 'train|val|test', ...): cluster
+    count, total docs, and the eval docs actually at risk (val/test
+    members of clusters that also contain a train member). New surface,
+    SURVEY §7.2.7.
+
+    Scale shape: d09's cluster labels (memoized near-dup chain — no
+    re-pairing) join the hash-split label on doc_id; everything then
+    collapses to (cluster_id, split) counts — map-side combinable, and
+    per-cluster state after that is <= 3 rows regardless of cluster
+    size, so a 10M-copy degenerate cluster costs 3 rows here. The
+    straddle signature is sort_array over those <= 3 splits, never a
+    per-doc collect."""
+    from floorist_spark.operators.dedup import d09_dedup_clusters
+
+    b = _bucket_spark("split", 100)
+    splits = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {b} < {TRAIN_UPTO} THEN 'train' "
+            f"WHEN {b} < {VAL_UPTO} THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+    clusters = d09_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    cs = (
+        clusters.join(splits, "doc_id")
+        .groupBy("cluster_id", "split")
+        .agg(F.count("*").alias("n"))
+    )
+    per_cluster = cs.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_splits"),
+        F.expr("array_join(sort_array(collect_list(split)), '|')").alias(
+            "splits_sig"
+        ),
+        F.max(F.expr("IF(split = 'train', 1, 0)")).alias("has_train"),
+        F.sum(F.expr("IF(split != 'train', n, CAST(0 AS BIGINT))"))
+        .cast("bigint")
+        .alias("n_eval"),
+    )
+    return (
+        per_cluster.filter(F.col("n_splits") > 1)
+        .groupBy("splits_sig")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("IF(has_train = 1, n_eval, CAST(0 AS BIGINT))"))
+            .cast("bigint")
+            .alias("n_eval_docs_at_risk"),
+        )
+        .orderBy("splits_sig")
+    )
+
+
+def _c22_sql() -> str:
+    from floorist_spark.operators.dedup import D09_SQL
+
+    b = _bucket_duck("split", 100)
+    return f"""
+WITH clusters AS (
+  {D09_SQL}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {b} < {TRAIN_UPTO} THEN 'train'
+              WHEN {b} < {VAL_UPTO} THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+cs AS (
+  SELECT cluster_id, split, CAST(count(*) AS BIGINT) AS n
+  FROM clusters JOIN splits USING (doc_id)
+  GROUP BY cluster_id, split
+),
+per_cluster AS (
+  SELECT cluster_id,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         count(*) AS n_splits,
+         string_agg(split, '|' ORDER BY split) AS splits_sig,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         CAST(sum(CASE WHEN split != 'train' THEN n ELSE 0 END) AS BIGINT)
+           AS n_eval
+  FROM cs GROUP BY cluster_id
+)
+SELECT splits_sig,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN has_train = 1 THEN n_eval ELSE 0 END) AS BIGINT)
+         AS n_eval_docs_at_risk
+FROM per_cluster WHERE n_splits > 1
+GROUP BY splits_sig ORDER BY splits_sig
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -1939,6 +2041,7 @@ QUERIES = {
     "c19_contamination_report": c19_contamination_report,
     "c20_shard_manifest": c20_shard_manifest,
     "c21_ctx_length_sweep": c21_ctx_length_sweep,
+    "c22_split_leakage_audit": c22_split_leakage_audit,
 }
 
 ORACLES = {
@@ -1963,4 +2066,5 @@ ORACLES = {
     "c19_contamination_report": C19_SQL,
     "c20_shard_manifest": _c20_sql(),
     "c21_ctx_length_sweep": _c21_sql(),
+    "c22_split_leakage_audit": _c22_sql(),
 }

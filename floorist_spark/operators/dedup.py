@@ -2555,6 +2555,114 @@ ORDER BY t.tau
 """
 
 
+# ---------------------------------------------------------------------------
+# d28 — candidate-pair Jaccard histogram (LSH precision profile)
+# ---------------------------------------------------------------------------
+
+#: histogram resolution: bucket = (RES * |A∩B|) DIV |A∪B| — pure integer
+#: math from the set sizes, so bucket boundaries are exact on both
+#: engines (no float multiply/floor at the cut)
+D28_RES = 20
+
+
+def d28_candidate_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision profile of the LSH candidate stage: every banded
+    candidate pair (UNfiltered — d04 only keeps the >= 0.8 survivors)
+    scored with exact hashed-shingle Jaccard and bucketed into RES
+    equal-width bins. The shape answers the tuning question d13/d19
+    approach from the estimator side with ground truth from the verify
+    side: how much of the candidate volume is junk the verify stage
+    discards (low buckets = wasted verify compute -> raise rows-per-band),
+    and how sharp is the cliff at the 0.8 operating point. New surface,
+    SURVEY §7.2.7.
+
+    Bucket index is (RES*|A∩B|) DIV |A∪B| from the INTEGER set sizes —
+    no float multiply/floor at bin edges, so bin assignment is exact and
+    engine-independent; the verified flag reuses the same double
+    comparison d04 ships (bit-identical IEEE division on both engines).
+
+    Scale shape: candidates come from the memoized capped band table
+    (equi-join, MAX_BAND_BUCKET degenerate cap); the verify join carries
+    the hashed integer shingle sets exactly like d04; the histogram is a
+    RES+1-row map-side-combinable aggregate, and the share denominator is
+    a broadcast 1-row total. Nothing new shuffles beyond the d04 chain —
+    at 100 TB this rides the same checkpointed signature table."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    bands = _band_rows(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            F.expr("size(array_intersect(da.sh, db.sh))").alias("ni"),
+            F.expr("size(array_union(da.sh, db.sh))").alias("nu"),
+            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("j"),
+        )
+    )
+    hist = (
+        scored.select(
+            F.expr(f"CAST({D28_RES} * ni DIV nu AS BIGINT)").alias("bucket"),
+            "j",
+            F.expr(f"IF(j >= {JACCARD_THRESHOLD}, 1, 0)").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("v").cast("bigint").alias("n_verified"),
+            F.min("j").alias("min_jaccard"),
+            F.max("j").alias("max_jaccard"),
+        )
+    )
+    total = hist.agg(F.sum("n_pairs").alias("tot"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_verified",
+            F.expr("CAST(n_pairs AS DOUBLE) / tot").alias("pair_frac"),
+            "min_jaccard",
+            "max_jaccard",
+        )
+        .orderBy("bucket")
+    )
+
+
+D28_SQL = f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT len(list_intersect(da.hs, db.hs)) AS ni,
+         len(list_distinct(da.hs || db.hs)) AS nu,
+         {tf.jaccard_duck("da.hs", "db.hs")} AS j
+  FROM cand JOIN docs da ON doc_a = da.doc_id JOIN docs db ON doc_b = db.doc_id
+),
+hist AS (
+  SELECT CAST({D28_RES} * ni // nu AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_verified,
+         min(j) AS min_jaccard,
+         max(j) AS max_jaccard
+  FROM scored GROUP BY 1
+)
+SELECT bucket, n_pairs, n_verified,
+       CAST(n_pairs AS DOUBLE) / (SELECT sum(n_pairs) FROM hist) AS pair_frac,
+       min_jaccard, max_jaccard
+FROM hist ORDER BY bucket
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2584,6 +2692,7 @@ QUERIES = {
     "d25_lsh_recall_audit": d25_lsh_recall_audit,
     "d26_cluster_size_census": d26_cluster_size_census,
     "d27_threshold_sweep": d27_threshold_sweep,
+    "d28_candidate_score_histogram": d28_candidate_score_histogram,
 }
 
 ORACLES = {
@@ -2615,4 +2724,5 @@ ORACLES = {
     "d25_lsh_recall_audit": _d25_sql(),
     "d26_cluster_size_census": D26_SQL,
     "d27_threshold_sweep": _d27_sql(),
+    "d28_candidate_score_histogram": D28_SQL,
 }

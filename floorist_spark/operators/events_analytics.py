@@ -2691,6 +2691,98 @@ LIMIT {E35_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# e36 — burst windows (per-type top-K 5-minute spikes)
+# ---------------------------------------------------------------------------
+
+#: tumbling burst-window width in microseconds (5 minutes)
+E36_WIN_US = 300_000_000
+#: spikes reported per event type
+E36_TOP_K = 3
+
+
+def e36_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection: for each event type, the K busiest
+    tumbling 5-minute windows, with each spike's ratio to the type's
+    average nonempty-window load. Rank-based like e35 (an absolute
+    threshold would be corpus-scale-dependent); the ratio separates "the
+    K busiest windows of smooth traffic" (~1x) from genuine bursts (a
+    bot volley, a replayed batch, a thundering herd — the inputs
+    watermark and rate-limit tuning need). New surface, SURVEY §7.2.7.
+
+    Determinism: window identity is exact integer floor division of
+    microseconds; the ratio is ONE double division of two exact BIGINTs
+    per output row; ties rank by (n_events DESC, window_start ASC).
+
+    Scale shape: one map-side-combinable shuffle to (type, window)
+    counts; per-type totals are a second tiny aggregate broadcast back;
+    the top-K window is partitioned BY TYPE over already-aggregated
+    rows (#nonempty windows per type, bounded by timespan/5min — never
+    a corpus-row window)."""
+    from pyspark.sql.window import Window
+
+    ev = _load_events(spark, sf_dir)
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"timestamp_micros((unix_micros(ts) DIV {E36_WIN_US}) * {E36_WIN_US})"
+            ).alias("window_start"),
+        )
+        .groupBy("event_type", "window_start")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("tot"),
+        F.count("*").alias("n_windows"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("window_start")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= E36_TOP_K)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("rk").cast("int").alias("rank"),
+            "window_start",
+            "n_events",
+            F.expr("CAST(n_events AS DOUBLE) * n_windows / tot").alias(
+                "burst_ratio"
+            ),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+E36_SQL = f"""
+WITH counts AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // {E36_WIN_US}) * {E36_WIN_US})
+           AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM counts GROUP BY event_type
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY n_events DESC, window_start ASC) AS rk
+  FROM counts
+)
+SELECT r.event_type, CAST(r.rk AS INTEGER) AS rank, r.window_start,
+       r.n_events,
+       CAST(r.n_events AS DOUBLE) * s.n_windows / s.tot AS burst_ratio
+FROM ranked r JOIN stats s USING (event_type)
+WHERE r.rk <= {E36_TOP_K}
+ORDER BY r.event_type, r.rk
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2724,6 +2816,7 @@ QUERIES = {
     "e33_outage_gaps": e33_outage_gaps,
     "e34_conversion_lag": e34_conversion_lag,
     "e35_seasonal_anomaly": e35_seasonal_anomaly,
+    "e36_burst_windows": e36_burst_windows,
 }
 
 ORACLES = {
@@ -2759,4 +2852,5 @@ ORACLES = {
     "e33_outage_gaps": E33_SQL,
     "e34_conversion_lag": E34_SQL,
     "e35_seasonal_anomaly": _e35_sql(),
+    "e36_burst_windows": E36_SQL,
 }

@@ -1708,6 +1708,97 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# m19 — modality-mix manifest (source x media_type balance plan)
+# ---------------------------------------------------------------------------
+
+def m19_modality_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-mix manifest over the m02 catalog: per (source,
+    media_type) asset counts and byte totals, each modality's byte share
+    of its source, and the balanced-sampling plan — how many assets of
+    each modality a source can contribute to an equal-thirds
+    image/audio/video interleave (the bottleneck modality caps the take;
+    a source missing a modality contributes zero balanced triples), with
+    the per-cell sample fraction that plan implies. Contrastive and
+    any-to-any training (m10's pair construction) consumes exactly this
+    table to build balanced batches. New surface, SURVEY §7.2.7.
+
+    Scale shape: ONE payload scan to (source, media_type) counts/bytes —
+    map-side combinable; source-level bottlenecks come from a window
+    PARTITIONED BY source over those aggregated <= 3-rows-per-source
+    cells (a separate rollup + join would re-derive the aggregation
+    subtree and scan the corpus twice — the plan pin in
+    test_round7_ops.py exists because the first draft did exactly that).
+    The plan is pure count arithmetic: exact BIGINTs, one double
+    division per output row for share and fraction."""
+    from pyspark.sql.window import Window
+    cells = (
+        _payloads(spark, sf_dir, extra=("source",))
+        .select(
+            "source",
+            F.expr(
+                "element_at(array('image','audio','video'), "
+                "CAST(pmod(doc_id, 3) AS INT) + 1)"
+            ).alias("media_type"),
+            F.expr("octet_length(payload)").alias("n_bytes"),
+        )
+        .groupBy("source", "media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return (
+        cells.withColumn("src_bytes", F.sum("total_bytes").over(w))
+        .withColumn("n_modalities", F.count("*").over(w))
+        .withColumn("min_assets", F.min("n_assets").over(w))
+        .select(
+            "source",
+            "media_type",
+            "n_assets",
+            "total_bytes",
+            F.expr("CAST(total_bytes AS DOUBLE) / src_bytes").alias(
+                "byte_share"
+            ),
+            F.expr(
+                "CAST(IF(n_modalities = 3, min_assets, 0) AS BIGINT)"
+            ).alias("balanced_take"),
+            F.expr(
+                "CAST(IF(n_modalities = 3, min_assets, 0) AS DOUBLE) / n_assets"
+            ).alias("sample_frac"),
+        )
+        .orderBy("source", "media_type")
+    )
+
+
+M19_SQL = """
+WITH cells AS (
+  SELECT source,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+           AS media_type,
+         CAST(count(*) AS BIGINT) AS n_assets,
+         CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+           AS total_bytes
+  FROM documents GROUP BY 1, 2
+),
+srcs AS (
+  SELECT source, CAST(sum(total_bytes) AS BIGINT) AS src_bytes,
+         count(*) AS n_modalities,
+         CAST(min(n_assets) AS BIGINT) AS min_assets
+  FROM cells GROUP BY source
+)
+SELECT c.source, c.media_type, c.n_assets, c.total_bytes,
+       CAST(c.total_bytes AS DOUBLE) / s.src_bytes AS byte_share,
+       CAST(CASE WHEN s.n_modalities = 3 THEN s.min_assets ELSE 0 END
+            AS BIGINT) AS balanced_take,
+       CAST(CASE WHEN s.n_modalities = 3 THEN s.min_assets ELSE 0 END
+            AS DOUBLE) / c.n_assets AS sample_frac
+FROM cells c JOIN srcs s USING (source)
+ORDER BY c.source, c.media_type
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1727,6 +1818,7 @@ QUERIES = {
     "m16_payload_size_census": m16_payload_size_census,
     "m17_block_size_sweep": m17_block_size_sweep,
     "m18_caption_rate_audit": m18_caption_rate_audit,
+    "m19_modality_mix_manifest": m19_modality_mix_manifest,
 }
 
 ORACLES = {
@@ -1748,4 +1840,5 @@ ORACLES = {
     "m16_payload_size_census": M16_SQL,
     "m17_block_size_sweep": M17_SQL,
     "m18_caption_rate_audit": _m18_sql(),
+    "m19_modality_mix_manifest": M19_SQL,
 }

@@ -1094,6 +1094,41 @@ FROM j GROUP BY match_type ORDER BY match_type
 """
 
 
+
+def q43_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a LEFT SEMI join — the one join type the q-family had
+    not yet pinned (q28 anti, q29 left, q42 full outer): parts that have
+    at least one heavy-quantity lineitem (l_quantity > 45), counted per
+    brand. Semi join is the planner's native EXISTS shape: it stops
+    probing after the first match and never duplicates left rows, so the
+    downstream count is per-PART, not per-lineitem.
+
+    Scale shape: the filter on l_quantity is pushed to the lineitem
+    scan; the semi join hashes on partkey (both sides co-partitioned by
+    the key under AQE — a semi join's build side carries only the key
+    set, no payload columns); the brand rollup is a map-side-combinable
+    aggregate over ~#parts rows, not ~#lineitems."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_quantity > 45")
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+Q43_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity > 45)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -1140,6 +1175,7 @@ QUERIES = {
     "q40_window_medley": q40_window_medley,
     "q41_unpivot": q41_unpivot,
     "q42_full_outer_join": q42_full_outer_join,
+    "q43_semi_join": q43_semi_join,
 }
 
 ORACLES = {
@@ -1186,4 +1222,5 @@ ORACLES = {
     "q40_window_medley": Q40_SQL,
     "q41_unpivot": Q41_SQL,
     "q42_full_outer_join": Q42_SQL,
+    "q43_semi_join": Q43_SQL,
 }

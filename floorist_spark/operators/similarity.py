@@ -2051,6 +2051,133 @@ ORDER BY s.label
 """
 
 
+# ---------------------------------------------------------------------------
+# s22 — nprobe cost frontier (IVF candidate-volume model)
+# ---------------------------------------------------------------------------
+
+#: probe depths priced by the frontier (nprobe=1 is s04's operating point)
+S22_NPROBES = (1, 2, 4, 8)
+
+
+def s22_nprobe_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume cost model for the IVF index: for each nprobe in
+    S22_NPROBES, how many candidates would each query scan if it probed
+    its nprobe nearest coarse cells? Reported per nprobe as exact
+    avg/max/total candidates and the fraction of the corpus touched —
+    the numbers that decide the recall-vs-latency operating point
+    BEFORE paying for a recall audit (s09 measures recall at nprobe=1;
+    s15 walks the probe frontier by radius; this prices it by cell
+    volume). New surface, SURVEY §7.2.7.
+
+    Scale shape: cell sizes are a K-row aggregate of the s03 assignment
+    (one corpus scan + map-side-combinable groupBy); the query-to-cell
+    ranking is a broadcast K-centroid cross product over the bounded
+    query set; joining the K-row size table onto the ranked probe list
+    is a broadcast hash join; the per-(query, nprobe) sums are windows
+    over <= K rows per query. No stage ever shuffles the corpus —
+    the frontier is priced entirely from counts, the d19/m17 rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = s03_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("cell_size")
+    )
+    corpus = emb.select(F.count("*").alias("n_corpus"))
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("centroid_id")
+    )
+    ranked = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "centroid_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    wsum = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        ranked.join(F.broadcast(sizes), "centroid_id")
+        .withColumn("cum_cand", F.sum("cell_size").over(wsum))
+    )
+    probes = spark.range(0, len(S22_NPROBES)).select(
+        F.expr(
+            f"element_at(array{S22_NPROBES}, CAST(id AS INT) + 1)"
+        ).alias("nprobe")
+    )
+    return (
+        cum.join(F.broadcast(probes), F.col("rk") == F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum("cum_cand").cast("bigint").alias("total_candidates"),
+            F.max("cum_cand").cast("bigint").alias("max_candidates"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries",
+            "total_candidates",
+            F.expr("CAST(total_candidates AS DOUBLE) / n_queries").alias(
+                "avg_candidates"
+            ),
+            "max_candidates",
+            F.expr(
+                "CAST(total_candidates AS DOUBLE) / n_queries / n_corpus"
+            ).alias("corpus_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+S22_SQL = f"""
+WITH assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT q.vec_id, c.vec_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rn
+    FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+  ) WHERE rn = 1
+),
+sizes AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS cell_size
+  FROM assigned GROUP BY centroid_id
+),
+ranked AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 50 AND c.vec_id < {N_CENTROIDS}
+),
+cum AS (
+  SELECT r.query_id, r.rk,
+         sum(s.cell_size) OVER (PARTITION BY r.query_id ORDER BY r.rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cand
+  FROM ranked r JOIN sizes s USING (centroid_id)
+),
+fr AS (
+  SELECT CAST(rk AS INTEGER) AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(cum_cand) AS BIGINT) AS total_candidates,
+         CAST(max(cum_cand) AS BIGINT) AS max_candidates
+  FROM cum WHERE rk IN {S22_NPROBES}
+  GROUP BY rk
+)
+SELECT nprobe, n_queries, total_candidates,
+       CAST(total_candidates AS DOUBLE) / n_queries AS avg_candidates,
+       max_candidates,
+       CAST(total_candidates AS DOUBLE) / n_queries
+         / (SELECT count(*) FROM embeddings) AS corpus_frac
+FROM fr ORDER BY nprobe
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -2073,6 +2200,7 @@ QUERIES = {
     "s19_tombstone_compaction": s19_tombstone_compaction,
     "s20_cell_rebalance": s20_cell_rebalance,
     "s21_embedding_hygiene": s21_embedding_hygiene,
+    "s22_nprobe_cost_frontier": s22_nprobe_cost_frontier,
 }
 
 ORACLES = {
@@ -2097,4 +2225,5 @@ ORACLES = {
     "s19_tombstone_compaction": _s19_sql(),
     "s20_cell_rebalance": _s20_sql(),
     "s21_embedding_hygiene": _s21_sql(),
+    "s22_nprobe_cost_frontier": S22_SQL,
 }

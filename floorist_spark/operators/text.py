@@ -2054,6 +2054,71 @@ FROM sig ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t26 — per-source hapax/vocabulary census
+# ---------------------------------------------------------------------------
+
+def t26_hapax_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary census: total token occurrences, distinct
+    vocabulary size, hapax legomena (tokens occurring exactly ONCE in
+    that source), and the two ratios curation teams track — hapax share
+    of vocabulary (high = long-tail-rich or noisy/OCR source; low =
+    templated/boilerplate source) and source-level type-token ratio
+    (t17 measures diversity per DOCUMENT; this is the corpus-mixture
+    view per source). New surface, SURVEY §7.2.7.
+
+    Scale shape: one scan -> explode tokens -> md5 each token and DROP
+    the string, so the (source, token) count shuffle carries digests
+    only (the d14 exchange rule); that aggregate is map-side combinable,
+    and the per-source rollup that follows reduces ~vocab-sized input
+    to one row per source. No corpus-wide window, no second scan;
+    ratios are single exact BIGINT-to-DOUBLE divisions."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(_TOK_S).alias("toks"))
+        .select("source", F.explode("toks").alias("tok"))
+        .select("source", F.expr("md5(tok)").alias("d"))
+    )
+    counts = toks.groupBy("source", "d").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.sum(F.expr("IF(cnt = 1, 1, 0)")).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_size",
+            "n_hapax",
+            F.expr("CAST(n_hapax AS DOUBLE) / vocab_size").alias("hapax_frac"),
+            F.expr("CAST(vocab_size AS DOUBLE) / total_tokens").alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+T26_SQL = f"""
+WITH toks AS (
+  SELECT source, md5(t.tok) AS d
+  FROM (SELECT source, {_TOK_D} AS arr FROM documents),
+       LATERAL unnest(arr) AS t(tok)
+),
+counts AS (
+  SELECT source, d, count(*) AS cnt FROM toks GROUP BY source, d
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS hapax_frac,
+       CAST(count(*) AS DOUBLE) / sum(cnt) AS ttr
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -2080,6 +2145,7 @@ QUERIES = {
     "t23_encoding_anomalies": t23_encoding_anomalies,
     "t24_source_divergence": t24_source_divergence,
     "t25_code_detect": t25_code_detect,
+    "t26_hapax_census": t26_hapax_census,
 }
 
 ORACLES = {
@@ -2108,4 +2174,5 @@ ORACLES = {
     "t23_encoding_anomalies": _t23_sql(),
     "t24_source_divergence": _t24_sql(),
     "t25_code_detect": _t25_sql(),
+    "t26_hapax_census": T26_SQL,
 }
