@@ -69,9 +69,13 @@ def norm_spark(col: str = "text") -> str:
 
 
 def norm_duck(col: str = "text") -> str:
+    # trim(x, ' ') — EXPLICIT space-only trim set. DuckDB's one-argument
+    # trim strips Unicode whitespace (em space U+2003 etc.) where Spark's
+    # strips ASCII space only; found by the wide-Unicode fuzz in
+    # tests/test_fragment_parity.py.
     return (
         f"trim(regexp_replace(translate({fold_duck(col)}, {_CTL_WS}, '     '), "
-        f"' +', ' ', 'g'))"
+        f"' +', ' ', 'g'), ' ')"
     )
 
 

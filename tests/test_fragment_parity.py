@@ -286,3 +286,61 @@ def test_token_and_ngram_parity_on_battery(frames):
     ).fetchdf()["v"].tolist()
     for i, (a, b) in enumerate(zip(sp, du)):
         assert list(a) == list(b), f"word_ngrams doc {i}: {a!r} != {b!r}"
+
+
+def test_norm_parity_unicode_fuzz(frames):
+    """Seeded wide-Unicode fuzz: with the ASCII-only fold and the
+    explicit control-whitespace class, the canonical form contains NO
+    locale/engine-sensitive operation — so norm/token/digest parity must
+    hold for ARBITRARY strings, not just the curated battery. 300 seeded
+    samples drawn from a deliberately hostile alphabet: ASCII, control
+    whitespace, Unicode spaces, Turkish/Greek/German casing traps,
+    combining marks, CJK, RTL Hebrew/Arabic, astral emoji and Gothic
+    (surrogate-pair territory for UTF-16 engines), zero-width marks."""
+    import duckdb
+
+    rng = random.Random(20260815)
+    alphabet = (
+        "abcXYZ 019 \t\n\x0b\x0c\r"
+        "   　​"
+        "İıßΣςσÄö"
+        "́̇"  # combining acute, combining dot above
+        "日本語中文한글"
+        "שלוםمرحبا"
+        "🎉😀🂡𝔘𐌰"
+    )
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    spark, _ = frames
+    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_docs")
+    con = duckdb.connect()
+    try:
+        con.register("fuzz_docs", pdf)
+        nrm_s, nrm_d = tf.norm_spark("text"), tf.norm_duck("text")
+        for s_expr, d_expr, name in [
+            (nrm_s, nrm_d, "norm"),
+            (f"size({tf.tokens_spark(nrm_s)})", f"len({tf.tokens_duck(nrm_d)})", "ntok"),
+            (f"md5({nrm_s})", f"md5({nrm_d})", "digest"),
+            # shingles exercise substring/length code-point semantics on
+            # astral + combining chars; digest the array for comparison
+            (
+                f"md5(concat_ws('|', {tf.shingles_spark(f'({nrm_s})')}))",
+                f"md5(array_to_string({tf.shingles_duck(nrm_d)}, '|'))",
+                "shingle_digest",
+            ),
+        ]:
+            sp = spark.sql(
+                f"SELECT doc_id, {s_expr} AS v FROM fuzz_docs ORDER BY doc_id"
+            ).toPandas()["v"].tolist()
+            du = con.execute(
+                f"SELECT {d_expr} AS v FROM fuzz_docs ORDER BY doc_id"
+            ).fetchdf()["v"].tolist()
+            for i, (a, b) in enumerate(zip(sp, du)):
+                assert a == b, (
+                    f"fuzz {name} doc {i} ({cases[i]!r}): spark={a!r} duck={b!r}"
+                )
+    finally:
+        con.close()
