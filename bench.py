@@ -147,6 +147,13 @@ HEADLINE = (
     "c22_split_leakage_audit",
     "e36_burst_windows",
     "m19_modality_mix_manifest",
+    "q44_set_ops_all",
+    "d29_detector_agreement",
+    "s23_recall_vs_nprobe",
+    "t27_token_class_census",
+    "c23_mixture_shift",
+    "e37_session_length_histogram",
+    "m20_byte_uniformity_census",
 )
 
 

@@ -2019,6 +2019,82 @@ GROUP BY splits_sig ORDER BY splits_sig
 """
 
 
+# ---------------------------------------------------------------------------
+# c23 — mixture-shift report (raw vs dedup-aware weights)
+# ---------------------------------------------------------------------------
+
+def c23_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What deduplication does to the data mixture: c06's raw-token
+    temperature weights joined against c16's dedup-aware weights, per
+    language — weight delta and sampling-rank shift. Duplicate-heavy
+    languages lose weight when the mixture moves to effective tokens;
+    this report is the one-page diff a curation review reads before
+    adopting the post-dedup mixture (a large negative shift = that
+    language's corpus is mostly copies). New surface, SURVEY §7.2.7.
+
+    Scale shape: both inputs already reduce to O(#languages) rows (one
+    corpus scan each, shared memoized cluster chain on the c16 side);
+    the join, both rank windows, and the diff all run on that tiny
+    table. Weight deltas are differences of per-engine-identical
+    doubles, so the diff is bit-deterministic; ranks are integer
+    row_numbers with lang as the tiebreak."""
+    from pyspark.sql.window import Window
+
+    raw = c06_mixture_weights(spark, sf_dir).select(
+        "lang", F.col("mix_weight").alias("raw_weight")
+    )
+    eff = c16_dedup_aware_mixture(spark, sf_dir).select(
+        "lang",
+        F.col("mix_weight").alias("eff_weight"),
+        "dedup_deflation",
+    )
+    wr = Window.orderBy(F.desc("raw_weight"), F.asc("lang"))
+    we = Window.orderBy(F.desc("eff_weight"), F.asc("lang"))
+    return (
+        raw.join(eff, "lang")
+        .withColumn("raw_rank", F.row_number().over(wr))
+        .withColumn("eff_rank", F.row_number().over(we))
+        .select(
+            "lang",
+            "raw_weight",
+            "eff_weight",
+            F.expr("eff_weight - raw_weight").alias("weight_delta"),
+            "dedup_deflation",
+            F.col("raw_rank").cast("int").alias("raw_rank"),
+            F.col("eff_rank").cast("int").alias("eff_rank"),
+            F.expr("CAST(raw_rank - eff_rank AS INTEGER)").alias("rank_shift"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _c23_sql() -> str:
+    raw_sql = C06_SQL.replace("ORDER BY lang", "")
+    eff_sql = _c16_sql().replace("ORDER BY lang", "")
+    return f"""
+WITH raw AS ({raw_sql}),
+eff AS ({eff_sql}),
+j AS (
+  SELECT r.lang, r.mix_weight AS raw_weight, e.mix_weight AS eff_weight,
+         e.dedup_deflation
+  FROM raw r JOIN eff e USING (lang)
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY raw_weight DESC, lang ASC) AS raw_rank,
+         ROW_NUMBER() OVER (ORDER BY eff_weight DESC, lang ASC) AS eff_rank
+  FROM j
+)
+SELECT lang, raw_weight, eff_weight,
+       eff_weight - raw_weight AS weight_delta,
+       dedup_deflation,
+       CAST(raw_rank AS INTEGER) AS raw_rank,
+       CAST(eff_rank AS INTEGER) AS eff_rank,
+       CAST(raw_rank - eff_rank AS INTEGER) AS rank_shift
+FROM ranked ORDER BY lang
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -2042,6 +2118,7 @@ QUERIES = {
     "c20_shard_manifest": c20_shard_manifest,
     "c21_ctx_length_sweep": c21_ctx_length_sweep,
     "c22_split_leakage_audit": c22_split_leakage_audit,
+    "c23_mixture_shift": c23_mixture_shift,
 }
 
 ORACLES = {
@@ -2067,4 +2144,5 @@ ORACLES = {
     "c20_shard_manifest": _c20_sql(),
     "c21_ctx_length_sweep": _c21_sql(),
     "c22_split_leakage_audit": _c22_sql(),
+    "c23_mixture_shift": _c23_sql(),
 }

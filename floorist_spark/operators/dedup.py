@@ -2663,6 +2663,106 @@ FROM hist ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# d29 — detector-agreement audit (MinHash-LSH vs SimHash ensemble)
+# ---------------------------------------------------------------------------
+
+def d29_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble audit of the two lexical near-dup detectors: the banded
+    MinHash-LSH candidate set (d03) FULL OUTER the SimHash hamming<=3
+    pair set (d06), every union pair verified with exact hashed-shingle
+    Jaccard. Per agreement class (both / minhash_only / simhash_only):
+    pair count, verified count, precision, and the Jaccard envelope —
+    the evidence for whether running both detectors buys recall worth
+    their cost, and which detector's unique finds are real (d12 merges
+    the signals; this MEASURES them). New surface, SURVEY §7.2.7.
+
+    Scale shape: both candidate sets are the existing bucket equi-joins
+    (memoized bands; pigeonhole chunk join) — pair-set sized, never
+    corpus². The full-outer join keys on (doc_a, doc_b) pair ids; the
+    verify join carries hashed integer shingle sets exactly like d04;
+    the rollup is a 3-row map-side-combinable aggregate. min/max bound
+    the Jaccard envelope — no float mean, which would be
+    partial-agg-order-dependent."""
+    mh = d03_minhash_lsh_candidates(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh = d06_simhash_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    both = mh.join(sh, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL THEN 'both' "
+            "WHEN in_mh IS NOT NULL THEN 'minhash_only' "
+            "ELSE 'simhash_only' END"
+        ).alias("detector"),
+    )
+    hashed = _hashed_shingles(spark, sf_dir)
+    scored = (
+        both.join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "detector", F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("j")
+        )
+    )
+    return (
+        scored.groupBy("detector")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.expr(f"IF(j >= {JACCARD_THRESHOLD}, 1, 0)"))
+            .cast("bigint")
+            .alias("n_verified"),
+            F.min("j").alias("min_jaccard"),
+            F.max("j").alias("max_jaccard"),
+        )
+        .select(
+            "detector",
+            "n_pairs",
+            "n_verified",
+            F.expr("CAST(n_verified AS DOUBLE) / n_pairs").alias("precision"),
+            "min_jaccard",
+            "max_jaccard",
+        )
+        .orderBy("detector")
+    )
+
+
+def _d29_sql() -> str:
+    return f"""
+{_duck_bands()},
+mh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+sh_pairs AS ({D06_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+merged AS (
+  SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+         coalesce(m.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+              WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+              ELSE 'simhash_only' END AS detector
+  FROM mh m FULL OUTER JOIN sh_pairs s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+),
+scored AS (
+  SELECT detector, {tf.jaccard_duck("da.hs", "db.hs")} AS j
+  FROM merged JOIN docs da ON doc_a = da.doc_id JOIN docs db ON doc_b = db.doc_id
+)
+SELECT detector,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified,
+       CAST(sum(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS precision,
+       min(j) AS min_jaccard,
+       max(j) AS max_jaccard
+FROM scored GROUP BY detector ORDER BY detector
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2693,6 +2793,7 @@ QUERIES = {
     "d26_cluster_size_census": d26_cluster_size_census,
     "d27_threshold_sweep": d27_threshold_sweep,
     "d28_candidate_score_histogram": d28_candidate_score_histogram,
+    "d29_detector_agreement": d29_detector_agreement,
 }
 
 ORACLES = {
@@ -2725,4 +2826,5 @@ ORACLES = {
     "d26_cluster_size_census": D26_SQL,
     "d27_threshold_sweep": _d27_sql(),
     "d28_candidate_score_histogram": D28_SQL,
+    "d29_detector_agreement": _d29_sql(),
 }

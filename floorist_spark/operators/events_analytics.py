@@ -2783,6 +2783,97 @@ ORDER BY r.event_type, r.rk
 """
 
 
+# ---------------------------------------------------------------------------
+# e37 — session-length histogram (log2-bucketed durations)
+# ---------------------------------------------------------------------------
+
+def e37_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session DURATIONS over e03's session definition
+    (30-minute gaps-and-islands — the one shared batch sessionizer), as
+    a log2 histogram: per duration bucket, session count, total events
+    carried, and the bucket's share of all sessions. e03 lists sessions;
+    this is the shape retention and engagement work reads off them
+    (bots pile into the bottom buckets, binge sessions into the top —
+    e30 flags the former from inter-arrival dispersion; this shows the
+    corpus-level mass). New surface, SURVEY §7.2.7.
+
+    Determinism without float logs: bucket = INTEGER bit length of the
+    microsecond duration (``length(bin(d)) - 1``, the e27 idiom), -1
+    for zero-duration single-event sessions; the bucket floor is an
+    exact BIGINT shift.
+
+    Scale shape: ONE shuffle on user_id serves both the sessionizing
+    window and the (user, session) rollup (partial-key partitioning
+    satisfies the clustered distribution — no second exchange); the
+    histogram is a map-side-combinable aggregate on <= ~40 bucket keys;
+    the share denominator is a broadcast 1-row total."""
+    ev = _load_events(spark, sf_dir)
+    sess = (
+        _sessionized(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "max(unix_micros(ts)) - min(unix_micros(ts))"
+            ).alias("dur_us"),
+        )
+    )
+    hist = (
+        sess.select(
+            F.expr(
+                "CAST(CASE WHEN dur_us <= 0 THEN -1 "
+                "ELSE length(bin(dur_us)) - 1 END AS INTEGER)"
+            ).alias("duration_bucket"),
+            "n_events",
+        )
+        .groupBy("duration_bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events_total"),
+        )
+    )
+    tot = hist.agg(F.sum("n_sessions").alias("tot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "duration_bucket",
+            F.expr(
+                "CAST(IF(duration_bucket < 0, 0, "
+                "shiftleft(CAST(1 AS BIGINT), duration_bucket)) AS BIGINT)"
+            ).alias("dur_lo_us"),
+            "n_sessions",
+            "n_events_total",
+            F.expr("CAST(n_sessions AS DOUBLE) / tot").alias("session_frac"),
+        )
+        .orderBy("duration_bucket")
+    )
+
+
+E37_SQL = f"""
+WITH {_sessionize_ctes("user_id, event_id, ts")},
+sess AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+  FROM numbered GROUP BY user_id, session_id
+),
+hist AS (
+  SELECT CAST(CASE WHEN dur_us <= 0 THEN -1
+              ELSE length(bin(dur_us)) - 1 END AS INTEGER) AS duration_bucket,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events_total
+  FROM sess GROUP BY 1
+)
+SELECT duration_bucket,
+       CAST(CASE WHEN duration_bucket < 0 THEN 0
+            ELSE 1::BIGINT << duration_bucket END AS BIGINT) AS dur_lo_us,
+       n_sessions, n_events_total,
+       CAST(n_sessions AS DOUBLE) / (SELECT sum(n_sessions) FROM hist)
+         AS session_frac
+FROM hist ORDER BY duration_bucket
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2817,6 +2908,7 @@ QUERIES = {
     "e34_conversion_lag": e34_conversion_lag,
     "e35_seasonal_anomaly": e35_seasonal_anomaly,
     "e36_burst_windows": e36_burst_windows,
+    "e37_session_length_histogram": e37_session_length_histogram,
 }
 
 ORACLES = {
@@ -2853,4 +2945,5 @@ ORACLES = {
     "e34_conversion_lag": E34_SQL,
     "e35_seasonal_anomaly": _e35_sql(),
     "e36_burst_windows": E36_SQL,
+    "e37_session_length_histogram": E37_SQL,
 }

@@ -1799,6 +1799,107 @@ ORDER BY c.source, c.media_type
 """
 
 
+# ---------------------------------------------------------------------------
+# m20 — per-source byte-uniformity census (compressibility proxy)
+# ---------------------------------------------------------------------------
+
+def m20_byte_uniformity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-level uniformity over the payload pool: hex-digit
+    occupancy (how many of the 16 nibble values appear), the dominant
+    nibble and its share, and total-variation distance from the uniform
+    nibble distribution — the log-free compressibility proxy (already-
+    compressed/encrypted media sits near TV=0; text and sparse formats
+    sit far away), read before deciding which sources are worth
+    recompressing in a CAS (m17 prices block width; this predicts
+    whether compression pays at all). New surface, SURVEY §7.2.7.
+
+    Determinism without entropy logs: TV distance has an EXACT BIGINT
+    numerator sum(|16*c_d - T|) folded over the fixed 16-element count
+    array (integer fold — order-free), divided once by 32*T; the
+    dominant nibble breaks ties toward the lower hex digit via
+    array_position-on-max, identical in both engines.
+
+    Scale shape: the 16 per-doc nibble counts are length/replace
+    arithmetic on hex(payload) inside the scan projection (JVM, the m03
+    oracle idiom — no Python); the only shuffle is the map-side-
+    combinable per-source sum of a 16-column row; everything after
+    operates on one row per source."""
+    hx_counts = [
+        f"CAST(length(hx) - length(replace(hx, '{d}', '')) AS BIGINT)"
+        for d in _HEX_DIGITS
+    ]
+    per_doc = _payloads(spark, sf_dir, extra=("source",)).select(
+        "source",
+        F.expr(f"lower(hex(payload))").alias("hx"),
+    ).select(
+        "source",
+        *[F.expr(e).alias(f"c{i}") for i, e in enumerate(hx_counts)],
+    )
+    per_src = per_doc.groupBy("source").agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"c{i}") for i in range(16)]
+    )
+    arr = "array(" + ", ".join(f"c{i}" for i in range(16)) + ")"
+    return (
+        per_src.withColumn("arr", F.expr(arr))
+        .withColumn(
+            "total", F.expr("aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        )
+        .select(
+            "source",
+            F.col("total").alias("total_nibbles"),
+            F.expr(
+                "CAST(size(filter(arr, x -> x > 0)) AS INTEGER)"
+            ).alias("distinct_nibbles"),
+            F.expr(
+                f"substring('{_HEX_DIGITS}', "
+                "array_position(arr, array_max(arr)), 1)"
+            ).alias("top_nibble"),
+            F.expr("CAST(array_max(arr) AS DOUBLE) / total").alias("top_share"),
+            F.expr(
+                "CAST(aggregate(transform(arr, c -> abs(16 * c - total)), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / (32 * total)"
+            ).alias("tv_uniform"),
+        )
+        .orderBy("source")
+    )
+
+
+_M20_COUNTS = ",\n         ".join(
+    f"CAST(sum(length(hx) - length(replace(hx, '{d}', ''))) AS BIGINT) AS c{i}"
+    for i, d in enumerate("0123456789abcdef")
+)
+
+
+M20_SQL = f"""
+WITH hxd AS (
+  SELECT source, lower(hex(encode(coalesce(text, '')))) AS hx FROM documents
+),
+per_src AS (
+  SELECT source,
+         {_M20_COUNTS}
+  FROM hxd GROUP BY source
+),
+arred AS (
+  SELECT source, [{", ".join(f"c{i}" for i in range(16))}] AS arr
+  FROM per_src
+),
+tot AS (
+  SELECT source, arr,
+         CAST(list_reduce(arr, (a, x) -> a + x) AS BIGINT) AS total
+  FROM arred
+)
+SELECT source,
+       total AS total_nibbles,
+       CAST(len(list_filter(arr, x -> x > 0)) AS INTEGER) AS distinct_nibbles,
+       substr('0123456789abcdef', list_position(arr, list_max(arr)), 1)
+         AS top_nibble,
+       CAST(list_max(arr) AS DOUBLE) / total AS top_share,
+       CAST(list_reduce(list_transform(arr, c -> abs(16 * c - total)),
+            (a, x) -> a + x) AS DOUBLE) / (32 * total) AS tv_uniform
+FROM tot ORDER BY source
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1819,6 +1920,7 @@ QUERIES = {
     "m17_block_size_sweep": m17_block_size_sweep,
     "m18_caption_rate_audit": m18_caption_rate_audit,
     "m19_modality_mix_manifest": m19_modality_mix_manifest,
+    "m20_byte_uniformity_census": m20_byte_uniformity_census,
 }
 
 ORACLES = {
@@ -1841,4 +1943,5 @@ ORACLES = {
     "m17_block_size_sweep": M17_SQL,
     "m18_caption_rate_audit": _m18_sql(),
     "m19_modality_mix_manifest": M19_SQL,
+    "m20_byte_uniformity_census": M20_SQL,
 }

@@ -1129,6 +1129,63 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+
+def q44_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL /
+    UNION ALL over the 1995-vs-1996 order-customer multisets (q19/q20/
+    q21 pin the DISTINCT variants; the ALL variants preserve
+    multiplicity: INTERSECT ALL keeps min(m_a, m_b) copies per key,
+    EXCEPT ALL the surplus m_a - m_b). Each result is summarized as
+    (rows, distinct keys) so the gate hash pins the multiplicity
+    arithmetic itself — under DISTINCT semantics the three n_rows
+    collapse and the entry would go red.
+
+    Scale shape: Spark plans intersectAll/exceptAll as a count-aggregate
+    + generate(replicate) on the hashed key — one shuffle per side on
+    o_custkey, no join explosion; the year filters push to the orders
+    scan; the three 1-row summaries union on the driver side of the
+    plan for free."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("year(o_orderdate)").alias("y"), "o_custkey"
+    )
+    a = o.filter(F.col("y") == 1995).select("o_custkey")
+    b = o.filter(F.col("y") == 1996).select("o_custkey")
+    parts = []
+    for name, df in (
+        ("except_all", a.exceptAll(b)),
+        ("intersect_all", a.intersectAll(b)),
+        ("union_all", a.unionAll(b)),
+    ):
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct("o_custkey").alias("n_distinct"),
+            ).select(F.lit(name).alias("setop"), "n_rows", "n_distinct")
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out.orderBy("setop")
+
+
+Q44_SQL = """
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'except_all' AS setop, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'intersect_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'union_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b)
+ORDER BY setop
+"""
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -1176,6 +1233,7 @@ QUERIES = {
     "q41_unpivot": q41_unpivot,
     "q42_full_outer_join": q42_full_outer_join,
     "q43_semi_join": q43_semi_join,
+    "q44_set_ops_all": q44_set_ops_all,
 }
 
 ORACLES = {
@@ -1223,4 +1281,5 @@ ORACLES = {
     "q41_unpivot": Q41_SQL,
     "q42_full_outer_join": Q42_SQL,
     "q43_semi_join": Q43_SQL,
+    "q44_set_ops_all": Q44_SQL,
 }

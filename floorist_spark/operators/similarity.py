@@ -2178,6 +2178,150 @@ FROM fr ORDER BY nprobe
 """
 
 
+# ---------------------------------------------------------------------------
+# s23 — recall-vs-nprobe operating curve
+# ---------------------------------------------------------------------------
+
+def s23_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operating curve itself: recall@k against the exact
+    brute-force truth (s01) at every probe depth s22 prices — s22 gives
+    the COST axis (candidates scanned), this gives the QUALITY axis
+    (recall), and together they are the plot an ANN deployment picks its
+    nprobe from. Per nprobe in S22_NPROBES: truth pairs, hits, exact
+    recall. New surface, SURVEY §7.2.7.
+
+    Scale shape: cosine is computed ONCE per (query, candidate) pair —
+    the probe-depth fan-out joins rank tags [rc <= nprobe] AFTER scoring,
+    so deepening the sweep never rescoreds vectors. Candidates come from
+    the assignment equi-join on centroid_id (cluster-sized buckets);
+    queries and the K-centroid table broadcast; per-(query, nprobe)
+    top-k is a window over <= cluster-union rows; the final rollup is a
+    4-row aggregate with exact integer hit counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = s01_cosine_topk_brute(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = s03_ivf_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), "centroid_id"
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("centroid_id")
+    )
+    cells = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "centroid_id", F.expr(_COS_S).alias("cosine"))
+        .withColumn("rc", F.row_number().over(wc))
+        .select("query_id", "centroid_id", "rc")
+    )
+    cand_emb = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cells.join(assigned, "centroid_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(cand_emb, "cand_id")
+        .select("query_id", "cand_id", "rc", F.expr(_COS_S).alias("cosine"))
+    )
+    probes = spark.range(0, len(S22_NPROBES)).select(
+        F.expr(
+            f"element_at(array{S22_NPROBES}, CAST(id AS INT) + 1)"
+        ).alias("nprobe")
+    )
+    wk = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    found = (
+        scored.join(F.broadcast(probes), F.col("rc") <= F.col("nprobe"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("nprobe", "query_id", "cand_id")
+    )
+    tot = truth.agg(F.count("*").alias("n_truth"))
+    hits = (
+        found.join(
+            truth,
+            (found.query_id == truth.query_id)
+            & (found.cand_id == truth.neighbor_id),
+        )
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        probes.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_truth",
+            F.expr("coalesce(n_hits, CAST(0 AS BIGINT))").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / n_truth"
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+S23_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({S01_SQL.replace("ORDER BY query_id, rank", "")})
+),
+assigned AS (
+  SELECT vec_id AS cand_id, centroid_id FROM (
+    SELECT q.vec_id, c.vec_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rn
+    FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT query_id, centroid_id, rc FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rc
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id < {N_CENTROIDS}
+  )
+),
+scored AS (
+  SELECT ce.query_id, a.cand_id, ce.rc, {_COS_D} AS cosine
+  FROM cells ce
+  JOIN assigned a USING (centroid_id)
+  JOIN embeddings q ON q.vec_id = ce.query_id
+  JOIN embeddings c ON c.vec_id = a.cand_id
+  WHERE a.cand_id != ce.query_id
+),
+probes AS (SELECT unnest({list(S22_NPROBES)}) AS nprobe),
+found AS (
+  SELECT nprobe, query_id, cand_id FROM (
+    SELECT p.nprobe, s.query_id, s.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id, p.nprobe
+             ORDER BY s.cosine DESC, s.cand_id ASC) AS rk
+    FROM scored s JOIN probes p ON s.rc <= p.nprobe
+  ) WHERE rk <= {TOP_K}
+),
+hits AS (
+  SELECT f.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM found f JOIN truth t
+    ON f.query_id = t.query_id AND f.cand_id = t.neighbor_id
+  GROUP BY f.nprobe
+)
+SELECT CAST(p.nprobe AS INTEGER) AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS recall
+FROM probes p LEFT JOIN hits h USING (nprobe)
+ORDER BY nprobe
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -2201,6 +2345,7 @@ QUERIES = {
     "s20_cell_rebalance": s20_cell_rebalance,
     "s21_embedding_hygiene": s21_embedding_hygiene,
     "s22_nprobe_cost_frontier": s22_nprobe_cost_frontier,
+    "s23_recall_vs_nprobe": s23_recall_vs_nprobe,
 }
 
 ORACLES = {
@@ -2226,4 +2371,5 @@ ORACLES = {
     "s20_cell_rebalance": _s20_sql(),
     "s21_embedding_hygiene": _s21_sql(),
     "s22_nprobe_cost_frontier": S22_SQL,
+    "s23_recall_vs_nprobe": S23_SQL,
 }

@@ -2119,6 +2119,89 @@ FROM counts GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# t27 — token character-class census
+# ---------------------------------------------------------------------------
+
+_T27_DIGITS = "0123456789"
+_T27_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _t27_class(len_fn: str) -> str:
+    """Shared CASE classifying a token ``tok`` by translate/length
+    arithmetic (the t23 rule — no regex on either engine); ``len_fn`` is
+    the engine's length function name. Classes: numeric (digits only),
+    alpha (a-z only — post-fold, so any cased ASCII word), alnum (both,
+    nothing else — ids like 'x86'), other (any punctuation/unicode),
+    empty (the '' token of a blank document)."""
+    no_d = f"{len_fn}(translate(tok, '{_T27_DIGITS}', ''))"
+    no_a = f"{len_fn}(translate(tok, '{_T27_ALPHA}', ''))"
+    no_da = f"{len_fn}(translate(tok, '{_T27_DIGITS}{_T27_ALPHA}', ''))"
+    n = f"{len_fn}(tok)"
+    return (
+        f"CASE WHEN {n} = 0 THEN 'empty' "
+        f"WHEN {no_da} > 0 THEN 'other' "
+        f"WHEN {no_d} = 0 THEN 'numeric' "
+        f"WHEN {no_a} = 0 THEN 'alpha' "
+        f"ELSE 'alnum' END"
+    )
+
+
+def t27_token_class_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token character-class mix: numeric / alpha / alnum /
+    other / empty counts and shares. The numeric+other mass separates
+    tables, logs, and markup dumps from prose (a source whose tokens are
+    40% numeric is a CSV wearing a text column), complementing t25's
+    per-document code verdict with a source-level lexical fingerprint.
+    New surface, SURVEY §7.2.7.
+
+    Scale shape: classification is translate/length arithmetic inside
+    the scan projection, so the only shuffle is the map-side-combinable
+    (source, class) count — 5 classes x #sources rows; shares come from
+    a window over that tiny aggregate. No token strings cross an
+    exchange (the class label replaces the token before the groupBy)."""
+    from pyspark.sql.window import Window
+
+    cls = _t27_class("length")
+    counts = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(_TOK_S)).alias("tok"))
+        .select("source", F.expr(cls).alias("token_class"))
+        .groupBy("source", "token_class")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    w = Window.partitionBy("source")
+    return (
+        counts.withColumn("src_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            "token_class",
+            "n_tokens",
+            F.expr("CAST(n_tokens AS DOUBLE) / src_tokens").alias("share"),
+        )
+        .orderBy("source", "token_class")
+    )
+
+
+def _t27_sql() -> str:
+    cls = _t27_class("len")
+    return f"""
+WITH toks AS (
+  SELECT source, t.tok AS tok
+  FROM (SELECT source, {_TOK_D} AS arr FROM documents),
+       LATERAL unnest(arr) AS t(tok)
+),
+counts AS (
+  SELECT source, {cls} AS token_class, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1, 2
+)
+SELECT source, token_class, n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / sum(n_tokens) OVER (PARTITION BY source) AS share
+FROM counts ORDER BY source, token_class
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -2146,6 +2229,7 @@ QUERIES = {
     "t24_source_divergence": t24_source_divergence,
     "t25_code_detect": t25_code_detect,
     "t26_hapax_census": t26_hapax_census,
+    "t27_token_class_census": t27_token_class_census,
 }
 
 ORACLES = {
@@ -2175,4 +2259,5 @@ ORACLES = {
     "t24_source_divergence": _t24_sql(),
     "t25_code_detect": _t25_sql(),
     "t26_hapax_census": T26_SQL,
+    "t27_token_class_census": _t27_sql(),
 }
