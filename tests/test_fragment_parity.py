@@ -302,7 +302,7 @@ def test_norm_parity_unicode_fuzz(frames):
     rng = random.Random(20260815)
     alphabet = (
         "abcXYZ 019 \t\n\x0b\x0c\r"
-        "   　​"
+        "\u00a0\u2003\u2028\u3000\u200b"  # NBSP em-sp LS ideo-sp ZWSP
         "İıßΣςσÄö"
         "́̇"  # combining acute, combining dot above
         "日本語中文한글"
