@@ -154,6 +154,7 @@ HEADLINE = (
     "c23_mixture_shift",
     "e37_session_length_histogram",
     "m20_byte_uniformity_census",
+    "m21_phash_candidate_histogram",
 )
 
 

@@ -1900,6 +1900,134 @@ FROM tot ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# m21 — perceptual-hash candidate hamming histogram (media near-dup tuning)
+# ---------------------------------------------------------------------------
+
+#: degenerate-bucket cap — the d03 MAX_BAND_BUCKET rule applied to phash
+#: chunks: low-entropy payloads (solid-color images; here: empty or
+#: mean-flat byte streams) hash whole sources into ONE chunk bucket, and
+#: a bucket of m media files contributes ~m²/2 candidate rows at any
+#: corpus size. Over-cap buckets are quarantined from the self-join.
+PHASH_MAX_BUCKET = 256
+
+
+def m21_phash_candidate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the perceptual-hash candidate pairs —
+    the operating-point audit that turns m08's fingerprint column into a
+    media near-dup THRESHOLD (re-encoded thumbnails, recompressed audio,
+    watermarked copies agree on most aHash bits even though their byte
+    digests differ, so m12's content-addressed exact dedup misses them;
+    the question a pipeline owner actually has is "at what radius do
+    true re-encodes separate from coincidental collisions", and this
+    histogram IS that curve — the d19/d27/d28 rule: price the operating
+    point from counts, never materialize a pair list per candidate τ).
+
+    Candidates are the d06 pigeonhole: any pair within hamming 3 of a
+    60-bit hash agrees exactly on one of the 4 15-bit chunks, so the
+    low-distance region of the histogram is EXHAUSTIVE below radius 4
+    (every such pair is a candidate by construction) and sampled above
+    it — exactly the region a dedup threshold lives in. Emitted per
+    distance: pair count and the number of distinct left documents, so
+    both pair volume and blast radius are visible per candidate τ.
+
+    Scale shape: 4·32768 buckets bound the join fan-in; chunk buckets
+    larger than ``PHASH_MAX_BUCKET`` are removed with a broadcast
+    anti-join BEFORE the self-join (the d03 degenerate rule — aHash has
+    far lower entropy than SimHash on flat payloads, so the cap is
+    load-bearing here, not just insurance); the exchange carries
+    (doc_id, phash, chunk) — 3 integers, no payload bytes; the
+    per-distance rollup is a map-side-combinable aggregate over <= 61
+    groups after the pair-distinct."""
+    fp = m08_perceptual_hash(spark, sf_dir)
+    chunks_all = fp.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> (shiftright(phash, c * 15) & 32767))"
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    oversized = (
+        chunks_all.groupBy("chunk_id", "chunk_val")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > PHASH_MAX_BUCKET)
+    )
+    chunks = chunks_all.join(
+        F.broadcast(oversized.select("chunk_id", "chunk_val")),
+        ["chunk_id", "chunk_val"],
+        "left_anti",
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("doc_a").alias("n_left_docs"),
+        )
+        .orderBy("hamming")
+    )
+
+
+# The fp CTE replays M08's phash arithmetic from the hex rendering of the
+# payload (coalesce(text,'') matches the Spark side's _payloads NULL rule);
+# the bucket cap is a window count, mirroring the Spark anti-join exactly.
+M21_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+), sampled AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN [] ELSE
+           list_transform(range(0, {PHASH_BITS}), i ->
+             CAST(concat('0x', substr(hx, (2 * ((i * n) // {PHASH_BITS}))::INT + 1, 2))
+                  AS BIGINT))
+         END AS px
+  FROM raw
+), fp AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(range(0, {PHASH_BITS}), i ->
+             CASE WHEN px[i::INT + 1] > list_sum(px) / {PHASH_BITS}.0
+                  THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END))
+         END AS BIGINT) AS phash
+  FROM sampled
+), chunks_all AS (
+  SELECT doc_id, phash, c AS chunk_id,
+         (phash >> (c * 15)::INT) & 32767 AS chunk_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS c)
+), chunks AS (
+  SELECT doc_id, phash, chunk_id, chunk_val
+  FROM (SELECT *, count(*) OVER (PARTITION BY chunk_id, chunk_val) AS bs
+        FROM chunks_all)
+  WHERE bs <= {PHASH_MAX_BUCKET}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_left_docs
+FROM pairs GROUP BY hamming ORDER BY hamming
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -1921,6 +2049,7 @@ QUERIES = {
     "m18_caption_rate_audit": m18_caption_rate_audit,
     "m19_modality_mix_manifest": m19_modality_mix_manifest,
     "m20_byte_uniformity_census": m20_byte_uniformity_census,
+    "m21_phash_candidate_histogram": m21_phash_candidate_histogram,
 }
 
 ORACLES = {
@@ -1944,4 +2073,5 @@ ORACLES = {
     "m18_caption_rate_audit": _m18_sql(),
     "m19_modality_mix_manifest": M19_SQL,
     "m20_byte_uniformity_census": M20_SQL,
+    "m21_phash_candidate_histogram": M21_SQL,
 }

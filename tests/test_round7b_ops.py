@@ -301,3 +301,63 @@ def test_m20_plan_single_scan_no_python(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Python" not in plan  # pure JVM length/replace arithmetic
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# m21 — perceptual-hash candidate hamming histogram
+# ---------------------------------------------------------------------------
+
+
+def test_m21_identical_payloads_pair_at_hamming_zero(spark, tmp_path):
+    """Two byte-identical payloads share the phash exactly -> one
+    distinct pair at hamming 0 (the multi-chunk collisions collapse);
+    an unrelated doc contributes no sub-radius pair unless its chunks
+    coincide, so the hamming-0 row is exactly the planted twin."""
+    from floorist_spark.operators.multimodal import (
+        m21_phash_candidate_histogram,
+    )
+
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "A"),
+            (2, "the quick brown fox jumps over the lazy dog", "A"),
+            (3, "zzzz!!!! completely different payload bytes 0101", "B"),
+        ],
+    )
+    rows = {r["hamming"]: r for r in m21_phash_candidate_histogram(spark, out).collect()}
+    assert rows[0]["n_pairs"] == 1
+    assert rows[0]["n_left_docs"] == 1
+
+
+def test_m21_degenerate_bucket_quarantined(spark, tmp_path):
+    """300 byte-identical payloads put every chunk bucket over
+    PHASH_MAX_BUCKET (256) -> the broadcast anti-join removes them all
+    and the histogram is EMPTY: the ~45k candidate pairs of a single
+    flat-payload bucket never reach the self-join (the d03 degenerate
+    rule; at 100 TB one solid-color-image bucket would otherwise be a
+    quadratic term no AQE can save)."""
+    from floorist_spark.operators.multimodal import (
+        PHASH_MAX_BUCKET,
+        m21_phash_candidate_histogram,
+    )
+
+    assert PHASH_MAX_BUCKET == 256
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [(i, "identical boilerplate payload body", "S") for i in range(300)],
+    )
+    assert m21_phash_candidate_histogram(spark, out).collect() == []
+
+
+def test_m21_plan_banded_never_allpairs(spark):
+    from floorist_spark.operators.multimodal import (
+        m21_phash_candidate_histogram,
+    )
+
+    plan = _plan(m21_phash_candidate_histogram(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the degenerate-bucket cap rides a broadcast anti-join
+    assert "LeftAnti, BuildRight" in plan
