@@ -110,6 +110,8 @@ GATE_PRIORITY = [
     "s21_embedding_hygiene",
     "t25_code_detect",
     "c21_ctx_length_sweep",
+    # -- wave-13 addition, gated in its birth round --------------------------
+    "m21_phash_candidate_histogram",
     # -- norm-fragment downstream chain, re-validated on the driver's ----
     # -- corpus (its non-ASCII characters never occur locally) -----------
     "d01_exact_dedup",
