@@ -155,12 +155,67 @@ HEADLINE = (
     "e37_session_length_histogram",
     "m20_byte_uniformity_census",
     "m21_phash_candidate_histogram",
+    # round-8 additions
+    "d15c_multiplicity_census",
+    "m22_magic_byte_census",
 )
 
 
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def _stream_startup_floor(spark, errors: dict[str, str]) -> float | None:
+    """Zero-row streaming query through the full micro-batch machinery —
+    see the call site for why this runs BEFORE the headline entries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from floorist_spark.session import load_table
+    from floorist_spark.streaming.stateful import _stream_dir_for
+
+    def _noop_state(key, pdfs, state):
+        for _ in pdfs:
+            pass
+        return iter(())
+
+    one_long = StructType([StructField("v", LongType())])
+    ckpt = tempfile.mkdtemp(prefix="floorist_bench_stream_ckpt_")
+    try:
+        schema = load_table(spark, SF_DIR, "events").schema
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(_stream_dir_for(SF_DIR, "events"))
+            .filter("event_id < 0")  # never true: zero rows, full machinery
+            .selectExpr("user_id AS v")
+            .groupBy("v")
+            .applyInPandasWithState(
+                _noop_state,
+                one_long,
+                one_long,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001 — floor is advisory
+        errors["stream_startup_floor"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
+        return None
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def main() -> int:
@@ -213,6 +268,29 @@ def main() -> int:
         timings["x00_dedup_memo_build"] = warm
         print(f"  x00_dedup_memo_build: {warm:.3f}s", file=sys.stderr)
 
+    # Streaming-startup split: every streaming entry (e26 here; e04/e07/
+    # e08/e15/d08 in the wider catalog) pays a fixed per-query cost just
+    # to spin the micro-batch machinery — source listing, checkpoint
+    # setup, per-shuffle-partition state-store init, Python state-worker
+    # round-trip — before a single row is processed. Measure that floor
+    # with the SAME machinery the entries use (applyInPandasWithState on
+    # the events stream) driven over ZERO rows (constant-false filter), so
+    # the number is pure startup, no per-row work.
+    #
+    # Round 8: measured BEFORE the headline loop, not after. The SESSION'S
+    # FIRST streaming query additionally pays one-time state-worker/
+    # machinery spin-up, and with the floor probe at the end that cold
+    # cost landed on e26 (the first streaming headline entry) — measured
+    # solo 3x: e26 9.29/5.41/5.01s, the zero-row floor itself 4.63/1.64/
+    # 1.61s. That is the whole story of e26's r6→r7 driver swing
+    # (2.14s→8.12s with no code change): the entry's number was
+    # cold-vs-warm roulette. Probing first pins the cold cost to this
+    # explicit floor line and makes every streaming entry steady-state
+    # and round-comparable.
+    stream_floor = _stream_startup_floor(spark, errors)
+    if stream_floor is not None:
+        print(f"  stream_startup_floor: {stream_floor:.3f}s", file=sys.stderr)
+
     for name in HEADLINE:
         t0 = time.time()
         try:
@@ -249,66 +327,6 @@ def main() -> int:
             print(f"  {key}: {timings[key]:.3f}s ({nfiles} files)", file=sys.stderr)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-
-    # Streaming-startup split: every streaming entry (e26 here; e04/e07/
-    # e08/e15/d08 in the wider catalog) pays a fixed per-query cost just
-    # to spin the micro-batch machinery — source listing, checkpoint
-    # setup, per-shuffle-partition state-store init, Python state-worker
-    # round-trip — before a single row is processed. Measure that floor
-    # with the SAME machinery the entries use (applyInPandasWithState on
-    # the events stream) driven over ZERO rows (constant-false filter), so
-    # the number is pure startup, no per-row work. Reported as its own
-    # top-level key so streaming entries' steady-state cost is legible
-    # WITHOUT changing their comparable per-entry timings (e26 ≈ its
-    # timing minus this floor).
-    def _stream_startup_floor() -> float | None:
-        from pyspark.sql.streaming.state import GroupStateTimeout
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        from floorist_spark.streaming.stateful import _stream_dir_for
-
-        def _noop_state(key, pdfs, state):
-            for _ in pdfs:
-                pass
-            return iter(())
-
-        one_long = StructType([StructField("v", LongType())])
-        ckpt = tempfile.mkdtemp(prefix="floorist_bench_stream_ckpt_")
-        try:
-            schema = load_table(spark, SF_DIR, "events").schema
-            t0 = time.time()
-            q = (
-                spark.readStream.schema(schema)
-                .parquet(_stream_dir_for(SF_DIR, "events"))
-                .filter("event_id < 0")  # never true: zero rows, full machinery
-                .selectExpr("user_id AS v")
-                .groupBy("v")
-                .applyInPandasWithState(
-                    _noop_state,
-                    one_long,
-                    one_long,
-                    "update",
-                    GroupStateTimeout.NoTimeout,
-                )
-                .writeStream.format("noop")
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — floor is advisory
-            errors["stream_startup_floor"] = (
-                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-            )
-            return None
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
-
-    stream_floor = _stream_startup_floor()
-    if stream_floor is not None:
-        print(f"  stream_startup_floor: {stream_floor:.3f}s", file=sys.stderr)
 
     # each entry's build released its predecessor's caches; free the last
     # one (plus the session-lifetime dedup memos) so the sweep ends with

@@ -1101,7 +1101,18 @@ def d15_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct(doc_id, idx)) — map-side combinable, skew-safe: a passage
     repeated 10M times reduces to one owner row per partition before the
     exchange. Reference has no text ops at all (new surface, SURVEY
-    §7.2.7)."""
+    §7.2.7).
+
+    Duplicate-id robustness (round 8): a 100 TB corpus WILL carry
+    duplicated doc_id rows, and the ownership-equality keep flag
+    (o.doc_id == doc_id AND o.idx == idx) would mark EVERY row tying on
+    (doc_id, idx) as kept while the oracle's row_number()=1 keeps one.
+    The chunk relation is therefore reduced to DISTINCT (doc_id, idx, d)
+    before ownership — within each d-partition (doc_id, idx) is then a
+    key, so equality-vs-min and row_number()=1 agree on any corpus. The
+    semantics become "per distinct document content": identical-text
+    id-duplicates collapse, different-text id-collisions keep both
+    passages. No-op on a unique-id corpus."""
     toks = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.expr(tf.tokens_spark(_NORM_S)).alias("toks")
     )
@@ -1113,7 +1124,7 @@ def d15_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> md5(concat_ws(' ', slice(toks, i * {PASSAGE_W} + 1, {PASSAGE_W}))))"
             )
         ).alias("idx", "d"),
-    )
+    ).distinct()
     owners = ch.groupBy("d").agg(
         F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("o")
     )
@@ -1146,23 +1157,33 @@ def d15_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANSI constructs: row_number() OVER (PARTITION BY d ORDER BY doc_id, idx)
 # for first-owner and list_slice(toks, a, b) (1-based inclusive, matching
 # Spark's slice(toks, a, len)). Semantics unchanged.
+#
+# Round 8 (judge-proven root cause of the r5-r7 driver reds): n_kept was the
+# bare sum(CASE ...) — HUGEINT in DuckDB, which the driver's pandas fetch
+# renders as float64 (7.0 vs Spark's 7) and the value hash distinguishes.
+# CAST ... AS BIGINT restores integer-class parity; the Spark answer was
+# already correct. Also: DISTINCT chunk rows (duplicate-doc_id robustness,
+# mirroring the Spark plan) and a d tie-break in the string_agg ORDER BY —
+# idx alone is only a key per group when doc_ids are unique.
 D15_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {tf.tokens_duck(_NORM_D)} AS toks FROM documents
 ), ch AS (
-  SELECT doc_id, i AS idx,
-         md5(array_to_string(list_slice(toks,
-             CAST(i * {PASSAGE_W} + 1 AS INTEGER),
-             CAST(i * {PASSAGE_W} + {PASSAGE_W} AS INTEGER)), ' ')) AS d
-  FROM toks, LATERAL unnest(range(0, CAST(ceil(len(toks) / {PASSAGE_W}.0) AS BIGINT))) AS t(i)
+  SELECT DISTINCT doc_id, idx, d FROM (
+    SELECT doc_id, i AS idx,
+           md5(array_to_string(list_slice(toks,
+               CAST(i * {PASSAGE_W} + 1 AS INTEGER),
+               CAST(i * {PASSAGE_W} + {PASSAGE_W} AS INTEGER)), ' ')) AS d
+    FROM toks, LATERAL unnest(range(0, CAST(ceil(len(toks) / {PASSAGE_W}.0) AS BIGINT))) AS t(i)
+  )
 ), flagged AS (
   SELECT doc_id, idx, d,
          row_number() OVER (PARTITION BY d ORDER BY doc_id, idx) = 1 AS keep
   FROM ch
 )
 SELECT doc_id, count(*) AS n_passages,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       md5(coalesce(string_agg(d, '' ORDER BY idx) FILTER (WHERE keep), '')) AS clean_digest
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(d, '' ORDER BY idx, d) FILTER (WHERE keep), '')) AS clean_digest
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1220,6 +1241,51 @@ def d15b_norm_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 D15B_SQL = f"""
 SELECT doc_id, md5({_NORM_D}) AS norm_digest
 FROM documents ORDER BY doc_id
+"""
+
+
+def d15c_multiplicity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape probe (round-8 verdict task 8): one row of exact
+    multiplicity counts — total rows, distinct doc_ids, distinct texts,
+    and rows whose doc_id is duplicated. Trivially oracle-clean, so when
+    a remote gate's corpus has a shape the local testdata doesn't
+    (duplicated ids made d15/m12/c20 latently divergent until round 8),
+    the surprise is directly readable from ``spark_rows``/values in the
+    correctness JSON instead of needing another forensics round.
+
+    Scale shape: two map-side-combinable distinct-count aggregates plus
+    one groupBy(doc_id) count — all digest/id-only exchanges."""
+    docs = _docs_parallel(spark, sf_dir)
+    dup_rows = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.sum(F.expr("IF(m > 1, m, CAST(0 AS BIGINT))")).alias(
+                "n_rows_with_dup_id"
+            )
+        )
+    )
+    base = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_doc_ids"),
+        F.countDistinct(F.expr("md5(coalesce(text, ''))")).alias("n_texts"),
+    )
+    return base.crossJoin(F.broadcast(dup_rows)).select(
+        "n_rows", "n_doc_ids", "n_texts", "n_rows_with_dup_id"
+    )
+
+
+D15C_SQL = """
+WITH m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM documents GROUP BY doc_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+       (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents)
+         AS n_doc_ids,
+       (SELECT CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+        FROM documents) AS n_texts,
+       (SELECT CAST(coalesce(sum(CASE WHEN m > 1 THEN m ELSE 0 END), 0)
+                    AS BIGINT) FROM m) AS n_rows_with_dup_id
 """
 
 
@@ -2780,6 +2846,7 @@ QUERIES = {
     "d15_passage_dedup": d15_passage_dedup,
     "d15a_token_census": d15a_token_census,
     "d15b_norm_digest": d15b_norm_digest,
+    "d15c_multiplicity_census": d15c_multiplicity_census,
     "d16_soft_dedup_weights": d16_soft_dedup_weights,
     "d17_incremental_dedup": d17_incremental_dedup,
     "d18_dup_graph_triangles": d18_dup_graph_triangles,
@@ -2813,6 +2880,7 @@ ORACLES = {
     "d15_passage_dedup": D15_SQL,
     "d15a_token_census": D15A_SQL,
     "d15b_norm_digest": D15B_SQL,
+    "d15c_multiplicity_census": D15C_SQL,
     "d16_soft_dedup_weights": _d16_sql(),
     "d17_incremental_dedup": _d17_sql(),
     "d18_dup_graph_triangles": _d18_sql(),

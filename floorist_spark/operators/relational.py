@@ -879,6 +879,8 @@ def q36_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q36_SQL = """
+-- ORDER BY the aggregated value itself: ties contribute identical strings,
+-- so the output is deterministic regardless of key-completeness
 SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
        count(*) AS n_nations
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey

@@ -444,6 +444,9 @@ def _s05_sql() -> str:
         f"c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
         f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
     ]
+    # ORDER BY key audit (round 8): vec_id is the embeddings table key, so
+    # the fold order is total within each (centroid_id, j) group; the Spark
+    # twin folds in the same vec_id order.
     mean = (
         "list_reduce(list(embedding[j]::DOUBLE ORDER BY vec_id), "
         "(a, b) -> a + b) / COUNT(*)"
@@ -471,6 +474,7 @@ def _s05_sql() -> str:
             f"""c{t + 1} AS (
   SELECT p.centroid_id, coalesce(n.emb, p.c_emb::DOUBLE[]) AS c_emb
   FROM c{t} p LEFT JOIN (
+    -- ORDER BY j is key-complete: u{t} is GROUP BY (centroid_id, j)
     SELECT centroid_id, list(v ORDER BY j) AS emb FROM u{t} GROUP BY centroid_id
   ) n USING (centroid_id)
 )"""
@@ -915,6 +919,7 @@ WITH sub AS (
     FROM scored
   ) WHERE rn = 1
 )
+-- ORDER BY m is key-complete: best is rn=1 per (vec_id, m)
 SELECT vec_id,
        md5(to_json(list(k ORDER BY m))::VARCHAR) AS codes_digest,
        list_reduce(list(dist ORDER BY m), (a, x) -> a + x)
@@ -2058,6 +2063,15 @@ ORDER BY s.label
 #: probe depths priced by the frontier (nprobe=1 is s04's operating point)
 S22_NPROBES = (1, 2, 4, 8)
 
+#: query population the COST axis is priced over. Deliberately wider than
+#: the N_QUERIES (= 5) demo set its companion s23 measures RECALL on: the
+#: cost model is counts-only (cell sizes × probe ranks — no per-candidate
+#: scoring), so pricing 10× more queries is nearly free and smooths the
+#: avg/max statistics, while s23 pays brute-force ground truth per query
+#: and stays on the small set. The two axes are comparable per-QUERY
+#: (avg_candidates vs recall), not per-population.
+S22_COST_QUERIES = 50
+
 
 def s22_nprobe_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-volume cost model for the IVF index: for each nprobe in
@@ -2085,7 +2099,7 @@ def s22_nprobe_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
-    q = emb.filter(F.col("vec_id") < 50).select(
+    q = emb.filter(F.col("vec_id") < S22_COST_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2153,7 +2167,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
            ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rk
   FROM embeddings q, embeddings c
-  WHERE q.vec_id < 50 AND c.vec_id < {N_CENTROIDS}
+  WHERE q.vec_id < {S22_COST_QUERIES} AND c.vec_id < {N_CENTROIDS}
 ),
 cum AS (
   SELECT r.query_id, r.rk,

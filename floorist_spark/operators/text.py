@@ -692,6 +692,8 @@ WITH toks AS (
   SELECT doc_id, pos, (cb.cb + 1)::DOUBLE / (cu.cu + v.v) AS p
   FROM e JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
 )
+-- ORDER BY pos is key-complete: pos is the bigram position, unique per
+-- doc_id (the documents table key)
 SELECT doc_id, count(*) AS n_bigrams,
        list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS avg_p
 FROM p GROUP BY doc_id ORDER BY doc_id
@@ -1300,6 +1302,7 @@ total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks),
 per_doc AS (
   SELECT d.doc_id,
          CAST(sum(d.c_d) AS BIGINT) AS n_tokens,
+         -- ORDER BY tok is key-complete: doc_tok is GROUP BY (doc_id, tok)
          list_reduce(list(sqrt(CAST(d.c_d * f.c_c AS DOUBLE)) ORDER BY d.tok),
                      (a, x) -> a + x) AS bc_num
   FROM doc_tok d JOIN freq f USING (tok)
@@ -1672,6 +1675,7 @@ WITH toks AS (
   FROM occ2 GROUP BY tok
 ), phrases AS (
   SELECT o.doc_id, o.grp,
+         -- ORDER BY pos key-complete: token position, unique per doc (key)
          string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
          CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(w.deg) AS BIGINT) AS sum_deg,

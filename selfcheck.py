@@ -70,7 +70,7 @@ def main() -> int:
 
     from __spark_entry__ import oracle_sql, queries
     from floorist_spark.session import TESTDATA_TABLES, get_spark
-    from tests.oracle_compare import compare_results
+    from tests.oracle_compare import check_type_parity, compare_results
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -88,10 +88,16 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sp = fn(spark, SF_DIR).toPandas()
+            df = fn(spark, SF_DIR)
             if name not in oracles:
+                sp = df.toPandas()
                 print(f"  {name}: rows-only ({len(sp)} rows) [{time.time()-t0:.1f}s]")
                 continue
+            # round-8 rule: native oracle types must be hash-compatible
+            # (no HUGEINT; integer-vs-floating parity) — the pandas value
+            # compare below can't see this class of driver red
+            check_type_parity(con.sql(oracles[name]), df.schema, name)
+            sp = df.toPandas()
             du = con.execute(oracles[name]).fetchdf()
             compare_results(sp, du, name)
             print(f"  {name}: OK ({len(sp)} rows) [{time.time()-t0:.1f}s]")

@@ -84,11 +84,23 @@ def test_registry_prefix_window_samples_every_family():
 
 def test_gate_priority_in_prefix_window():
     """Every GATE_PRIORITY entry (the never-yet-driver-validated tail of
-    each family, plus s05/s07 whose gate status changed in round 5) must
-    land inside the first 50 registry slots — the prefix the grading
-    driver samples."""
+    each family plus this round's re-gates) must land inside the first 50
+    registry slots — the prefix the grading driver samples — and the list
+    itself must respect its documented invariants: at most 49 entries (so
+    the round-robin head keeps slot 50) and at least one entry per
+    operator family so a 50-slot window always exercises the whole
+    surface (round-8 hardening: the round-7 list had 50 entries and only
+    accidental family coverage)."""
     from floorist_spark.operators.catalog import GATE_PRIORITY, all_queries
 
+    assert len(GATE_PRIORITY) <= 49, (
+        f"GATE_PRIORITY has {len(GATE_PRIORITY)} entries; the cap is 49 "
+        "so the round-robin head stays inside the 50-slot gate window"
+    )
+    fams = {n.split("_")[0][0] for n in GATE_PRIORITY}
+    assert fams >= {"q", "d", "s", "t", "c", "e", "m"}, (
+        f"GATE_PRIORITY misses a family: {fams}"
+    )
     prefix = list(all_queries())[:50]
     missing = [n for n in GATE_PRIORITY if n not in prefix]
     assert not missing, f"priority entries outside the gate window: {missing}"

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_CORRECTNESS
-from tests.oracle_compare import compare_results
+from tests.oracle_compare import check_type_parity, compare_results
 
 import __spark_entry__ as entrymod
 
@@ -39,10 +39,48 @@ def test_query_vs_oracle(name, spark, duck):
     )
     spark_pdf = df.toPandas()
     if name in oracles:
+        # Round-8 harness rule: NATIVE oracle result types must be
+        # hash-compatible with the Spark schema (no HUGEINT; integer-vs-
+        # floating class parity). The local pandas compare below equates
+        # 7 == 7.0 numerically, so without this plan-time check an uncast
+        # HUGEINT aggregate passes locally and gates red at the driver —
+        # which is exactly what happened to d15/m12/c20 in rounds 5-7.
+        check_type_parity(duck.sql(oracles[name]), df.schema, name)
         duck_pdf = duck.execute(oracles[name]).fetchdf()
         compare_results(spark_pdf, duck_pdf, name)
     else:
         assert spark_pdf is not None  # rows-only check: query ran
+
+
+def test_type_parity_catches_hugeint(spark, duck):
+    """The round-8 checker must flag exactly the round-5..7 defect class:
+    an uncast integer aggregate (HUGEINT in DuckDB) against a Spark bigint,
+    and an integer-vs-floating class mismatch — while native BIGINT and
+    cast aggregates stay legal."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(1).select(F.lit(7).cast("long").alias("n_kept"))
+    # bare sum() over BIGINT binds HUGEINT → must fail
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        check_type_parity(
+            duck.sql("SELECT sum(x) AS n_kept FROM (VALUES (7::BIGINT)) t(x)"),
+            sdf.schema,
+            "probe",
+        )
+    # cast form → legal
+    check_type_parity(
+        duck.sql(
+            "SELECT CAST(sum(x) AS BIGINT) AS n_kept "
+            "FROM (VALUES (7::BIGINT)) t(x)"
+        ),
+        sdf.schema,
+        "probe",
+    )
+    # oracle floating vs Spark integer → must fail
+    with pytest.raises(AssertionError, match="integer-vs-"):
+        check_type_parity(
+            duck.sql("SELECT 7.0::DOUBLE AS n_kept"), sdf.schema, "probe"
+        )
 
 
 def test_entry_smoke(spark):
