@@ -158,6 +158,7 @@ HEADLINE = (
     # round-8 additions
     "d15c_multiplicity_census",
     "m22_magic_byte_census",
+    "s24_centroid_separation",
 )
 
 

@@ -84,13 +84,13 @@ def _with_cache_release(
 #: re-gate first; the 14 wave-11..13 entries no driver window has ever
 #: sampled rotate in (judge-verified HUGEINT-clean, so this completes
 #: external validation of all 207 pre-round-8 entries); the round-8 births
-#: (d15c corpus-shape probe, m22 magic-byte census) gate in their birth
-#: round per house rule; e26 re-gates because its r7 driver bench number
-#: regressed 4x with no code change (validating values while we pin the
-#: timing) and it keeps the streaming family represented in the window;
-#: the remaining 29 slots re-validate the entries whose last driver green
-#: is oldest (d09 + q08-q35, all last green r3). OUT: everything gated
-#: green r4-r7.
+#: (d15c corpus-shape probe, m22 magic-byte census, s24 centroid
+#: separation) gate in their birth round per house rule; e26 re-gates
+#: because its r7 driver bench number regressed 4x with no code change
+#: (validating values while we pin the timing) and it keeps the streaming
+#: family represented in the window; the remaining 28 slots re-validate
+#: the entries whose last driver green is oldest (d09 + q08-q34, all last
+#: green r3). OUT: everything gated green r4-r7.
 GATE_PRIORITY = [
     # -- the three uncast-HUGEINT reds, re-gated after the BIGINT casts ---
     "d15_passage_dedup",
@@ -99,6 +99,7 @@ GATE_PRIORITY = [
     # -- round-8 births, gated in their birth round -----------------------
     "d15c_multiplicity_census",
     "m22_magic_byte_census",
+    "s24_centroid_separation",
     # -- the 14 entries no driver window has ever sampled (verdict task 3)
     "q43_semi_join",
     "q44_set_ops_all",
@@ -145,7 +146,6 @@ GATE_PRIORITY = [
     "q32_percentiles",
     "q33_range_window",
     "q34_exists_correlated",
-    "q35_distinct_on",
 ]
 
 

@@ -2336,6 +2336,135 @@ ORDER BY nprobe
 """
 
 
+# ---------------------------------------------------------------------------
+# s24 — centroid separation audit (geometric index health)
+# ---------------------------------------------------------------------------
+
+#: merge-candidate threshold: a centroid whose nearest-neighbor margin is
+#: below median_margin / S24_MERGE_DIVISOR is geometrically redundant —
+#: its cell boundary sits deep inside a neighbor's basin
+S24_MERGE_DIVISOR = 4
+
+
+def s24_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric index-health audit over the coarse centroids: per
+    centroid, its nearest OTHER centroid and the squared-L2 margin to it,
+    the cell population, the margin's ratio to the K-set's median margin,
+    and a merge-candidate flag (margin < median/4). s14 audits bucket
+    OCCUPANCY and s20 plans SIZE rebalancing; this is the missing
+    geometry axis — two centroids can carry balanced cells while sitting
+    on top of each other, which wastes a probe (every query near one must
+    probe both, the s22 cost model's hidden multiplier) and starves
+    recall at fixed nprobe. The merge list feeds the same maintenance
+    loop s20's split list does. New surface, SURVEY §7.2.7.
+
+    Determinism: every margin is ONE fixed-order sqdist fold over the dim
+    range (the s05 rule — no decimal sums of float inputs); the median is
+    a rank-1 SELECTION (lower median at row_number (K+1)//2 ordered by
+    (margin, centroid_id)), not an average, so no new float op is
+    introduced; the ratio is one double division.
+
+    Scale shape: the K×K centroid matrix is a broadcast self-join over K
+    rows (K = index partition count, thousands at most — never corpus-
+    sized); cell sizes reuse the s03 assignment (one corpus scan, K-row
+    aggregate); everything downstream operates on K rows. No corpus-
+    sized exchange anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    other = cent.select(
+        F.col("centroid_id").alias("nn_centroid"), F.col("c_emb").alias("o_emb")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.asc("margin"), F.asc("nn_centroid")
+    )
+    nearest = (
+        cent.crossJoin(F.broadcast(other))
+        .filter(F.col("centroid_id") != F.col("nn_centroid"))
+        .select(
+            "centroid_id",
+            "nn_centroid",
+            F.expr(_sqdist_spark("c_emb", "o_emb")).alias("margin"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    med_rank = (N_CENTROIDS + 1) // 2
+    w_all = Window.orderBy(F.asc("margin"), F.asc("centroid_id"))
+    median = (
+        nearest.withColumn("mrk", F.row_number().over(w_all))
+        .filter(F.col("mrk") == med_rank)
+        .select(F.col("margin").alias("median_margin"))
+    )
+    sizes = (
+        s03_ivf_assign(spark, sf_dir)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("cell_size"))
+    )
+    return (
+        nearest.join(sizes, "centroid_id", "left")
+        .crossJoin(F.broadcast(median))
+        .select(
+            "centroid_id",
+            F.coalesce("cell_size", F.lit(0)).alias("cell_size"),
+            "nn_centroid",
+            "margin",
+            F.expr(
+                "CASE WHEN median_margin = 0 THEN 0.0 "
+                "ELSE margin / median_margin END"
+            ).alias("margin_ratio"),
+            F.expr(
+                f"margin * {S24_MERGE_DIVISOR} < median_margin"
+            ).alias("merge_candidate"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+S24_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), nearest AS (
+  SELECT centroid_id, nn_centroid, margin FROM (
+    SELECT a.centroid_id, b.centroid_id AS nn_centroid,
+           {_sqdist_duck('a.c_emb', 'b.c_emb')} AS margin,
+           ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+             ORDER BY {_sqdist_duck('a.c_emb', 'b.c_emb')} ASC,
+                      b.centroid_id ASC) AS rn
+    FROM cent a JOIN cent b ON a.centroid_id != b.centroid_id
+  ) WHERE rn = 1
+), med AS (
+  -- exact lower-median SELECTION (rank {(N_CENTROIDS + 1) // 2} of
+  -- {N_CENTROIDS}), not an average: no new float operation
+  SELECT margin AS median_margin FROM (
+    SELECT margin, ROW_NUMBER() OVER (ORDER BY margin ASC, centroid_id ASC)
+             AS mrk
+    FROM nearest
+  ) WHERE mrk = {(N_CENTROIDS + 1) // 2}
+), sizes AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS cell_size FROM (
+    SELECT vec_id, centroid_id FROM (
+      SELECT q.vec_id, c.vec_id AS centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_COS_D} DESC, c.vec_id ASC) AS rn
+      FROM embeddings q, embeddings c WHERE c.vec_id < {N_CENTROIDS}
+    ) WHERE rn = 1
+  ) GROUP BY centroid_id
+)
+SELECT n.centroid_id,
+       CAST(coalesce(s.cell_size, 0) AS BIGINT) AS cell_size,
+       n.nn_centroid, n.margin,
+       CASE WHEN m.median_margin = 0 THEN 0.0
+            ELSE n.margin / m.median_margin END AS margin_ratio,
+       n.margin * {S24_MERGE_DIVISOR} < m.median_margin AS merge_candidate
+FROM nearest n LEFT JOIN sizes s USING (centroid_id) CROSS JOIN med m
+ORDER BY n.centroid_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -2360,6 +2489,7 @@ QUERIES = {
     "s21_embedding_hygiene": s21_embedding_hygiene,
     "s22_nprobe_cost_frontier": s22_nprobe_cost_frontier,
     "s23_recall_vs_nprobe": s23_recall_vs_nprobe,
+    "s24_centroid_separation": s24_centroid_separation,
 }
 
 ORACLES = {
@@ -2386,4 +2516,5 @@ ORACLES = {
     "s21_embedding_hygiene": _s21_sql(),
     "s22_nprobe_cost_frontier": S22_SQL,
     "s23_recall_vs_nprobe": S23_SQL,
+    "s24_centroid_separation": S24_SQL,
 }
