@@ -2404,7 +2404,9 @@ def s24_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cell_size"))
     )
     return (
-        nearest.join(sizes, "centroid_id", "left")
+        # sizes is a K-row aggregate — broadcast it so the audit never
+        # plans a sort-merge exchange over the (tiny) centroid axis
+        nearest.join(F.broadcast(sizes), "centroid_id", "left")
         .crossJoin(F.broadcast(median))
         .select(
             "centroid_id",
