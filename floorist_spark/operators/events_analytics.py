@@ -2882,6 +2882,91 @@ FROM hist ORDER BY duration_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# e38 — per-type user-concentration audit (HHI / effective users)
+# ---------------------------------------------------------------------------
+
+def e38_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is each event type's traffic across users?
+    Per type: event and user counts, the heaviest user's share, the
+    Herfindahl-Hirschman index HHI = Σ(n_u/N)², and its inverse — the
+    "effective user count" (inverse Simpson diversity). An event type
+    whose effective users ≪ distinct users is bot- or whale-dominated:
+    the signal that decides whether a per-key partition will skew (the
+    q31 salting trigger), whether a funnel metric is one user's behavior,
+    and which types need per-user rate caps. Complements e30 (which
+    flags regular-cadence users) with the corpus-level mass view.
+
+    Determinism: both ratios divide exact integers. Per-user squares sum
+    in DECIMAL(38,0) — a bigint would overflow at Σn_u² > 2^63, reachable
+    for a 10 B-event type — and render through the string cast (_dsum
+    discipline); N² is computed the same way, so HHI and effective_users
+    are single IEEE divisions of exactly-parsed doubles.
+
+    Scale shape: one map-side-combinable groupBy(type, user) count, then
+    a per-type rollup over user-count rows; nothing driver-side, no
+    window — max() replaces a top-1 row_number. Output is |types| rows."""
+    per_user = (
+        _load_events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count("*").alias("n_users"),
+            F.max("n").cast("bigint").alias("top_user_events"),
+            F.expr(
+                "CAST(CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("sum_sq"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "top_user_events",
+            F.expr(
+                "CAST(top_user_events AS DOUBLE) / n_events"
+            ).alias("top_user_share"),
+            F.expr(
+                "sum_sq / (CAST(CAST(CAST(n_events AS DECIMAL(19,0)) * "
+                "CAST(n_events AS DECIMAL(19,0)) AS STRING) AS DOUBLE))"
+            ).alias("hhi"),
+            F.expr(
+                "(CAST(CAST(CAST(n_events AS DECIMAL(19,0)) * "
+                "CAST(n_events AS DECIMAL(19,0)) AS STRING) AS DOUBLE)) / sum_sq"
+            ).alias("effective_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E38_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+), per_type AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(max(n) AS BIGINT) AS top_user_events,
+         CAST(CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS sum_sq
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_events, n_users, top_user_events,
+       CAST(top_user_events AS DOUBLE) / n_events AS top_user_share,
+       sum_sq / CAST(CAST(CAST(n_events AS DECIMAL(19,0)) *
+                CAST(n_events AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) AS hhi,
+       CAST(CAST(CAST(n_events AS DECIMAL(19,0)) *
+            CAST(n_events AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) / sum_sq
+         AS effective_users
+FROM per_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -2917,6 +3002,7 @@ QUERIES = {
     "e35_seasonal_anomaly": e35_seasonal_anomaly,
     "e36_burst_windows": e36_burst_windows,
     "e37_session_length_histogram": e37_session_length_histogram,
+    "e38_user_concentration": e38_user_concentration,
 }
 
 ORACLES = {
@@ -2954,4 +3040,5 @@ ORACLES = {
     "e35_seasonal_anomaly": _e35_sql(),
     "e36_burst_windows": E36_SQL,
     "e37_session_length_histogram": E37_SQL,
+    "e38_user_concentration": E38_SQL,
 }

@@ -2160,6 +2160,110 @@ ORDER BY t.source, t.media_type
 """
 
 
+# ---------------------------------------------------------------------------
+# m23 — declared-vs-sniffed modality consistency (trust-but-verify ingest)
+# ---------------------------------------------------------------------------
+
+#: container signatures (m22 types) each declared modality may legitimately
+#: arrive in — riff covers both wav (audio) and avi (video), ogg both
+#: vorbis and theora, so those appear under two modalities
+M23_COMPAT = {
+    "image": ("png", "gif", "jpeg", "bmp"),
+    "audio": ("riff", "ogg", "mp3_id3"),
+    "video": ("riff", "ogg", "zip"),
+}
+
+
+def _m23_verdict(declared: str, sniffed: str) -> str:
+    """Shared CASE mapping (declared modality, sniffed container) to a
+    trust verdict: ``container_match`` (a compatible media container),
+    ``text_like`` (payload is printable text / empty — the shipped
+    corpus), else ``container_mismatch`` (a declared image arriving as
+    an OGG is mislabeled metadata or a corrupted blob — quarantine)."""
+    arms = "\n".join(
+        f"  WHEN {declared} = '{m}' AND {sniffed} IN "
+        f"({', '.join(repr(t) for t in ts)}) THEN 'container_match'"
+        for m, ts in M23_COMPAT.items()
+    )
+    return f"""CASE
+{arms}
+  WHEN {sniffed} IN ('ascii_text', 'empty') THEN 'text_like'
+  ELSE 'container_mismatch'
+END"""
+
+
+def m23_label_sniff_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-but-verify at media ingest: cross the DECLARED modality (the
+    m02 catalog tag — what the upstream metadata claims) against the
+    SNIFFED container type (the m22 magic-byte classifier — what the
+    bytes actually are) and report, per declared modality and verdict,
+    the doc count and share. A healthy corpus is ~100% container_match;
+    mass in container_mismatch means the metadata pipeline and the blob
+    store disagree (wrong join key upstream, transcoding gone wrong) and
+    those assets must be quarantined BEFORE the per-modality decode
+    fleet (m04/m07) wastes GPU time crashing on them. The shipped corpus
+    is text payloads, so everything lands in text_like — the planted
+    crafted-corpus test exercises the match and mismatch arms.
+
+    Scale shape: declared tag, sniffed type, and verdict are all
+    constant expressions inside the scan projection (whole-stage
+    codegen, no UDF, no join — the m02 modality rule is a pmod, the m22
+    classifier a CASE over 4 bytes); the only shuffle is the
+    map-side-combinable (declared, verdict) rollup, and the per-modality
+    share joins a 3-row aggregate back by broadcast."""
+    declared_s = (
+        "element_at(array('image','audio','video'), "
+        "CAST(pmod(doc_id, 3) AS INT) + 1)"
+    )
+    per_doc = _payloads(spark, sf_dir).select(
+        F.expr(declared_s).alias("declared_type"),
+        F.expr(_m22_case("hex(substring(payload, 1, 4))")).alias("sniffed"),
+    ).select(
+        "declared_type",
+        F.expr(_m23_verdict("declared_type", "sniffed")).alias("verdict"),
+    )
+    per_cell = per_doc.groupBy("declared_type", "verdict").agg(
+        F.count("*").alias("n_docs")
+    )
+    per_mod = per_doc.groupBy("declared_type").agg(
+        F.count("*").alias("mod_docs")
+    )
+    return (
+        per_cell.join(F.broadcast(per_mod), "declared_type")
+        .select(
+            "declared_type",
+            "verdict",
+            "n_docs",
+            F.expr("CAST(n_docs AS DOUBLE) / mod_docs").alias("doc_share"),
+        )
+        .orderBy("declared_type", "verdict")
+    )
+
+
+M23_SQL = f"""
+WITH per_doc AS (
+  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+           AS declared_type,
+         {_m22_case("hex(encode(coalesce(text, '')))")} AS sniffed
+  FROM documents
+), verdicts AS (
+  SELECT declared_type,
+         {_m23_verdict("declared_type", "sniffed")} AS verdict
+  FROM per_doc
+), per_cell AS (
+  SELECT declared_type, verdict, CAST(count(*) AS BIGINT) AS n_docs
+  FROM verdicts GROUP BY declared_type, verdict
+), per_mod AS (
+  SELECT declared_type, CAST(count(*) AS BIGINT) AS mod_docs
+  FROM verdicts GROUP BY declared_type
+)
+SELECT c.declared_type, c.verdict, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / m.mod_docs AS doc_share
+FROM per_cell c JOIN per_mod m ON c.declared_type = m.declared_type
+ORDER BY c.declared_type, c.verdict
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -2183,6 +2287,7 @@ QUERIES = {
     "m20_byte_uniformity_census": m20_byte_uniformity_census,
     "m21_phash_candidate_histogram": m21_phash_candidate_histogram,
     "m22_magic_byte_census": m22_magic_byte_census,
+    "m23_label_sniff_consistency": m23_label_sniff_consistency,
 }
 
 ORACLES = {
@@ -2208,4 +2313,5 @@ ORACLES = {
     "m20_byte_uniformity_census": M20_SQL,
     "m21_phash_candidate_histogram": M21_SQL,
     "m22_magic_byte_census": M22_SQL,
+    "m23_label_sniff_consistency": M23_SQL,
 }

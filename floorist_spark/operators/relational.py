@@ -1188,6 +1188,83 @@ ORDER BY setop
 """
 
 
+#: month key bounds fragment shared by the Spark scalar-collect and the
+#: oracle's inline CTE — key = year*12 + month-1, positive for all of AD
+_Q45_BOUNDS = (
+    "CAST(year(min(o_orderdate)) * 12 + month(min(o_orderdate)) - 1 AS INT)"
+    " AS lo, "
+    "CAST(year(max(o_orderdate)) * 12 + month(max(o_orderdate)) - 1 AS INT)"
+    " AS hi"
+)
+
+
+def _q45_body(div: str, anchor: str, stop: str) -> str:
+    """Shared recursive-CTE gap-fill text; ``div`` is the engine's
+    integer-division operator (Spark ``DIV``, DuckDB ``//`` — both
+    truncate toward zero, and the month keys here are positive anyway);
+    ``anchor``/``stop`` are the spine's start expression and stop bound
+    (literals on the Spark side, a bounds-CTE scalar subquery in the
+    oracle). Everything else — the recursive spine, make_date, the
+    decimal-string revenue render — parses identically on both engines."""
+    return f"""spine(k) AS (
+  SELECT {anchor}
+  UNION ALL
+  SELECT k + 1 FROM spine WHERE k < {stop}
+), monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS k,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS STRING) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT make_date(s.k {div} 12, s.k % 12 + 1, 1) AS month_start,
+       coalesce(m.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       coalesce(m.revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN monthly m ON s.k = m.k
+ORDER BY month_start
+"""
+
+
+def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4: ``WITH RECURSIVE``) driving a
+    gap-filled monthly time series: a month spine spanning [min, max]
+    of ``o_orderdate`` is generated by recursion, then LEFT JOINed to the
+    per-month order count + revenue rollup so months with NO orders
+    appear as explicit zero rows — the dense calendar every downstream
+    trend/seasonality model (e31/e32/e35) assumes. At sf0.001 the corpus
+    genuinely has empty months, so the zero-fill arm is exercised at
+    smoke scale.
+
+    The [lo, hi] month bounds are collected driver-side (ONE 1-row
+    min/max aggregate — the d07-class scalar collect) and inlined as
+    literals: Spark executes each recursion step as its own job and
+    re-evaluates any bounds CTE referenced in the recursive term per
+    step, so an inline ``(SELECT hi FROM bounds)`` re-scanned orders ~80
+    times (measured 29s vs 2.5s at sf0.01). The oracle keeps the bounds
+    inline — DuckDB evaluates the recursion in one operator.
+
+    Scale shape: the spine is O(months) rows (~80 for seven years —
+    recursion depth is calendar-bounded, never data-bounded); the
+    monthly rollup is one map-side-combinable shuffle on the month key;
+    the spine side of the final join is tiny so AQE broadcasts it.
+    Revenue sums through exact DECIMAL and renders via string (see
+    _dsum) for cross-engine bit-parity."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lo, hi = spark.sql(f"SELECT {_Q45_BOUNDS} FROM orders").first()
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _q45_body("DIV", anchor=str(lo), stop=str(hi))
+    )
+
+
+Q45_SQL = (
+    f"WITH RECURSIVE bounds AS (SELECT {_Q45_BOUNDS} FROM orders),\n"
+    + _q45_body(
+        "//", anchor="(SELECT lo FROM bounds)", stop="(SELECT hi FROM bounds)"
+    )
+)
+
+
 FLAGSHIP = q11_pricing_summary
 
 QUERIES = {
@@ -1236,6 +1313,7 @@ QUERIES = {
     "q42_full_outer_join": q42_full_outer_join,
     "q43_semi_join": q43_semi_join,
     "q44_set_ops_all": q44_set_ops_all,
+    "q45_recursive_gapfill": q45_recursive_gapfill,
 }
 
 ORACLES = {
@@ -1284,4 +1362,5 @@ ORACLES = {
     "q42_full_outer_join": Q42_SQL,
     "q43_semi_join": Q43_SQL,
     "q44_set_ops_all": Q44_SQL,
+    "q45_recursive_gapfill": Q45_SQL,
 }

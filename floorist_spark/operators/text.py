@@ -2206,6 +2206,127 @@ FROM counts ORDER BY source, token_class
 """
 
 
+# ---------------------------------------------------------------------------
+# t28 — per-document token-rarity score (unigram-frequency quality filter)
+# ---------------------------------------------------------------------------
+
+#: a doc whose mean token commonness is below this fraction of the corpus
+#: mean is flagged rare-vocabulary (OCR noise, code dumps, exotic jargon)
+T28_RARE_RATIO = 0.5
+
+
+def t28_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency document scoring — the integer-exact core of the
+    CCNet-style LM-perplexity quality filter: score every document by the
+    mean CORPUS frequency of its tokens and compare it to the corpus-wide
+    mean token commonness (which is Σf²/Σf over the vocabulary — the
+    expected frequency of a token drawn from the corpus itself). Docs far
+    below the corpus mean are rare-vocabulary outliers (OCR noise, code
+    dumps, wordlists); far above are stopword soup / boilerplate. Unlike
+    a real LM score this needs no model and no floats until the final
+    ratios, so it is bit-reproducible across engines and runs.
+
+    Determinism: every aggregate is exact (BIGINT counts; DECIMAL sums of
+    frequencies and squared frequencies rendered via the _dsum string
+    discipline — Σf² exceeds 2^63 for any corpus beyond ~3 B tokens);
+    the score and ratio are IEEE divisions of exactly-parsed doubles.
+    Untokenizable docs survive with n_tokens = 0 and NULL scores on both
+    engines (the m08/m20 guard idiom).
+
+    Scale shape: one scan -> explode -> md5 and DROP the token string
+    (digest-only exchange, the d14 rule); the vocabulary count is one
+    map-side-combinable groupBy(digest); scoring joins the corpus-sized
+    digest stream with the vocab-sized frequency table co-partitioned on
+    the digest (both sides hash-shuffled on d — no broadcast of a
+    possibly-billion-row vocab); the corpus mean is a 1-row aggregate of
+    the frequency table, broadcast back. No corpus-wide window."""
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOK_S).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.expr("md5(tok)").alias("d"))
+    )
+    from floorist_spark.operators._cache import track
+
+    ex = track(ex.persist())
+    freq = ex.groupBy("d").agg(F.count("*").alias("f"))
+    per_doc = (
+        ex.join(freq, "d")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "CAST(CAST(sum(CAST(f AS DECIMAL(19,0))) AS STRING) AS DOUBLE)"
+            ).alias("sum_freq"),
+        )
+    )
+    corpus = freq.agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(f AS DECIMAL(19,0))) AS STRING) AS DOUBLE)"
+        ).alias("tot"),
+        F.expr(
+            "CAST(CAST(sum(CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("tot2"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr("coalesce(n_tokens, CAST(0 AS BIGINT))").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN n_tokens IS NULL THEN CAST(NULL AS DOUBLE) "
+                "ELSE sum_freq / n_tokens END"
+            ).alias("mean_tok_freq"),
+            F.expr(
+                "CASE WHEN n_tokens IS NULL THEN CAST(NULL AS DOUBLE) "
+                "ELSE (sum_freq / n_tokens) / (tot2 / tot) END"
+            ).alias("rarity_ratio"),
+            F.expr(
+                "CASE WHEN n_tokens IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE (sum_freq / n_tokens) / (tot2 / tot) < {T28_RARE_RATIO} "
+                "END"
+            ).alias("is_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T28_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, md5(t.tok) AS d
+  FROM (SELECT doc_id, {_TOK_D} AS arr FROM documents),
+       LATERAL unnest(arr) AS t(tok)
+), freq AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS f FROM ex GROUP BY d
+), per_doc AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(CAST(sum(CAST(f AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+           AS sum_freq
+  FROM ex e JOIN freq USING (d) GROUP BY e.doc_id
+), corpus AS (
+  SELECT CAST(CAST(sum(CAST(f AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS tot,
+         CAST(CAST(sum(CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS tot2
+  FROM freq
+)
+SELECT doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       CASE WHEN p.n_tokens IS NULL THEN NULL
+            ELSE p.sum_freq / p.n_tokens END AS mean_tok_freq,
+       CASE WHEN p.n_tokens IS NULL THEN NULL
+            ELSE (p.sum_freq / p.n_tokens) / (c.tot2 / c.tot) END
+         AS rarity_ratio,
+       CASE WHEN p.n_tokens IS NULL THEN NULL
+            ELSE (p.sum_freq / p.n_tokens) / (c.tot2 / c.tot)
+                 < {T28_RARE_RATIO} END AS is_rare
+FROM documents LEFT JOIN per_doc p USING (doc_id), corpus c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -2234,6 +2355,7 @@ QUERIES = {
     "t25_code_detect": t25_code_detect,
     "t26_hapax_census": t26_hapax_census,
     "t27_token_class_census": t27_token_class_census,
+    "t28_token_rarity": t28_token_rarity,
 }
 
 ORACLES = {
@@ -2264,4 +2386,5 @@ ORACLES = {
     "t25_code_detect": _t25_sql(),
     "t26_hapax_census": T26_SQL,
     "t27_token_class_census": _t27_sql(),
+    "t28_token_rarity": T28_SQL,
 }
