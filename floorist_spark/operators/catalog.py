@@ -85,12 +85,16 @@ def _with_cache_release(
 #: sampled rotate in (judge-verified HUGEINT-clean, so this completes
 #: external validation of all 207 pre-round-8 entries); the round-8 births
 #: (d15c corpus-shape probe, m22 magic-byte census, s24 centroid
-#: separation) gate in their birth round per house rule; e26 re-gates
+#: separation, and the wave-14 seven: q45 recursive gap-fill, e38 user
+#: concentration, t28 token rarity, m23 modality sniff audit, d30
+#: source-pair similarity, c24 decon width sweep, s25 quantization width
+#: sweep) gate in their birth round per house rule; e26 re-gates
 #: because its r7 driver bench number regressed 4x with no code change
 #: (validating values while we pin the timing) and it keeps the streaming
-#: family represented in the window; the remaining 28 slots re-validate
-#: the entries whose last driver green is oldest (d09 + q08-q34, all last
-#: green r3). OUT: everything gated green r4-r7.
+#: family represented in the window; the remaining 21 slots re-validate
+#: the entries whose last driver green is oldest (d09 + q08-q27, all last
+#: green r3 — q28-q34 rotated out to make room for the wave-14 births and
+#: wait for round 9). OUT: everything gated green r4-r7.
 GATE_PRIORITY = [
     # -- the three uncast-HUGEINT reds, re-gated after the BIGINT casts ---
     "d15_passage_dedup",
@@ -100,6 +104,13 @@ GATE_PRIORITY = [
     "d15c_multiplicity_census",
     "m22_magic_byte_census",
     "s24_centroid_separation",
+    "q45_recursive_gapfill",
+    "e38_user_concentration",
+    "t28_token_rarity",
+    "m23_label_sniff_consistency",
+    "d30_source_pair_similarity",
+    "c24_decon_width_sweep",
+    "s25_quantization_width_sweep",
     # -- the 14 entries no driver window has ever sampled (verdict task 3)
     "q43_semi_join",
     "q44_set_ops_all",
@@ -139,13 +150,6 @@ GATE_PRIORITY = [
     "q25_string_funcs",
     "q26_date_funcs",
     "q27_scalar_subquery",
-    "q28_anti_join",
-    "q29_left_join",
-    "q30_grouping_sets",
-    "q31_salted_distinct_agg",
-    "q32_percentiles",
-    "q33_range_window",
-    "q34_exists_correlated",
 ]
 
 

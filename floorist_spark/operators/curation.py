@@ -2118,6 +2118,120 @@ FROM ranked ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# c24 — decontamination n-gram width sweep (the design input for DECON_NGRAM)
+# ---------------------------------------------------------------------------
+
+#: candidate match widths around the shipped DECON_NGRAM (= 3); production
+#: text pipelines sweep 8..13 the same way — the corpus here is short-vocab
+C24_WIDTHS = (2, 3, 4)
+
+
+def c24_decon_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How wide should the decontamination n-gram be? Per candidate width:
+    the eval split's distinct n-gram count (broadcast-state size), how
+    many train docs would be flagged, and the flag rate. Too narrow and
+    common phrases flag half the corpus (false positives — wasted
+    training data); too wide and reworded leakage slips through. The
+    sweep is the evidence for choosing c05/c11/c19's operating width —
+    the c21/m17 "sweep" pattern applied to decontamination. Buckets are
+    the c01 hash split, so eval is the same held-out set c05 matches
+    against.
+
+    Scale shape: ONE tokenize pass (persisted, released at the catalog
+    boundary) feeds all widths — n-gram assembly per width is
+    concat_ws over the cached token arrays, never a re-scan; each
+    width's eval n-gram set is aggregated once and broadcast (MB-scale
+    no matter the corpus — it is bounded by the eval split); the train
+    side flags docs via a LEFT SEMI join on the n-gram (first match
+    stops the probe, no fanout), and each width's result is ONE row, so
+    the union is free. Widths are a compile-time constant — 3 subplans,
+    not a data-dependent loop."""
+    from floorist_spark.operators._cache import track
+
+    toks = tf.tokens_spark(tf.norm_spark("text"))
+    base = track(
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_bucket_spark("split", 100)).alias("bucket"),
+            F.expr(toks).alias("toks"),
+        )
+        .persist()
+    )
+    parts = []
+    for n in C24_WIDTHS:
+        ng = f"array_distinct({tf.word_ngrams_spark('toks', n)})"
+        eval_ng = (
+            base.filter(F.col("bucket") >= VAL_UPTO)
+            .select(F.explode(F.expr(ng)).alias("ng"))
+            .distinct()
+        )
+        train = base.filter(F.col("bucket") < TRAIN_UPTO)
+        train_ng = train.select("doc_id", F.explode(F.expr(ng)).alias("ng"))
+        flagged = train_ng.join(F.broadcast(eval_ng), "ng", "left_semi").agg(
+            F.countDistinct("doc_id").alias("n_flagged")
+        )
+        stats = train.agg(F.count("*").alias("n_train_docs"))
+        evals = eval_ng.agg(F.count("*").alias("n_eval_ngrams"))
+        parts.append(
+            flagged.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(evals))
+            .select(
+                F.lit(n).cast("int").alias("ngram_width"),
+                "n_eval_ngrams",
+                "n_train_docs",
+                "n_flagged",
+                F.expr("CAST(n_flagged AS DOUBLE) / n_train_docs").alias(
+                    "flag_rate"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("ngram_width")
+
+
+def _c24_sql() -> str:
+    toks = tf.tokens_duck(tf.norm_duck("text"))
+    bucket = _bucket_duck("split", 100)
+    selects = []
+    for n in C24_WIDTHS:
+        ng = f"list_distinct({tf.word_ngrams_duck('toks', n)})"
+        selects.append(f"""
+SELECT CAST({n} AS INTEGER) AS ngram_width,
+       (SELECT CAST(count(DISTINCT t.ng) AS BIGINT)
+        FROM tok, LATERAL unnest({ng}) AS t(ng)
+        WHERE bucket >= {VAL_UPTO}) AS n_eval_ngrams,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok
+        WHERE bucket < {TRAIN_UPTO}) AS n_train_docs,
+       (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+        FROM (SELECT doc_id, t.ng
+              FROM tok, LATERAL unnest({ng}) AS t(ng)
+              WHERE bucket < {TRAIN_UPTO}) tr
+        WHERE tr.ng IN (SELECT t.ng
+                        FROM tok, LATERAL unnest({ng}) AS t(ng)
+                        WHERE bucket >= {VAL_UPTO})) AS n_flagged,
+       CAST((SELECT count(DISTINCT doc_id)
+             FROM (SELECT doc_id, t.ng
+                   FROM tok, LATERAL unnest({ng}) AS t(ng)
+                   WHERE bucket < {TRAIN_UPTO}) tr
+             WHERE tr.ng IN (SELECT t.ng
+                             FROM tok, LATERAL unnest({ng}) AS t(ng)
+                             WHERE bucket >= {VAL_UPTO})) AS DOUBLE)
+         / (SELECT count(*) FROM tok WHERE bucket < {TRAIN_UPTO})
+         AS flag_rate""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {bucket} AS bucket, {toks} AS toks FROM documents
+)
+{body}
+ORDER BY ngram_width
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -2142,6 +2256,7 @@ QUERIES = {
     "c21_ctx_length_sweep": c21_ctx_length_sweep,
     "c22_split_leakage_audit": c22_split_leakage_audit,
     "c23_mixture_shift": c23_mixture_shift,
+    "c24_decon_width_sweep": c24_decon_width_sweep,
 }
 
 ORACLES = {
@@ -2168,4 +2283,5 @@ ORACLES = {
     "c21_ctx_length_sweep": _c21_sql(),
     "c22_split_leakage_audit": _c22_sql(),
     "c23_mixture_shift": _c23_sql(),
+    "c24_decon_width_sweep": _c24_sql(),
 }

@@ -2829,6 +2829,158 @@ FROM scored GROUP BY detector ORDER BY detector
 """
 
 
+# ---------------------------------------------------------------------------
+# d30 — source-pair shingle similarity (corpus-level MinHash + exact audit)
+# ---------------------------------------------------------------------------
+
+def d30_source_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap matrix: estimated AND exact shingle-set
+    Jaccard for every SOURCE pair — "how much of source B is already in
+    source A" is the first question when a new crawl/dump is considered
+    for the mixture (a near-1 pair means the new source adds mostly
+    duplicate mass; c06/c16 weights assume sources are distinct). The
+    MinHash estimate comes from per-source signatures built with the
+    SAME 32 hash functions as the d03 doc-level family — min is
+    associative, so a source's signature component i is just
+    min(affine_i) over all its docs' shingle hashes: one
+    map-side-combinable aggregate, no per-doc signatures needed. The
+    exact Jaccard (feasible because |sources| is small; at 100 TB you'd
+    keep the estimate and sample the audit) shares one distinct
+    (source, digest) table for the intersection join and the per-source
+    set sizes, and the output pins the estimator's absolute error —
+    the d13 calibration story lifted to corpus granularity.
+
+    Scale shape: shingle hashes come from the memoized d03 chain joined
+    to the doc->source map (digest-only exchange); the signature table is
+    |sources| x 32 ints, so the pair cross is trivially tiny; the exact
+    intersection is a self-equi-join of the distinct (source, digest)
+    table ON THE DIGEST — fanout per digest is bounded by |sources|,
+    never |docs|. No corpus-wide window, no all-pairs over docs."""
+    nsig = NBANDS * NROWS
+    src_hashes = (
+        _hashed_shingles(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select("source", F.explode("sh").alias("h"))
+    )
+    from floorist_spark.operators._cache import track
+
+    distinct_sh = track(src_hashes.distinct().persist())
+    sigs = src_hashes.groupBy("source").agg(
+        *[
+            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+            for i in range(nsig)
+        ]
+    )
+    match_expr = " + ".join(
+        f"IF(a.mh{i} = b.mh{i}, 1, 0)" for i in range(nsig)
+    )
+    est = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), F.expr("a.source < b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.expr(f"CAST({match_expr} AS INT)").alias("n_sig_match"),
+        )
+    )
+    sizes = distinct_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    inter = (
+        distinct_sh.alias("x")
+        .join(distinct_sh.alias("y"), F.expr("x.h = y.h AND x.source < y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        est.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n_sh", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n_sh", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_sig_match",
+            F.expr(f"CAST(n_sig_match AS DOUBLE) / {nsig}").alias("est_jaccard"),
+            F.expr("coalesce(n_inter, CAST(0 AS BIGINT))").alias("n_inter"),
+            F.expr(
+                "CAST(coalesce(n_inter, CAST(0 AS BIGINT)) AS DOUBLE) "
+                "/ (n_a + n_b - coalesce(n_inter, CAST(0 AS BIGINT)))"
+            ).alias("exact_jaccard"),
+            F.expr(
+                f"abs(CAST(n_sig_match AS DOUBLE) / {nsig} - "
+                "CAST(coalesce(n_inter, CAST(0 AS BIGINT)) AS DOUBLE) "
+                "/ (n_a + n_b - coalesce(n_inter, CAST(0 AS BIGINT))))"
+            ).alias("abs_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _d30_sql() -> str:
+    nsig = NBANDS * NROWS
+    # affine mins over the exploded hashes — the same (a, b) coefficients
+    # as affine_spark, as plain aggregate SQL (minhash_duck's per-list
+    # form doesn't fit a GROUP BY over exploded rows)
+    mins = ",\n         ".join(
+        "min(({a} * h + {b}) % {m}) AS mh{i}".format(
+            a=tf._affine_coef(i)[0], b=tf._affine_coef(i)[1],
+            m=tf.MERSENNE31, i=i,
+        )
+        for i in range(nsig)
+    )
+    match_expr = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(nsig))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+), ex AS (
+  SELECT d.source, t.h
+  FROM sh JOIN documents d USING (doc_id), LATERAL unnest(sh.sh) AS t(h)
+), sigs AS (
+  SELECT source,
+         {mins}
+  FROM ex GROUP BY source
+), dist AS (
+  SELECT DISTINCT source, h FROM ex
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM dist GROUP BY source
+), inter AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM dist x JOIN dist y ON x.h = y.h AND x.source < y.source
+  GROUP BY x.source, y.source
+), est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST({match_expr} AS INTEGER) AS n_sig_match
+  FROM sigs a JOIN sigs b ON a.source < b.source
+)
+SELECT e.source_a, e.source_b, e.n_sig_match,
+       CAST(e.n_sig_match AS DOUBLE) / {nsig} AS est_jaccard,
+       coalesce(i.n_inter, 0) AS n_inter,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS exact_jaccard,
+       abs(CAST(e.n_sig_match AS DOUBLE) / {nsig} -
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))) AS abs_err
+FROM est e
+LEFT JOIN inter i ON e.source_a = i.source_a AND e.source_b = i.source_b
+JOIN sizes sa ON e.source_a = sa.source
+JOIN sizes sb ON e.source_b = sb.source
+ORDER BY e.source_a, e.source_b
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_normalized_dedup": d02_normalized_dedup,
@@ -2861,6 +3013,7 @@ QUERIES = {
     "d27_threshold_sweep": d27_threshold_sweep,
     "d28_candidate_score_histogram": d28_candidate_score_histogram,
     "d29_detector_agreement": d29_detector_agreement,
+    "d30_source_pair_similarity": d30_source_pair_similarity,
 }
 
 ORACLES = {
@@ -2895,4 +3048,5 @@ ORACLES = {
     "d27_threshold_sweep": _d27_sql(),
     "d28_candidate_score_histogram": D28_SQL,
     "d29_detector_agreement": _d29_sql(),
+    "d30_source_pair_similarity": _d30_sql(),
 }

@@ -2467,6 +2467,118 @@ ORDER BY n.centroid_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s25 — scalar-quantization bit-width sweep (distortion vs compression)
+# ---------------------------------------------------------------------------
+
+#: candidate symmetric bit widths: (bits, max level) — level = 2^(bits-1)-1
+S25_WIDTHS = ((8, 127), (4, 7), (2, 1))
+#: per-vector MSE thresholds for the distortion histogram (doubles compare
+#: deterministically — the per-vector MSE itself is bit-identical, s07)
+S25_THRESHOLDS = (1e-6, 1e-4, 1e-2)
+
+
+def s25_quantization_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How few bits can the index afford? Per candidate width (int8 /
+    int4 / int2 symmetric max-abs, the s07 scheme at level 2^(b-1)-1):
+    the corpus distortion profile — vector count, max per-vector
+    reconstruction MSE, and how many vectors exceed each fixed MSE
+    threshold. The memory-vs-recall tradeoff every billion-vector
+    deployment sweeps before committing: int4 halves int8's footprint
+    again, and this table says what that costs in reconstruction error
+    (s23 answers the recall side; together they are the operating
+    curve). Distortion summaries are threshold COUNTS and a max — never
+    a float SUM across vectors, whose order would be engine- and
+    partition-dependent; the per-vector MSE folds left-to-right in
+    array order, bit-identical cross-engine exactly as in s07.
+
+    Scale shape: the (vector, scale) base builds once (narrow map,
+    persisted, released at the catalog boundary); each width adds one
+    codes+MSE projection over the cached base — no rescan, no shuffle
+    except the three 1-row aggregates; output is |widths| rows. Codes
+    materialize as a column per width so the max-abs aggregate is not
+    re-evaluated per element inside a lambda (pitfall 1)."""
+    from floorist_spark.operators._cache import track
+
+    scale_s, _ = _sq8_fragments("embedding", "spark")
+    base = track(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", F.expr(scale_s).alias("scale"))
+        .persist()
+    )
+    parts = []
+    for bits, lvl in S25_WIDTHS:
+        codes = (
+            f"transform(embedding, x -> IF(scale = CAST(0 AS DOUBLE), 0, "
+            f"CAST(floor(CAST(x AS DOUBLE) / scale * {lvl}.0 + 0.5) AS INT)))"
+        )
+        mse = (
+            "aggregate(zip_with(embedding, codes, (x, c) -> "
+            f"(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / {lvl}.0 * scale) * "
+            f"(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / {lvl}.0 * scale)), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x) / size(embedding)"
+        )
+        per_vec = base.withColumn("codes", F.expr(codes)).select(
+            F.expr(mse).alias("mse")
+        )
+        parts.append(
+            per_vec.agg(
+                F.count("*").alias("n_vecs"),
+                F.max("mse").alias("max_mse"),
+                *[
+                    F.sum(F.expr(f"IF(mse > {t}, 1, 0)"))
+                    .cast("bigint")
+                    .alias(f"n_gt_{i}")
+                    for i, t in enumerate(S25_THRESHOLDS)
+                ],
+            ).select(
+                F.lit(bits).cast("int").alias("bits"),
+                F.lit(lvl).cast("int").alias("max_level"),
+                "n_vecs",
+                "max_mse",
+                *[f"n_gt_{i}" for i in range(len(S25_THRESHOLDS))],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.desc("bits"))
+
+
+def _s25_sql() -> str:
+    scale_d, _ = _sq8_fragments("embedding", "duck")
+    selects = []
+    for bits, lvl in S25_WIDTHS:
+        codes = (
+            f"list_transform(embedding, x -> CASE WHEN scale = 0.0::DOUBLE "
+            f"THEN 0 ELSE CAST(floor(x::DOUBLE / scale * {lvl}.0 + 0.5) "
+            f"AS INTEGER) END)"
+        )
+        mse = (
+            "list_reduce(list_transform(range(1, len(embedding) + 1), i -> "
+            f"(embedding[i]::DOUBLE - codes[i]::DOUBLE / {lvl}.0 * scale) * "
+            f"(embedding[i]::DOUBLE - codes[i]::DOUBLE / {lvl}.0 * scale)), "
+            "(a, x) -> a + x) / len(embedding)"
+        )
+        counts = ",\n       ".join(
+            f"CAST(sum(CASE WHEN mse > {t} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_gt_{i}"
+            for i, t in enumerate(S25_THRESHOLDS)
+        )
+        selects.append(f"""
+SELECT CAST({bits} AS INTEGER) AS bits, CAST({lvl} AS INTEGER) AS max_level,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       max(mse) AS max_mse,
+       {counts}
+FROM (
+  SELECT {mse} AS mse
+  FROM (SELECT embedding, scale, {codes} AS codes
+        FROM (SELECT embedding, {scale_d} AS scale FROM embeddings))
+)""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"{body}\nORDER BY bits DESC"
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -2492,6 +2604,7 @@ QUERIES = {
     "s22_nprobe_cost_frontier": s22_nprobe_cost_frontier,
     "s23_recall_vs_nprobe": s23_recall_vs_nprobe,
     "s24_centroid_separation": s24_centroid_separation,
+    "s25_quantization_width_sweep": s25_quantization_width_sweep,
 }
 
 ORACLES = {
@@ -2519,4 +2632,5 @@ ORACLES = {
     "s22_nprobe_cost_frontier": S22_SQL,
     "s23_recall_vs_nprobe": S23_SQL,
     "s24_centroid_separation": S24_SQL,
+    "s25_quantization_width_sweep": _s25_sql(),
 }

@@ -2244,6 +2244,10 @@ def t28_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(_TOK_S).alias("toks"))
         .select("doc_id", F.explode("toks").alias("tok"))
+        # split('', ' ') yields [''] on both engines — the empty string is
+        # not a token, and dropping it here is what makes the n_tokens = 0
+        # NULL-score path reachable for genuinely empty docs
+        .filter(F.col("tok") != "")
         .select("doc_id", F.expr("md5(tok)").alias("d"))
     )
     from floorist_spark.operators._cache import track
@@ -2299,6 +2303,7 @@ WITH ex AS (
   SELECT doc_id, md5(t.tok) AS d
   FROM (SELECT doc_id, {_TOK_D} AS arr FROM documents),
        LATERAL unnest(arr) AS t(tok)
+  WHERE t.tok != ''
 ), freq AS (
   SELECT d, CAST(count(*) AS BIGINT) AS f FROM ex GROUP BY d
 ), per_doc AS (
