@@ -159,6 +159,14 @@ HEADLINE = (
     "d15c_multiplicity_census",
     "m22_magic_byte_census",
     "s24_centroid_separation",
+    # round-8 wave 14
+    "q45_recursive_gapfill",
+    "e38_user_concentration",
+    "t28_token_rarity",
+    "m23_label_sniff_consistency",
+    "d30_source_pair_similarity",
+    "c24_decon_width_sweep",
+    "s25_quantization_width_sweep",
 )
 
 

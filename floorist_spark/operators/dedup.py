@@ -2879,7 +2879,10 @@ def d30_source_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = (
         sigs.alias("a")
-        .join(sigs.alias("b"), F.expr("a.source < b.source"))
+        # |sources|-row signature table: broadcast one side so the
+        # non-equi pair cross plans as a nested-loop over K rows, not a
+        # CartesianProduct (the s24 K-row join rule)
+        .join(F.broadcast(sigs.alias("b")), F.expr("a.source < b.source"))
         .select(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
