@@ -167,6 +167,11 @@ HEADLINE = (
     "d30_source_pair_similarity",
     "c24_decon_width_sweep",
     "s25_quantization_width_sweep",
+    # round-8 wave 15
+    "d31_containment_audit",
+    "s26_quantized_recall",
+    "c25_quality_threshold_sweep",
+    "t29_vocab_growth_curve",
 )
 
 

@@ -85,15 +85,17 @@ def _with_cache_release(
 #: sampled rotate in (judge-verified HUGEINT-clean, so this completes
 #: external validation of all 207 pre-round-8 entries); the round-8 births
 #: (d15c corpus-shape probe, m22 magic-byte census, s24 centroid
-#: separation, and the wave-14 seven: q45 recursive gap-fill, e38 user
+#: separation, the wave-14 seven: q45 recursive gap-fill, e38 user
 #: concentration, t28 token rarity, m23 modality sniff audit, d30
 #: source-pair similarity, c24 decon width sweep, s25 quantization width
-#: sweep) gate in their birth round per house rule; e26 re-gates
+#: sweep, and the wave-15 four: d31 containment audit, s26 quantized
+#: recall, c25 quality-threshold sweep, t29 vocab growth curve) gate in
+#: their birth round per house rule; e26 re-gates
 #: because its r7 driver bench number regressed 4x with no code change
 #: (validating values while we pin the timing) and it keeps the streaming
-#: family represented in the window; the remaining 21 slots re-validate
-#: the entries whose last driver green is oldest (d09 + q08-q27, all last
-#: green r3 — q28-q34 rotated out to make room for the wave-14 births and
+#: family represented in the window; the remaining 17 slots re-validate
+#: the entries whose last driver green is oldest (d09 + q08-q23, all last
+#: green r3 — q24-q34 rotated out to make room for the round-8 births and
 #: wait for round 9). OUT: everything gated green r4-r7.
 GATE_PRIORITY = [
     # -- the three uncast-HUGEINT reds, re-gated after the BIGINT casts ---
@@ -111,6 +113,10 @@ GATE_PRIORITY = [
     "d30_source_pair_similarity",
     "c24_decon_width_sweep",
     "s25_quantization_width_sweep",
+    "d31_containment_audit",
+    "s26_quantized_recall",
+    "c25_quality_threshold_sweep",
+    "t29_vocab_growth_curve",
     # -- the 14 entries no driver window has ever sampled (verdict task 3)
     "q43_semi_join",
     "q44_set_ops_all",
@@ -146,10 +152,6 @@ GATE_PRIORITY = [
     "q21_except",
     "q22_topk_global",
     "q23_having",
-    "q24_conditional_agg",
-    "q25_string_funcs",
-    "q26_date_funcs",
-    "q27_scalar_subquery",
 ]
 
 

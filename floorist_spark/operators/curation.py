@@ -2232,6 +2232,119 @@ ORDER BY ngram_width
 """
 
 
+# ---------------------------------------------------------------------------
+# c25 — quality-threshold sweep (the operating curve behind QUALITY_MIN)
+# ---------------------------------------------------------------------------
+
+#: candidate quality cutoffs swept around the shipped QUALITY_MIN (= 0.3)
+C25_THRESHOLDS = (0.0, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def c25_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much corpus survives each quality bar? Per candidate cutoff:
+    docs and tokens kept (quality >= tau, t02's blended score — the same
+    expression c07's funnel filters on) and their fractions of the
+    corpus. Raising the bar from 0.3 to 0.5 might cost 40% of the tokens
+    or 2% — this curve is the evidence, and the token axis is the one
+    that matters: quality filters preferentially kill short docs, so doc
+    and token retention diverge. The c21/c24/m17 "sweep" pattern applied
+    to the funnel's entry gate.
+
+    Determinism: the quality score is t02's int/int + literal-weight
+    double chain (bit-identical cross-engine), so the >= tau comparisons
+    partition the corpus identically; everything after is BIGINT sums
+    and two final divisions per row.
+
+    Scale shape: ONE scan computes (quality, ntok); all thresholds fold
+    into a SINGLE map-side-combinable aggregate row (2K+2 sums — no
+    per-threshold rescan, no corpus x K explode), which then unpivots
+    driver-side-free via stack(). Output is K rows."""
+    from floorist_spark.operators.text import (
+        _NORM_S as T_NORM_S,
+        _TOK_S as T_TOK_S,
+        LANG_STOPWORDS,
+        _hits_spark,
+    )
+
+    en = LANG_STOPWORDS["en"]
+    stop_ratio = f"CAST({_hits_spark(T_TOK_S, en)} AS DOUBLE) / size({T_TOK_S})"
+    len_score = (
+        f"least(CAST(length({T_NORM_S}) AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE))"
+    )
+    quality = (
+        f"CAST(0.5 AS DOUBLE) * ({len_score}) + "
+        f"CAST(0.5 AS DOUBLE) * ({stop_ratio})"
+    )
+    scored = _docs(spark, sf_dir).select(
+        F.expr(quality).alias("q"),
+        F.expr(f"CAST(size({T_TOK_S}) AS BIGINT)").alias("n_tokens"),
+    )
+    aggs = [
+        F.count("*").alias("all_docs"),
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+    ]
+    for i, t in enumerate(C25_THRESHOLDS):
+        aggs.append(
+            F.sum(F.expr(f"IF(q >= {t}, 1, 0)")).cast("bigint").alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"IF(q >= {t}, n_tokens, CAST(0 AS BIGINT))"))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), d{i}, t{i}" for i, t in enumerate(C25_THRESHOLDS)
+    )
+    return (
+        scored.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(C25_THRESHOLDS)}, {stack_args}) "
+                "AS (threshold, n_docs_kept, tokens_kept)"
+            ),
+            "all_docs",
+            "all_tokens",
+        )
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "tokens_kept",
+            F.expr("CAST(n_docs_kept AS DOUBLE) / all_docs").alias("doc_frac"),
+            F.expr("CAST(tokens_kept AS DOUBLE) / all_tokens").alias(
+                "token_frac"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _c25_sql() -> str:
+    from floorist_spark.operators.text import _LEN_SCORE_D, _STOP_RATIO_D, _TOK_D
+
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT CAST(sum(CASE WHEN q >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored) AS n_docs_kept,
+       (SELECT CAST(sum(CASE WHEN q >= {t} THEN n_tokens ELSE 0 END) AS BIGINT)
+        FROM scored) AS tokens_kept,
+       CAST((SELECT sum(CASE WHEN q >= {t} THEN 1 ELSE 0 END) FROM scored)
+            AS DOUBLE) / (SELECT count(*) FROM scored) AS doc_frac,
+       CAST((SELECT sum(CASE WHEN q >= {t} THEN n_tokens ELSE 0 END)
+             FROM scored) AS DOUBLE)
+         / (SELECT sum(n_tokens) FROM scored) AS token_frac"""
+        for t in C25_THRESHOLDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT 0.5::DOUBLE * ({_LEN_SCORE_D}) + 0.5::DOUBLE * ({_STOP_RATIO_D}) AS q,
+         CAST(len({_TOK_D}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+{rows}
+ORDER BY threshold
+"""
+
+
 QUERIES = {
     "c01_hash_split": c01_hash_split,
     "c02_stratified_sample": c02_stratified_sample,
@@ -2257,6 +2370,7 @@ QUERIES = {
     "c22_split_leakage_audit": c22_split_leakage_audit,
     "c23_mixture_shift": c23_mixture_shift,
     "c24_decon_width_sweep": c24_decon_width_sweep,
+    "c25_quality_threshold_sweep": c25_quality_threshold_sweep,
 }
 
 ORACLES = {
@@ -2284,4 +2398,5 @@ ORACLES = {
     "c22_split_leakage_audit": _c22_sql(),
     "c23_mixture_shift": _c23_sql(),
     "c24_decon_width_sweep": _c24_sql(),
+    "c25_quality_threshold_sweep": _c25_sql(),
 }

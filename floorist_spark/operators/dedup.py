@@ -2730,6 +2730,104 @@ FROM hist ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# d31 — containment-direction audit (subset duplication the Jaccard gate
+# misses)
+# ---------------------------------------------------------------------------
+
+#: a pair whose smaller shingle set is >= this fraction inside the larger
+#: one is containment-duplicated even when symmetric Jaccard is low
+D31_CONTAIN_THRESHOLD = 0.9
+
+
+def d31_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric duplication the symmetric verify discards: a story
+    embedded in a modestly longer page has containment
+    |A∩B|/min(|A|,|B|) ~ 1 but Jaccard |A∩B|/|A∪B| under d04's 0.8
+    threshold, so the pair reaches candidacy and then dies at the
+    verify — the duplicated content ships anyway. This audit re-scores
+    every banded candidate with BOTH ratios and reports the
+    containment-flagged pairs, marking which are ``subset_only``
+    (containment >= 0.9 but Jaccard < 0.8 — the pairs d04 discards that
+    a containment-aware keep rule would catch).
+
+    Recall bound, stated honestly: candidates come from MinHash banding,
+    whose per-band hit probability is jaccard^R — a SHORT doc buried in
+    a much longer one dilutes Jaccard toward |A|/|B| and usually never
+    bands at all. This operator audits the candidate set the pipeline
+    already pays for; heavily diluted containment is d24's job (anchor
+    n-grams index SPANS, immune to dilution) — the two are complements,
+    pair-level ratios here, span-level evidence there.
+
+    Determinism: both ratios are single IEEE divisions of exact integer
+    set sizes; the flags are comparisons of those bit-identical doubles.
+
+    Scale shape: identical to the d04/d28 verify ride — candidates from
+    the memoized capped band table (equi-join, degenerate-bucket cap),
+    hashed integer shingle sets joined per side, one output row per
+    FLAGGED pair. Nothing new shuffles; at 100 TB this shares the
+    checkpointed signature table with the whole d03-d29 family."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    bands = _band_rows(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(da.sh)").cast("bigint").alias("n_a"),
+            F.expr("size(db.sh)").cast("bigint").alias("n_b"),
+            F.expr("size(array_intersect(da.sh, db.sh))")
+            .cast("bigint")
+            .alias("n_inter"),
+            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
+            F.expr(
+                "CAST(size(array_intersect(da.sh, db.sh)) AS DOUBLE) "
+                "/ least(size(da.sh), size(db.sh))"
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= D31_CONTAIN_THRESHOLD)
+        .withColumn(
+            "subset_only",
+            F.expr(f"jaccard < {JACCARD_THRESHOLD}"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d31_sql() -> str:
+    return f"""
+{_duck_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(da.hs) AS BIGINT) AS n_a,
+         CAST(len(db.hs) AS BIGINT) AS n_b,
+         CAST(len(list_intersect(da.hs, db.hs)) AS BIGINT) AS n_inter,
+         {tf.jaccard_duck("da.hs", "db.hs")} AS jaccard,
+         CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+           / least(len(da.hs), len(db.hs)) AS containment
+  FROM cand JOIN docs da ON doc_a = da.doc_id JOIN docs db ON doc_b = db.doc_id
+)
+SELECT doc_a, doc_b, n_a, n_b, n_inter, jaccard, containment,
+       jaccard < {JACCARD_THRESHOLD} AS subset_only
+FROM scored
+WHERE containment >= {D31_CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # d29 — detector-agreement audit (MinHash-LSH vs SimHash ensemble)
 # ---------------------------------------------------------------------------
 
@@ -3017,6 +3115,7 @@ QUERIES = {
     "d28_candidate_score_histogram": d28_candidate_score_histogram,
     "d29_detector_agreement": d29_detector_agreement,
     "d30_source_pair_similarity": d30_source_pair_similarity,
+    "d31_containment_audit": d31_containment_audit,
 }
 
 ORACLES = {
@@ -3052,4 +3151,5 @@ ORACLES = {
     "d28_candidate_score_histogram": D28_SQL,
     "d29_detector_agreement": _d29_sql(),
     "d30_source_pair_similarity": _d30_sql(),
+    "d31_containment_audit": _d31_sql(),
 }

@@ -2579,6 +2579,156 @@ FROM (
     return f"{body}\nORDER BY bits DESC"
 
 
+# ---------------------------------------------------------------------------
+# s26 — recall@k under scalar quantization (the retrieval side of s25)
+# ---------------------------------------------------------------------------
+
+def s26_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each bit width COST in retrieval quality? Per s25 width
+    (int8/int4/int2): brute-force top-k per query over the RECONSTRUCTED
+    corpus (full-precision query against dequantized codes — the ADC
+    shape every quantized index scores with), compared to the exact s01
+    truth. Output per width: truth-pair and hit counts plus recall@k as
+    one exact int/int division. s25 reports the geometric distortion;
+    this is the metric that decides — a width whose recall matches int8
+    at half the bytes wins regardless of its MSE.
+
+    Determinism: reconstruction and cosine fold in fixed array order
+    (bit-identical, the s05/s07 rule); ranking ties break on
+    (score DESC, neighbor_id) — essential here because 2-bit codes
+    collapse many corpus vectors onto IDENTICAL reconstructions, making
+    score ties the norm, not the edge case.
+
+    Scale shape: per width, the Q-row query panel broadcasts and the
+    quantized corpus streams through one narrow projection (codes →
+    recon → cosine) — O(Q·N) compute, zero corpus shuffle before the
+    (Q·N)-row candidate set, same ride as s01; the audit join is over
+    Q×k pair sets. At 100 TB the query panel, not the corpus, bounds
+    the metric's cost (the s09 rule)."""
+    scale_s, _ = _sq8_fragments("embedding", "spark")
+    truth = s01_cosine_topk_brute(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    from floorist_spark.operators._cache import track
+
+    truth = track(truth.persist())
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.expr(scale_s).alias("scale"),
+    )
+    parts = []
+    for bits, lvl in S25_WIDTHS:
+        recon = (
+            f"transform(embedding, x -> IF(scale = CAST(0 AS DOUBLE), "
+            f"CAST(0 AS DOUBLE), "
+            f"CAST(CAST(floor(CAST(x AS DOUBLE) / scale * {lvl}.0 + 0.5) AS INT)"
+            f" AS DOUBLE) / {lvl}.0 * scale))"
+        )
+        c = base.select(
+            "neighbor_id", F.expr(recon).alias("c_emb")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("qcos"), F.asc("neighbor_id")
+        )
+        approx = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(tf.cosine_spark("q_emb", "c_emb")).alias("qcos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("neighbor_id").alias("found_id"))
+        )
+        hit = truth.join(
+            approx,
+            (truth.query_id == approx.query_id)
+            & (truth.neighbor_id == approx.found_id),
+            "left_semi",
+        )
+        parts.append(
+            truth.agg(F.count("*").alias("n_truth"))
+            .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+            .select(
+                F.lit(bits).cast("int").alias("bits"),
+                F.lit(N_QUERIES).cast("int").alias("n_queries"),
+                "n_truth",
+                "n_hit",
+                F.expr("CAST(n_hit AS DOUBLE) / n_truth").alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.desc("bits"))
+
+
+def _s26_sql() -> str:
+    scale_d, _ = _sq8_fragments("embedding", "duck")
+    selects = []
+    for bits, _lvl in S25_WIDTHS:
+        selects.append(f"""
+SELECT CAST({bits} AS INTEGER) AS bits,
+       CAST({N_QUERIES} AS INTEGER) AS n_queries,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        WHERE EXISTS (SELECT 1 FROM approx_{bits} a
+                      WHERE a.query_id = t.query_id
+                        AND a.neighbor_id = t.neighbor_id)) AS n_hit,
+       CAST((SELECT count(*) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM approx_{bits} a
+                           WHERE a.query_id = t.query_id
+                             AND a.neighbor_id = t.neighbor_id)) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS recall_at_k""")
+    approx_ctes = ",\n".join(
+        f"""recon_{bits} AS (
+  SELECT vec_id, {recon_expr} AS c_emb
+  FROM (SELECT vec_id, embedding, {scale_d} AS scale FROM embeddings)
+), scored_{bits} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tf.cosine_duck("q.embedding", "c.c_emb")} AS qcos
+  FROM embeddings q JOIN recon_{bits} c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), approx_{bits} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, neighbor_id ASC) AS rank
+    FROM scored_{bits}
+  ) WHERE rank <= {TOP_K}
+)"""
+        for bits, lvl in S25_WIDTHS
+        for recon_expr in [
+            f"list_transform(embedding, x -> CASE WHEN scale = 0.0::DOUBLE "
+            f"THEN 0.0::DOUBLE ELSE CAST(floor(x::DOUBLE / scale * {lvl}.0 "
+            f"+ 0.5) AS INTEGER)::DOUBLE / {lvl}.0 * scale END)"
+        ]
+    )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {tf.cosine_duck("q.embedding", "c.embedding")} DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+{approx_ctes}
+{body}
+ORDER BY bits DESC
+"""
+
+
 QUERIES = {
     "s01_cosine_topk_brute": s01_cosine_topk_brute,
     "s02_lsh_bucketed_ann": s02_lsh_bucketed_ann,
@@ -2605,6 +2755,7 @@ QUERIES = {
     "s23_recall_vs_nprobe": s23_recall_vs_nprobe,
     "s24_centroid_separation": s24_centroid_separation,
     "s25_quantization_width_sweep": s25_quantization_width_sweep,
+    "s26_quantized_recall": s26_quantized_recall,
 }
 
 ORACLES = {
@@ -2633,4 +2784,5 @@ ORACLES = {
     "s23_recall_vs_nprobe": S23_SQL,
     "s24_centroid_separation": S24_SQL,
     "s25_quantization_width_sweep": _s25_sql(),
+    "s26_quantized_recall": _s26_sql(),
 }

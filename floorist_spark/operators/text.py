@@ -2332,6 +2332,170 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t29 — vocabulary-growth curve (Heaps-law audit for crawl budgeting)
+# ---------------------------------------------------------------------------
+
+#: corpus-prefix percentages the vocabulary is measured at
+T29_PCTS = (1, 2, 5, 10, 25, 50, 100)
+
+
+def t29_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law audit: distinct vocabulary observed within the first
+    1/2/5/10/25/50/100% of the corpus token stream (doc_id order) — the
+    "what does more data buy" curve. A vocabulary still growing steeply
+    at 100% says the corpus undersamples its domain (keep crawling); a
+    flat tail says new data is re-spending known tokens (d21 gives the
+    per-DOC novelty signal; this is the corpus-level integral). Each row:
+    the prefix boundary in tokens, vocabulary inside it, its share of
+    the full vocabulary, and the prefix type-token ratio.
+
+    Exactness: a distinct-count-per-prefix is not decomposable, but
+    FIRST-OCCURRENCE position is — vocab within prefix b = #tokens whose
+    min global position < b. Global positions come from the c20
+    two-level prefix sum (per-doc token counts -> ~sqrt(N) bucket
+    offsets -> intra-bucket windows), so no stage serializes more than
+    ~sqrt(N) rows; prefix boundaries are exact integers (T*pct) DIV 100.
+
+    Scale shape: tokenize once; the (digest, position) exchange carries
+    md5 + one BIGINT (the d14 rule) into a map-side-combinable min; the
+    K prefix tests fold into ONE aggregate row (no per-pct rescan)
+    unpivoted via stack. Duplicate doc_ids stay deterministic: start
+    offsets come from per-doc_id pre-aggregated counts (the c20 rule)
+    and first-occurrence is a min over per-row-deterministic positions."""
+    from pyspark.sql.window import Window
+
+    ftoks = f"filter({_TOK_S}, t -> t != '')"
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(ftoks).alias("toks"))
+    )
+    from floorist_spark.operators._cache import track
+
+    base = track(base.persist())
+    docs = (
+        base.select("doc_id", F.expr("CAST(size(toks) AS BIGINT)").alias("ntok"))
+        .groupBy("doc_id")
+        .agg(F.sum("ntok").alias("ntok"))
+    )
+    width = docs.select(
+        F.expr(
+            "greatest(CAST(16 AS BIGINT), "
+            "CAST(ceil((max(doc_id) + 1) / "
+            "ceil(sqrt(max(doc_id) + 1))) AS BIGINT))"
+        ).alias("w")
+    )
+    per_doc = (
+        docs.crossJoin(F.broadcast(width))
+        .withColumn("bkt", F.expr("doc_id DIV w"))
+        .drop("w")
+    )
+    bucket_totals = per_doc.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "bkt", F.coalesce(F.sum("btok").over(w_bkt), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = (
+        per_doc.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "start_off",
+            F.col("off") + F.coalesce(F.sum("ntok").over(w_in), F.lit(0)),
+        )
+        .select("doc_id", "start_off")
+    )
+    first_occ = (
+        base.select("doc_id", F.posexplode("toks").alias("idx", "tok"))
+        .select("doc_id", "idx", F.expr("md5(tok)").alias("d"))
+        .join(starts, "doc_id")
+        .groupBy("d")
+        .agg(F.min(F.expr("start_off + idx")).alias("first_pos"))
+    )
+    totals = docs.agg(F.sum("ntok").cast("bigint").alias("tot"))
+    aggs = [F.count("*").alias("vocab_total")]
+    for i, p in enumerate(T29_PCTS):
+        aggs.append(
+            F.sum(F.expr(f"IF(first_pos < (tot * {p}) DIV 100, 1, 0)"))
+            .cast("bigint")
+            .alias(f"v{i}")
+        )
+    stack_args = ", ".join(
+        f"CAST({p} AS INT), (tot * {p}) DIV 100, v{i}"
+        for i, p in enumerate(T29_PCTS)
+    )
+    return (
+        first_occ.crossJoin(F.broadcast(totals))
+        .groupBy("tot")
+        .agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(T29_PCTS)}, {stack_args}) "
+                "AS (pct, prefix_tokens, vocab_size)"
+            ),
+            "vocab_total",
+        )
+        .select(
+            "pct",
+            "prefix_tokens",
+            "vocab_size",
+            F.expr("CAST(vocab_size AS DOUBLE) / vocab_total").alias(
+                "vocab_frac"
+            ),
+            F.expr(
+                "CASE WHEN prefix_tokens = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE CAST(vocab_size AS DOUBLE) / prefix_tokens END"
+            ).alias("prefix_ttr"),
+        )
+        .orderBy("pct")
+    )
+
+
+def _t29_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS INTEGER) AS pct,
+       (SELECT (tot * {p}) // 100 FROM totals) AS prefix_tokens,
+       (SELECT CAST(sum(CASE WHEN first_pos < (SELECT (tot * {p}) // 100
+                                               FROM totals)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM first_occ) AS vocab_size"""
+        for p in T29_PCTS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_TOK_D}, t -> t != '') AS toks FROM documents
+), docs AS (
+  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS ntok
+  FROM base GROUP BY doc_id
+), starts AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM docs
+), first_occ AS (
+  SELECT md5(toks[i]) AS d,
+         CAST(min(start_off + i - 1) AS BIGINT) AS first_pos
+  FROM base JOIN starts USING (doc_id),
+       LATERAL unnest(range(1, len(toks) + 1)) AS t(i)
+  GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(ntok) AS BIGINT) AS tot FROM docs
+), curve AS (
+{rows}
+)
+SELECT pct, prefix_tokens, vocab_size,
+       CAST(vocab_size AS DOUBLE)
+         / (SELECT count(*) FROM first_occ) AS vocab_frac,
+       CASE WHEN prefix_tokens = 0 THEN NULL
+            ELSE CAST(vocab_size AS DOUBLE) / prefix_tokens END AS prefix_ttr
+FROM curve ORDER BY pct
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -2361,6 +2525,7 @@ QUERIES = {
     "t26_hapax_census": t26_hapax_census,
     "t27_token_class_census": t27_token_class_census,
     "t28_token_rarity": t28_token_rarity,
+    "t29_vocab_growth_curve": t29_vocab_growth_curve,
 }
 
 ORACLES = {
@@ -2392,4 +2557,5 @@ ORACLES = {
     "t26_hapax_census": T26_SQL,
     "t27_token_class_census": _t27_sql(),
     "t28_token_rarity": T28_SQL,
+    "t29_vocab_growth_curve": _t29_sql(),
 }
