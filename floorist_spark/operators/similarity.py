@@ -2648,8 +2648,10 @@ def s26_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", F.col("neighbor_id").alias("found_id"))
         )
+        # both sides are QxK-row pair sets — broadcast the probe so the
+        # audit join never sort-merges (stats are unknown statically)
         hit = truth.join(
-            approx,
+            F.broadcast(approx),
             (truth.query_id == approx.query_id)
             & (truth.neighbor_id == approx.found_id),
             "left_semi",

@@ -121,3 +121,64 @@ def test_s25_no_data_shuffle_only_final_aggregates(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_max" in plan
+
+
+# --- wave 15 ---------------------------------------------------------------
+
+
+def test_t29_prefix_sum_stays_two_level(spark):
+    from floorist_spark.operators.text import t29_vocab_growth_curve
+
+    plan = _plan(t29_vocab_growth_curve(spark, SF_SMOKE))
+    # the c20 invariant transplanted: exactly two Window nodes — the
+    # intra-bucket running sum partitioned by bkt, and the ~sqrt(N)
+    # bucket-total running sum (the only corpus-independent single
+    # partition); never one global doc-level sort
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "+- Window " in ln]
+    assert len(windows) == 2, windows
+    doc_level = [
+        ln for ln in windows if re.search(r"\], \[bkt#\d+L\], \[doc_id#", ln)
+    ]
+    assert len(doc_level) == 1, windows
+    assert "doc_id#" not in [ln for ln in windows if ln not in doc_level][0]
+    # the (digest, position) exchange carries md5 + ints, never tokens
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "tok#" not in line and "text#" not in line, line
+
+
+def test_s26_query_panel_broadcasts_corpus_streams(spark):
+    from floorist_spark.operators.similarity import s26_quantized_recall
+
+    plan = _plan(s26_quantized_recall(spark, SF_SMOKE))
+    # per width: Q-row panel broadcast x corpus stream — a nested loop
+    # over a broadcast, never a plain cartesian or a corpus shuffle
+    # before the candidate set
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c25_single_aggregate_no_rescan(spark):
+    from floorist_spark.operators.curation import c25_quality_threshold_sweep
+
+    plan = _plan(c25_quality_threshold_sweep(spark, SF_SMOKE))
+    # all thresholds fold into ONE aggregate over ONE scan: a single
+    # FileScan, partial aggregation present, no join anywhere
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_d31_rides_the_band_memo_no_new_shape(spark):
+    from floorist_spark.operators.dedup import d31_containment_audit
+
+    plan = _plan(d31_containment_audit(spark, SF_SMOKE))
+    # same ride as d04/d28: no cartesian, digest/id-only exchanges
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
