@@ -154,3 +154,45 @@ def test_t29_positions_match_global_window(spark, tmp_path):
     assert out[50]["vocab_size"] == 6  # a b c d + e f
     assert out[25]["prefix_tokens"] == 3
     assert out[25]["vocab_size"] == 3  # a b c
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_t29_matches_pure_python_reference(spark, tmp_path, seed):
+    """Randomized cross-check of the distributed first-occurrence curve
+    against a brute-force single-threaded reference: sparse shuffled
+    doc_ids, repeated vocabulary, and empty docs included. Seeded, so
+    failures reproduce."""
+    import random
+
+    from floorist_spark.operators.text import T29_PCTS, t29_vocab_growth_curve
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    ids = rng.sample(range(0, 500), 25)
+    rows = []
+    for doc_id in ids:
+        n = rng.randint(0, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((doc_id, text, "en", "x", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    root = str(tmp_path / f"s{seed}")
+    df.repartition(3).write.parquet(f"{root}/documents.parquet")
+
+    # reference: global doc_id order, 0-based positions, first occurrence
+    stream = []
+    for doc_id, text, *_ in sorted(rows):
+        stream.extend(t for t in text.split(" ") if t != "")
+    total = len(stream)
+    first = {}
+    for pos, tok in enumerate(stream):
+        first.setdefault(tok, pos)
+
+    out = {r["pct"]: r for r in t29_vocab_growth_curve(spark, root).collect()}
+    assert set(out) == set(T29_PCTS)
+    for pct in T29_PCTS:
+        boundary = (total * pct) // 100
+        expect = sum(1 for p in first.values() if p < boundary)
+        assert out[pct]["prefix_tokens"] == boundary, pct
+        assert out[pct]["vocab_size"] == expect, pct
