@@ -172,6 +172,7 @@ HEADLINE = (
     "s26_quantized_recall",
     "c25_quality_threshold_sweep",
     "t29_vocab_growth_curve",
+    "e39_watermark_delay_sweep",
 )
 
 

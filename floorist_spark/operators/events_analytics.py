@@ -1921,23 +1921,13 @@ ARRIVAL_BLOCK = 1024
 LATE_THRESHOLD_US = 10 * 60 * 1_000_000
 
 
-def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-order-arrival audit — the measurement behind every
-    watermark-delay choice: treating ``event_id`` as the monotone ingest
-    order, an event's lateness is how far its event time lags the
-    event-time high-water mark of everything that arrived BEFORE it.
-    Per event-time hour: event count, count and fraction beyond the
-    streaming ops' 10-minute delay (events the e04/e07/e15/e26 watermark
-    would have dropped), and the worst lateness — exactly the histogram
-    an operator reads before picking ``withWatermark``'s delay.
-
-    Scale shape: the global prefix max is computed as a two-level scan
-    (the classic parallel-prefix decomposition): per-block maxima
-    (map-side-combined aggregate), an exclusive running max over the
-    tiny block table (the only unpartitioned window — n/ARRIVAL_BLOCK
-    rows), and a block-partitioned within-block prefix — so no window
-    ever spans the corpus. The DuckDB oracle computes the same quantity
-    with a direct global window (readable; equal by construction)."""
+def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour, late_us) per event: how far each event's time lags the
+    event-time high-water mark of everything that ARRIVED before it
+    (arrival order = event_id). The two-level parallel-prefix max shared
+    by e28 (per-hour audit) and e39 (watermark-delay sweep): per-block
+    maxima, an exclusive running max over the tiny block table, and a
+    block-partitioned within-block prefix — no corpus-wide window."""
     from pyspark.sql.window import Window
 
     ev = _load_events(spark, sf_dir).select(
@@ -1967,7 +1957,7 @@ def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # missing prefixes coalesce to 0 (pre-epoch, below every event time,
     # and overflow-safe under ANSI subtraction — LONG_MIN is not)
-    late = (
+    return (
         ev.join(blocks, "blk")
         .withColumn("in_blk_hi", F.max("us").over(wi))
         .select(
@@ -1979,6 +1969,26 @@ def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_us"),
         )
     )
+
+
+def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the measurement behind every
+    watermark-delay choice: treating ``event_id`` as the monotone ingest
+    order, an event's lateness is how far its event time lags the
+    event-time high-water mark of everything that arrived BEFORE it.
+    Per event-time hour: event count, count and fraction beyond the
+    streaming ops' 10-minute delay (events the e04/e07/e15/e26 watermark
+    would have dropped), and the worst lateness — exactly the histogram
+    an operator reads before picking ``withWatermark``'s delay.
+
+    Scale shape: the global prefix max is computed as a two-level scan
+    (the classic parallel-prefix decomposition): per-block maxima
+    (map-side-combined aggregate), an exclusive running max over the
+    tiny block table (the only unpartitioned window — n/ARRIVAL_BLOCK
+    rows), and a block-partitioned within-block prefix — so no window
+    ever spans the corpus. The DuckDB oracle computes the same quantity
+    with a direct global window (readable; equal by construction)."""
+    late = _event_lateness(spark, sf_dir)
     return (
         late.groupBy("hour")
         .agg(
@@ -2967,6 +2977,88 @@ FROM per_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e39 — watermark-delay sweep (the design input behind withWatermark)
+# ---------------------------------------------------------------------------
+
+#: candidate watermark delays (seconds) — 600 is the shipped
+#: WATERMARK_DELAY_MIN * 60 the streaming ops (e04/e07/e15/e26) run with
+E39_DELAYS_S = (0, 60, 300, 600, 900)
+
+
+def e39_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would each candidate watermark delay DROP? Per delay D: the
+    count and fraction of events whose lateness (e28's arrival-order
+    high-water-mark lag) exceeds D — exactly the rows
+    ``withWatermark(D)`` would never aggregate. e28 histograms lateness
+    per hour at the ONE shipped threshold; this sweeps the knob itself,
+    turning "pick a delay" from folklore into a read-off: the smallest D
+    whose drop share clears the pipeline's loss budget. The 600 s row
+    prices the delay the streaming ops actually run with.
+
+    Determinism: lateness is exact BIGINT micros; each test is an
+    integer comparison against a fixed literal; the share is one
+    int/int division.
+
+    Scale shape: rides the e28 two-level parallel-prefix max unchanged
+    (the helper is shared code, not a re-derivation); all K delay tests
+    fold into ONE map-side-combinable aggregate row unpivoted via stack
+    — no per-delay rescan of the corpus."""
+    late = _event_lateness(spark, sf_dir)
+    aggs = [F.count("*").alias("n_events")]
+    for i, d in enumerate(E39_DELAYS_S):
+        aggs.append(
+            F.sum(F.expr(f"IF(late_us > {d} * 1000000, 1, 0)"))
+            .cast("bigint")
+            .alias(f"l{i}")
+        )
+    stack_args = ", ".join(
+        f"CAST({d} AS INT), l{i}" for i, d in enumerate(E39_DELAYS_S)
+    )
+    return (
+        late.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(E39_DELAYS_S)}, {stack_args}) "
+                "AS (delay_s, n_dropped)"
+            ),
+            "n_events",
+        )
+        .select(
+            "delay_s",
+            "n_events",
+            "n_dropped",
+            F.expr("CAST(n_dropped AS DOUBLE) / n_events").alias("drop_frac"),
+        )
+        .orderBy("delay_s")
+    )
+
+
+def _e39_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INTEGER) AS delay_s,
+       (SELECT CAST(count(*) AS BIGINT) FROM late) AS n_events,
+       (SELECT CAST(sum(CASE WHEN late_us > {d} * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) FROM late) AS n_dropped,
+       (SELECT CAST(sum(CASE WHEN late_us > {d} * 1000000 THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) FROM late) AS drop_frac"""
+        for d in E39_DELAYS_S
+    )
+    return f"""
+WITH x AS (
+  SELECT epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+  FROM events
+), late AS (
+  SELECT CASE WHEN hi > us THEN hi - us ELSE CAST(0 AS BIGINT) END AS late_us
+  FROM x
+)
+{rows}
+ORDER BY delay_s
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_counts": e02_sliding_counts,
@@ -3003,6 +3095,7 @@ QUERIES = {
     "e36_burst_windows": e36_burst_windows,
     "e37_session_length_histogram": e37_session_length_histogram,
     "e38_user_concentration": e38_user_concentration,
+    "e39_watermark_delay_sweep": e39_watermark_delay_sweep,
 }
 
 ORACLES = {
@@ -3041,4 +3134,5 @@ ORACLES = {
     "e36_burst_windows": E36_SQL,
     "e37_session_length_histogram": E37_SQL,
     "e38_user_concentration": E38_SQL,
+    "e39_watermark_delay_sweep": _e39_sql(),
 }

@@ -196,3 +196,53 @@ def test_t29_matches_pure_python_reference(spark, tmp_path, seed):
         expect = sum(1 for p in first.values() if p < boundary)
         assert out[pct]["prefix_tokens"] == boundary, pct
         assert out[pct]["vocab_size"] == expect, pct
+
+
+# ---------------------------------------------------------------------------
+# e39 — watermark-delay sweep
+# ---------------------------------------------------------------------------
+
+def test_e39_drop_curve_monotone_and_anchored(spark, tmp_path):
+    """Exact drop accounting on a crafted out-of-order stream: event 3
+    arrives (by event_id) after a high-water mark 400 s ahead of its
+    event time, so delays 0/60/300 drop it and 600/900 keep it; event 5
+    lags 700 s, surviving only the 900 s delay. The shipped 600 s
+    operating point is one of the swept rows. (The sf0.001 stream is
+    perfectly arrival-ordered — every delay drops zero there, which is
+    itself the e28-verified baseline — so the sweep arms need a crafted
+    stream.)"""
+    from floorist_spark.operators.events_analytics import (
+        E39_DELAYS_S,
+        e39_watermark_delay_sweep,
+    )
+
+    base = 1_700_000_000  # epoch seconds
+    rows = [
+        (1, base + 0, 1, "view"),
+        (2, base + 1000, 1, "view"),
+        (3, base + 600, 2, "view"),    # 400 s late vs the mark at id 2
+        (4, base + 2000, 2, "view"),
+        (5, base + 1300, 3, "view"),   # 700 s late
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, 1.0, "{}") for i, t, u, e in rows],
+        "event_id BIGINT, sec BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).selectExpr(
+        "event_id", "timestamp_seconds(sec) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["delay_s"]: r
+        for r in e39_watermark_delay_sweep(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(E39_DELAYS_S) and 600 in out
+    assert all(r["n_events"] == 5 for r in out.values())
+    assert out[0]["n_dropped"] == 2
+    assert out[60]["n_dropped"] == 2
+    assert out[300]["n_dropped"] == 2
+    assert out[600]["n_dropped"] == 1   # only the 700 s straggler
+    assert out[900]["n_dropped"] == 0
+    for r in out.values():
+        assert r["drop_frac"] == r["n_dropped"] / 5
