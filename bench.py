@@ -173,6 +173,7 @@ HEADLINE = (
     "c25_quality_threshold_sweep",
     "t29_vocab_growth_curve",
     "e39_watermark_delay_sweep",
+    "d32_cosine_threshold_sweep",
 )
 
 

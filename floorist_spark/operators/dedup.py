@@ -2828,6 +2828,148 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# d32 — cosine-threshold sweep for the embedding near-dup detector
+# ---------------------------------------------------------------------------
+
+#: candidate cosine thresholds swept around d07/d11's operating point
+#: (0.35 on the synthetic embeddings; production text embeddings run
+#: ~0.95+ — the GRID moves, the machinery doesn't). Shared e-notation
+#: literals so both engines parse the identical double.
+D32_THRESHOLDS = ("0.25e0", "0.30e0", "0.35e0", "0.40e0", "0.45e0")
+
+
+def d32_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d27's operating-point sweep applied to the OTHER detector: for
+    each candidate cosine threshold, the verified-pair count, documents
+    touched, pairwise keep-lowest droppables, drop fraction, and
+    survivors — over the SAME sign-LSH bucket candidate set d07 verifies
+    and d11's semantic dedup prunes from. Every lexical knob has its
+    sweep (d19 banding, d27 Jaccard, c24 n-gram width, c25 quality);
+    this closes the family: the embedding detector's threshold — the one
+    SemDeDup-style pipelines argue about hardest, because cosine mass
+    shifts with the embedding model — gets the same priced curve instead
+    of a folklore constant.
+
+    Determinism: cosine is the shared fixed-order fold (bit-identical);
+    each tau is a shared e-notation literal; counts BIGINT; final fracs
+    single divisions.
+
+    Scale shape: candidates come from the sign-bucket equi-join (cost
+    sum(|bucket|²), never corpus²); the tau fan-out multiplies the
+    CANDIDATE table by |thresholds|, not the corpus; both aggregates
+    map-side combine on the 5-value tau key; the threshold dimension
+    left-joins so every tau row survives an empty filter."""
+    from floorist_spark.operators.similarity import _sign_bucket_spark
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_sign_bucket_spark("embedding")).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(tf.cosine_spark("q_emb", "c_emb")).alias("c"),
+        )
+    )
+    taulist = ", ".join(D32_THRESHOLDS)
+    taus = spark.range(1).select(
+        F.expr(f"explode(array({taulist}))").alias("tau")
+    )
+    fan = scored.select(
+        "vec_a", "vec_b", "c", F.expr(f"explode(array({taulist}))").alias("tau")
+    ).filter(F.expr("c >= tau"))
+    pairs_agg = fan.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_droppable"),
+    )
+    docs_agg = (
+        fan.select("tau", F.explode(F.expr("array(vec_a, vec_b)")).alias("v"))
+        .groupBy("tau")
+        .agg(F.countDistinct("v").alias("n_vecs_in_pairs"))
+    )
+    totals = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("corpus_vecs")
+    )
+    return (
+        taus.join(pairs_agg, "tau", "left")
+        .join(docs_agg, "tau", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_vecs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_vecs_in_pairs"),
+            F.coalesce("n_droppable", F.lit(0))
+            .cast("bigint")
+            .alias("n_droppable"),
+            F.expr(
+                "CAST(coalesce(n_droppable, 0) AS DOUBLE) / corpus_vecs"
+            ).alias("drop_frac"),
+            F.expr("corpus_vecs - coalesce(n_droppable, 0)")
+            .cast("bigint")
+            .alias("survivors"),
+        )
+        .orderBy("tau")
+    )
+
+
+def _d32_sql() -> str:
+    from floorist_spark.operators.similarity import _sign_bucket_duck
+
+    taulist = ", ".join(f"({t})" for t in D32_THRESHOLDS)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck("embedding")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {tf.cosine_duck("a.embedding", "b.embedding")} AS c
+  FROM b a JOIN b b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+taus AS (SELECT tau FROM (VALUES {taulist}) t(tau)),
+fan AS (
+  SELECT tau, vec_a, vec_b FROM scored CROSS JOIN taus WHERE c >= tau
+),
+pa AS (
+  SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT vec_b) AS BIGINT) AS n_droppable
+  FROM fan GROUP BY tau
+),
+da AS (
+  SELECT tau, CAST(count(DISTINCT v) AS BIGINT) AS n_vecs_in_pairs
+  FROM (SELECT tau, vec_a AS v FROM fan
+        UNION ALL SELECT tau, vec_b FROM fan)
+  GROUP BY tau
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_vecs FROM embeddings)
+SELECT t.tau,
+       coalesce(pa.n_pairs, 0) AS n_pairs,
+       coalesce(da.n_vecs_in_pairs, 0) AS n_vecs_in_pairs,
+       coalesce(pa.n_droppable, 0) AS n_droppable,
+       CAST(coalesce(pa.n_droppable, 0) AS DOUBLE) / tot.corpus_vecs
+         AS drop_frac,
+       tot.corpus_vecs - coalesce(pa.n_droppable, 0) AS survivors
+FROM taus t
+LEFT JOIN pa ON t.tau = pa.tau
+LEFT JOIN da ON t.tau = da.tau
+CROSS JOIN tot
+ORDER BY t.tau
+"""
+
+
+# ---------------------------------------------------------------------------
 # d29 — detector-agreement audit (MinHash-LSH vs SimHash ensemble)
 # ---------------------------------------------------------------------------
 
@@ -3116,6 +3258,7 @@ QUERIES = {
     "d29_detector_agreement": d29_detector_agreement,
     "d30_source_pair_similarity": d30_source_pair_similarity,
     "d31_containment_audit": d31_containment_audit,
+    "d32_cosine_threshold_sweep": d32_cosine_threshold_sweep,
 }
 
 ORACLES = {
@@ -3152,4 +3295,5 @@ ORACLES = {
     "d29_detector_agreement": _d29_sql(),
     "d30_source_pair_similarity": _d30_sql(),
     "d31_containment_audit": _d31_sql(),
+    "d32_cosine_threshold_sweep": _d32_sql(),
 }

@@ -246,3 +246,27 @@ def test_e39_drop_curve_monotone_and_anchored(spark, tmp_path):
     assert out[900]["n_dropped"] == 0
     for r in out.values():
         assert r["drop_frac"] == r["n_dropped"] / 5
+
+
+# ---------------------------------------------------------------------------
+# d32 — cosine-threshold sweep
+# ---------------------------------------------------------------------------
+
+def test_d32_curve_monotone_and_conserving(spark):
+    """A higher cosine bar can only keep fewer pairs; droppables plus
+    survivors always reconstruct the corpus; d07/d11's shipped 0.35
+    operating point is one of the priced rows."""
+    from floorist_spark.operators.dedup import d32_cosine_threshold_sweep
+
+    rows = d32_cosine_threshold_sweep(spark, SF_SMOKE).collect()
+    taus = [r["tau"] for r in rows]
+    assert taus == sorted(taus)
+    assert any(abs(t - 0.35) < 1e-12 for t in taus)
+    pairs = [r["n_pairs"] for r in rows]
+    drops = [r["n_droppable"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert drops == sorted(drops, reverse=True)
+    corpus = rows[0]["n_droppable"] + rows[0]["survivors"]
+    for r in rows:
+        assert r["n_droppable"] + r["survivors"] == corpus
+        assert r["n_vecs_in_pairs"] >= r["n_droppable"]
