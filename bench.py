@@ -174,6 +174,7 @@ HEADLINE = (
     "t29_vocab_growth_curve",
     "e39_watermark_delay_sweep",
     "d32_cosine_threshold_sweep",
+    "m24_cross_source_assets",
 )
 
 

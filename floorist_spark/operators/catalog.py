@@ -90,13 +90,14 @@ def _with_cache_release(
 #: source-pair similarity, c24 decon width sweep, s25 quantization width
 #: sweep, the wave-15 four: d31 containment audit, s26 quantized
 #: recall, c25 quality-threshold sweep, t29 vocab growth curve, and
-#: wave-16's e39 watermark-delay sweep and d32 cosine-threshold sweep)
+#: wave-16's e39 watermark-delay sweep, d32 cosine-threshold sweep, and
+#: m24 cross-source asset overlap)
 #: gate in their birth round per house rule; e26 re-gates
 #: because its r7 driver bench number regressed 4x with no code change
 #: (validating values while we pin the timing) and it keeps the streaming
-#: family represented in the window; the remaining 15 slots re-validate
-#: the entries whose last driver green is oldest (d09 + q08-q21, all last
-#: green r3 — q22-q34 rotated out to make room for the round-8 births and
+#: family represented in the window; the remaining 14 slots re-validate
+#: the entries whose last driver green is oldest (d09 + q08-q20, all last
+#: green r3 — q21-q34 rotated out to make room for the round-8 births and
 #: wait for round 9). OUT: everything gated green r4-r7.
 GATE_PRIORITY = [
     # -- the three uncast-HUGEINT reds, re-gated after the BIGINT casts ---
@@ -120,6 +121,7 @@ GATE_PRIORITY = [
     "t29_vocab_growth_curve",
     "e39_watermark_delay_sweep",
     "d32_cosine_threshold_sweep",
+    "m24_cross_source_assets",
     # -- the 14 entries no driver window has ever sampled (verdict task 3)
     "q43_semi_join",
     "q44_set_ops_all",
@@ -152,7 +154,6 @@ GATE_PRIORITY = [
     "q18_window_running",
     "q19_union",
     "q20_intersect",
-    "q21_except",
 ]
 
 

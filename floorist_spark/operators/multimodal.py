@@ -2264,6 +2264,99 @@ ORDER BY c.declared_type, c.verdict
 """
 
 
+# ---------------------------------------------------------------------------
+# m24 — cross-source duplicate-asset census (who re-hosts whose media)
+# ---------------------------------------------------------------------------
+
+def m24_cross_source_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level overlap matrix: for every source pair, how many
+    DISTINCT payload digests they share, and that count as a fraction of
+    the smaller side's asset set — the media-granularity sibling of
+    d20/d30 (which work on text shingles): mirrors, CDN re-hosts, and
+    scraped-twice asset stores show up as near-1 pairs, and the blob
+    store should ingest those sources through ONE content-addressed
+    namespace (m12's CAS) instead of paying storage twice. Exact equality
+    on the digest — no estimator needed at asset granularity, because a
+    32-byte digest per asset is already the cheap exchange.
+
+    Determinism: counts are BIGINT; the overlap fraction is one exact
+    int/int division.
+
+    Scale shape: one scan -> distinct (source, digest) -> self-equi-join
+    ON THE DIGEST (fanout per digest bounded by |sources|, never |docs|)
+    -> map-side-combinable pair rollup; per-source asset counts are a
+    K-row aggregate broadcast onto the K²/2-row pair table. Exchanges
+    carry (source, 32-byte digest) only."""
+    assets = (
+        _payloads(spark, sf_dir, extra=("source",))
+        .select("source", F.md5("payload").alias("dg"))
+        .distinct()
+    )
+    from floorist_spark.operators._cache import track
+
+    assets = track(assets.persist())
+    sizes = assets.groupBy("source").agg(F.count("*").alias("n_assets"))
+    pairs = (
+        assets.alias("x")
+        .join(assets.alias("y"), F.expr("x.dg = y.dg AND x.source < y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_assets"))
+    )
+    # the full K²/2 pair universe (sources with zero overlap INCLUDED —
+    # "these two sources share nothing" is the common, load-bearing
+    # answer, and an all-zero matrix hashes as real gate evidence where
+    # an empty relation would not)
+    a = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_assets").alias("n_a")
+    )
+    b = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_assets").alias("n_b")
+    )
+    universe = a.join(F.broadcast(b), F.expr("source_a < source_b"))
+    return (
+        universe.join(F.broadcast(pairs), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("shared_assets", F.lit(0))
+            .cast("bigint")
+            .alias("shared_assets"),
+            F.expr(
+                "CAST(coalesce(shared_assets, 0) AS DOUBLE) / least(n_a, n_b)"
+            ).alias("overlap_frac"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+M24_SQL = """
+WITH assets AS (
+  SELECT DISTINCT source, md5(coalesce(text, '')) AS dg FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_assets FROM assets GROUP BY source
+), pairs AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_assets
+  FROM assets x JOIN assets y ON x.dg = y.dg AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n_assets AS n_a, sb.n_assets AS n_b,
+       CAST(coalesce(p.shared_assets, 0) AS BIGINT) AS shared_assets,
+       CAST(coalesce(p.shared_assets, 0) AS DOUBLE)
+         / least(sa.n_assets, sb.n_assets) AS overlap_frac
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "m01_binary_ingest": m01_binary_ingest,
     "m02_media_catalog": m02_media_catalog,
@@ -2288,6 +2381,7 @@ QUERIES = {
     "m21_phash_candidate_histogram": m21_phash_candidate_histogram,
     "m22_magic_byte_census": m22_magic_byte_census,
     "m23_label_sniff_consistency": m23_label_sniff_consistency,
+    "m24_cross_source_assets": m24_cross_source_assets,
 }
 
 ORACLES = {
@@ -2314,4 +2408,5 @@ ORACLES = {
     "m21_phash_candidate_histogram": M21_SQL,
     "m22_magic_byte_census": M22_SQL,
     "m23_label_sniff_consistency": M23_SQL,
+    "m24_cross_source_assets": M24_SQL,
 }

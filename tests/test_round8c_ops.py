@@ -270,3 +270,40 @@ def test_d32_curve_monotone_and_conserving(spark):
     for r in rows:
         assert r["n_droppable"] + r["survivors"] == corpus
         assert r["n_vecs_in_pairs"] >= r["n_droppable"]
+
+
+# ---------------------------------------------------------------------------
+# m24 — cross-source duplicate assets
+# ---------------------------------------------------------------------------
+
+def test_m24_overlap_matrix_exact(spark, tmp_path):
+    """Three sources: a and b share exactly one payload (within-source
+    duplicates of it collapse — DISTINCT digests, not rows); c shares
+    nothing but still appears with zero overlap (the matrix includes
+    zero pairs)."""
+    from floorist_spark.operators.multimodal import m24_cross_source_assets
+
+    rows = [
+        (1, "shared asset bytes", "en", "a", 18),
+        (2, "only in a", "en", "a", 9),
+        (3, "shared asset bytes", "en", "b", 18),
+        (4, "shared asset bytes", "en", "b", 18),  # within-b duplicate row
+        (5, "only in b", "en", "b", 9),
+        (6, "only in c", "en", "c", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in m24_cross_source_assets(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["n_a"] == 2 and ab["n_b"] == 2  # distinct digests, not rows
+    assert ab["shared_assets"] == 1
+    assert ab["overlap_frac"] == 0.5
+    assert out[("a", "c")]["shared_assets"] == 0
+    assert out[("a", "c")]["overlap_frac"] == 0.0
+    assert out[("b", "c")]["shared_assets"] == 0
