@@ -1251,6 +1251,16 @@ def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     _dsum) for cross-engine bit-parity."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     lo, hi = spark.sql(f"SELECT {_Q45_BOUNDS} FROM orders").first()
+    if lo is None:
+        # empty orders: min/max are NULL and str(None) would be inlined
+        # into the recursive SQL as a bare identifier — return the empty
+        # calendar with the output schema instead (the oracle's recursion
+        # anchors on a NULL scalar and yields zero rows identically)
+        return spark.sql(
+            "SELECT CAST(NULL AS DATE) AS month_start, "
+            "CAST(0 AS BIGINT) AS n_orders, "
+            "CAST(0 AS DOUBLE) AS revenue WHERE FALSE"
+        )
     return spark.sql(
         "WITH RECURSIVE "
         + _q45_body("DIV", anchor=str(lo), stop=str(hi))
@@ -1259,8 +1269,12 @@ def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q45_SQL = (
     f"WITH RECURSIVE bounds AS (SELECT {_Q45_BOUNDS} FROM orders),\n"
+    # table-form anchor: zero rows (not one NULL row) when orders is
+    # empty, matching the Spark side's empty-calendar guard
     + _q45_body(
-        "//", anchor="(SELECT lo FROM bounds)", stop="(SELECT hi FROM bounds)"
+        "//",
+        anchor="lo FROM bounds WHERE lo IS NOT NULL",
+        stop="(SELECT hi FROM bounds)",
     )
 )
 

@@ -270,3 +270,29 @@ def test_s25_distortion_grows_as_bits_shrink(spark):
         assert vals == sorted(vals), f"{col} must grow as bits shrink"
     assert rows[0]["max_mse"] < 1e-3
     assert all(not math.isnan(r["max_mse"]) for r in rows)
+
+
+def test_q45_empty_orders_yields_empty_calendar(spark, tmp_path):
+    """An empty orders table produces an EMPTY calendar with the stable
+    output schema on both sides — not a crash from None-literals in the
+    recursive SQL (Spark) or a single NULL-month row (the oracle's
+    scalar-subquery anchor would emit one; the table-form anchor with
+    the NULL guard emits zero)."""
+    import duckdb
+
+    from floorist_spark.operators.relational import Q45_SQL, q45_recursive_gapfill
+
+    spark.createDataFrame(
+        [],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    df = q45_recursive_gapfill(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema] == ["month_start", "n_orders", "revenue"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    assert con.execute(Q45_SQL).fetchall() == []
