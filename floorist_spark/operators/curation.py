@@ -2182,9 +2182,13 @@ def c24_decon_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_eval_ngrams",
                 "n_train_docs",
                 "n_flagged",
-                F.expr("CAST(n_flagged AS DOUBLE) / n_train_docs").alias(
-                    "flag_rate"
-                ),
+                # zero-train guard (every doc hashed into the eval split
+                # — reachable on a tiny or skewed corpus): the m08/m20
+                # idiom, NULL on both engines instead of NULL-vs-NaN
+                F.expr(
+                    "CASE WHEN n_train_docs = 0 THEN CAST(NULL AS DOUBLE) "
+                    "ELSE CAST(n_flagged AS DOUBLE) / n_train_docs END"
+                ).alias("flag_rate"),
             )
         )
     out = parts[0]
@@ -2213,14 +2217,16 @@ SELECT CAST({n} AS INTEGER) AS ngram_width,
         WHERE tr.ng IN (SELECT t.ng
                         FROM tok, LATERAL unnest({ng}) AS t(ng)
                         WHERE bucket >= {VAL_UPTO})) AS n_flagged,
-       CAST((SELECT count(DISTINCT doc_id)
+       CASE WHEN (SELECT count(*) FROM tok WHERE bucket < {TRAIN_UPTO}) = 0
+            THEN NULL
+            ELSE CAST((SELECT count(DISTINCT doc_id)
              FROM (SELECT doc_id, t.ng
                    FROM tok, LATERAL unnest({ng}) AS t(ng)
                    WHERE bucket < {TRAIN_UPTO}) tr
              WHERE tr.ng IN (SELECT t.ng
                              FROM tok, LATERAL unnest({ng}) AS t(ng)
                              WHERE bucket >= {VAL_UPTO})) AS DOUBLE)
-         / (SELECT count(*) FROM tok WHERE bucket < {TRAIN_UPTO})
+         / (SELECT count(*) FROM tok WHERE bucket < {TRAIN_UPTO}) END
          AS flag_rate""")
     body = "\nUNION ALL\n".join(selects)
     return f"""

@@ -1260,9 +1260,13 @@ def d15c_multiplicity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("doc_id")
         .agg(F.count("*").alias("m"))
         .agg(
-            F.sum(F.expr("IF(m > 1, m, CAST(0 AS BIGINT))")).alias(
-                "n_rows_with_dup_id"
-            )
+            # coalesce mirrors the oracle: an EMPTY corpus sums to NULL
+            # on the Spark side but the oracle renders 0 — and d15c is
+            # the probe that must stay readable on degenerate corpora
+            F.expr(
+                "coalesce(sum(IF(m > 1, m, CAST(0 AS BIGINT))), "
+                "CAST(0 AS BIGINT))"
+            ).alias("n_rows_with_dup_id")
         )
     )
     base = docs.agg(
@@ -2913,8 +2917,12 @@ def d32_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_droppable", F.lit(0))
             .cast("bigint")
             .alias("n_droppable"),
+            # empty-embeddings guard: the tau spine still emits 5 rows,
+            # so the ratio needs the m08/m20 zero-denominator idiom
             F.expr(
-                "CAST(coalesce(n_droppable, 0) AS DOUBLE) / corpus_vecs"
+                "CASE WHEN corpus_vecs = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE CAST(coalesce(n_droppable, 0) AS DOUBLE) "
+                "/ corpus_vecs END"
             ).alias("drop_frac"),
             F.expr("corpus_vecs - coalesce(n_droppable, 0)")
             .cast("bigint")
@@ -2958,8 +2966,9 @@ SELECT t.tau,
        coalesce(pa.n_pairs, 0) AS n_pairs,
        coalesce(da.n_vecs_in_pairs, 0) AS n_vecs_in_pairs,
        coalesce(pa.n_droppable, 0) AS n_droppable,
-       CAST(coalesce(pa.n_droppable, 0) AS DOUBLE) / tot.corpus_vecs
-         AS drop_frac,
+       CASE WHEN tot.corpus_vecs = 0 THEN NULL
+            ELSE CAST(coalesce(pa.n_droppable, 0) AS DOUBLE)
+                 / tot.corpus_vecs END AS drop_frac,
        tot.corpus_vecs - coalesce(pa.n_droppable, 0) AS survivors
 FROM taus t
 LEFT JOIN pa ON t.tau = pa.tau

@@ -1955,17 +1955,24 @@ def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # missing prefixes coalesce to 0 (pre-epoch, below every event time,
-    # and overflow-safe under ANSI subtraction — LONG_MIN is not)
+    # Spark greatest() SKIPS NULLs, so hi is NULL only for the very
+    # first arrival (no prefix at all) — the explicit CASE then matches
+    # the oracle's `CASE WHEN hi > us THEN hi - us ELSE 0` exactly,
+    # INCLUDING pre-1970 (negative-micros) event times: the old
+    # coalesce-to-0 floor silently treated epoch zero as a phantom
+    # high-water mark and scored negative-ts corpora as late where the
+    # oracle scored 0. Subtraction is overflow-safe without the floor:
+    # |hi - us| is bounded by the representable timestamp span (~6e17),
+    # far under 2^63.
     return (
         ev.join(blocks, "blk")
         .withColumn("in_blk_hi", F.max("us").over(wi))
         .select(
             "hour",
             F.expr(
-                "greatest(CAST(0 AS BIGINT), "
-                "greatest(coalesce(prev_blocks_hi, CAST(0 AS BIGINT)), "
-                "coalesce(in_blk_hi, CAST(0 AS BIGINT))) - us)"
+                "CASE WHEN greatest(prev_blocks_hi, in_blk_hi) > us "
+                "THEN greatest(prev_blocks_hi, in_blk_hi) - us "
+                "ELSE CAST(0 AS BIGINT) END"
             ).alias("late_us"),
         )
     )

@@ -1243,8 +1243,10 @@ def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     times (measured 29s vs 2.5s at sf0.01). The oracle keeps the bounds
     inline — DuckDB evaluates the recursion in one operator.
 
-    Scale shape: the spine is O(months) rows (~80 for seven years —
-    recursion depth is calendar-bounded, never data-bounded); the
+    Scale shape: the spine is O(months) rows — depth equals the data's
+    MONTH SPAN (~80 for seven years), never its row count, and the
+    recursion-level limit is raised to that span when the calendar
+    outgrows Spark's default 100; the
     monthly rollup is one map-side-combinable shuffle on the month key;
     the spine side of the final join is tiny so AQE broadcasts it.
     Revenue sums through exact DECIMAL and renders via string (see
@@ -1261,6 +1263,15 @@ def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT) AS n_orders, "
             "CAST(0 AS DOUBLE) AS revenue WHERE FALSE"
         )
+    # Spark caps recursive-CTE depth at spark.sql.cteRecursionLevelLimit
+    # (default 100) — one level per MONTH here, so a corpus spanning more
+    # than ~8 years would throw RECURSION_LEVEL_LIMIT_EXCEEDED while the
+    # oracle (unbounded) returns the full calendar. The bounds are known
+    # driver-side, so raise the limit to the actual span when needed.
+    span = hi - lo + 1
+    limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
+    if span + 8 > limit:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", span + 8)
     return spark.sql(
         "WITH RECURSIVE "
         + _q45_body("DIV", anchor=str(lo), stop=str(hi))

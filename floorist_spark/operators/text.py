@@ -2415,22 +2415,33 @@ def t29_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.min(F.expr("start_off + idx")).alias("first_pos"))
     )
-    totals = docs.agg(F.sum("ntok").cast("bigint").alias("tot"))
+    # the corpus token total is a 1-row aggregate — collect it (the
+    # q45/d07-class scalar) and compute the prefix boundaries in exact
+    # Python integer arithmetic (identical to both engines' integer
+    # division on nonnegative totals). This keeps the final aggregate
+    # GLOBAL: a groupBy(tot) over an empty first_occ table would emit
+    # ZERO rows while the oracle's constant-select curve always emits
+    # |T29_PCTS| — the curve must stay row-count invariant on a
+    # zero-token corpus.
+    tot = docs.agg(F.sum("ntok").cast("bigint")).first()[0]
+    bounds = {
+        p: ((tot * p) // 100 if tot is not None else None) for p in T29_PCTS
+    }
     aggs = [F.count("*").alias("vocab_total")]
     for i, p in enumerate(T29_PCTS):
+        b = bounds[p]
+        cond = "FALSE" if b is None else f"first_pos < {b}"
         aggs.append(
-            F.sum(F.expr(f"IF(first_pos < (tot * {p}) DIV 100, 1, 0)"))
-            .cast("bigint")
-            .alias(f"v{i}")
+            F.sum(F.expr(f"IF({cond}, 1, 0)")).cast("bigint").alias(f"v{i}")
         )
     stack_args = ", ".join(
-        f"CAST({p} AS INT), (tot * {p}) DIV 100, v{i}"
+        "CAST({p} AS INT), CAST({b} AS BIGINT), v{i}".format(
+            p=p, b="NULL" if bounds[p] is None else bounds[p], i=i
+        )
         for i, p in enumerate(T29_PCTS)
     )
     return (
-        first_occ.crossJoin(F.broadcast(totals))
-        .groupBy("tot")
-        .agg(*aggs)
+        first_occ.agg(*aggs)
         .select(
             F.expr(
                 f"stack({len(T29_PCTS)}, {stack_args}) "
@@ -2442,9 +2453,10 @@ def t29_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct",
             "prefix_tokens",
             "vocab_size",
-            F.expr("CAST(vocab_size AS DOUBLE) / vocab_total").alias(
-                "vocab_frac"
-            ),
+            F.expr(
+                "CASE WHEN vocab_total = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE CAST(vocab_size AS DOUBLE) / vocab_total END"
+            ).alias("vocab_frac"),
             F.expr(
                 "CASE WHEN prefix_tokens = 0 THEN CAST(NULL AS DOUBLE) "
                 "ELSE CAST(vocab_size AS DOUBLE) / prefix_tokens END"
@@ -2488,8 +2500,9 @@ WITH base AS (
 {rows}
 )
 SELECT pct, prefix_tokens, vocab_size,
-       CAST(vocab_size AS DOUBLE)
-         / (SELECT count(*) FROM first_occ) AS vocab_frac,
+       CASE WHEN (SELECT count(*) FROM first_occ) = 0 THEN NULL
+            ELSE CAST(vocab_size AS DOUBLE)
+                 / (SELECT count(*) FROM first_occ) END AS vocab_frac,
        CASE WHEN prefix_tokens = 0 THEN NULL
             ELSE CAST(vocab_size AS DOUBLE) / prefix_tokens END AS prefix_ttr
 FROM curve ORDER BY pct

@@ -24,7 +24,13 @@ def _duck_type_class(t: str) -> str:
     t = t.upper()
     if "HUGEINT" in t:
         return "hugeint"
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") or t.startswith("U"):
+    # unsigned ints spelled out: a bare startswith("U") would also claim
+    # UUID and UNION(...) as integer-class and false-fail type-correct
+    # oracles
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
         return "integer"
     if t in ("FLOAT", "DOUBLE", "REAL"):
         return "floating"
