@@ -1270,12 +1270,24 @@ def q45_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side, so raise the limit to the actual span when needed.
     span = hi - lo + 1
     limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
-    if span + 8 > limit:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", span + 8)
-    return spark.sql(
-        "WITH RECURSIVE "
-        + _q45_body("DIV", anchor=str(lo), stop=str(hi))
-    )
+    if span + 8 <= limit:
+        return spark.sql(
+            "WITH RECURSIVE " + _q45_body("DIV", anchor=str(lo), stop=str(hi))
+        )
+    # The limit is read from the session conf at EXECUTION time, so a
+    # lazily-returned DataFrame would still hit the default cap once the
+    # raised value is restored. Scope the raise by materializing the
+    # (O(months)-row) calendar inside the raised window via an eager
+    # localCheckpoint, then put the session conf back — the checkpointed
+    # plan no longer re-runs the recursion at collect time. This is the
+    # engine's only session-conf touch and it now always round-trips.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", span + 8)
+    try:
+        return spark.sql(
+            "WITH RECURSIVE " + _q45_body("DIV", anchor=str(lo), stop=str(hi))
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", limit)
 
 
 Q45_SQL = (

@@ -167,7 +167,13 @@ def test_q45_calendar_beyond_recursion_default(spark, tmp_path):
     )
     df.write.parquet(str(tmp_path / "orders.parquet"))
     fn, sql = _entry("q45_recursive_gapfill")
-    spark_pdf = fn(spark, str(tmp_path)).toPandas()
+    before = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    df = fn(spark, str(tmp_path))
+    # the raise must be scoped: the session conf is already back to its
+    # pre-call value by the time the DataFrame is handed out, and the
+    # result still materializes the full 120-month calendar afterwards
+    assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == before
+    spark_pdf = df.toPandas()
     assert len(spark_pdf) == 120
     con = _duck_for(str(tmp_path), "orders")
     compare_results(spark_pdf, con.execute(sql).fetchdf(), "q45_long_calendar")
