@@ -77,83 +77,76 @@ def _with_cache_release(
 #: (tests/test_llm_operators.py enforces both invariants). Pure ordering —
 #: membership and semantics of every entry are unchanged.
 #:
-#: Round-8 rotation (executing the round-7 verdict's tasks 1, 3, 8): the
-#: three rows red at every gate since r5 (d15, c20, m12 — judge-root-caused
-#: to three uncast-HUGEINT oracle columns, the only three in the catalog,
-#: now CAST AS BIGINT with duplicate-doc_id robustness on both engines)
-#: re-gate first; the 14 wave-11..13 entries no driver window has ever
-#: sampled rotate in (judge-verified HUGEINT-clean, so this completes
-#: external validation of all 207 pre-round-8 entries); the round-8 births
-#: (d15c corpus-shape probe, m22 magic-byte census, s24 centroid
-#: separation, the wave-14 seven: q45 recursive gap-fill, e38 user
-#: concentration, t28 token rarity, m23 modality sniff audit, d30
-#: source-pair similarity, c24 decon width sweep, s25 quantization width
-#: sweep, the wave-15 four: d31 containment audit, s26 quantized
-#: recall, c25 quality-threshold sweep, t29 vocab growth curve, and
-#: wave-16's e39 watermark-delay sweep, d32 cosine-threshold sweep, and
-#: m24 cross-source asset overlap)
-#: gate in their birth round per house rule; e26 re-gates
-#: because its r7 driver bench number regressed 4x with no code change
-#: (validating values while we pin the timing) and it keeps the streaming
-#: family represented in the window; the remaining 14 slots re-validate
-#: the entries whose last driver green is oldest (d09 + q08-q20, all last
-#: green r3 — q21-q34 rotated out to make room for the round-8 births and
-#: wait for round 9). OUT: everything gated green r4-r7.
+#: Round-9 rotation (executing the round-8 verdict's task 2: finish the
+#: rotation so no entry's last external green trails the upcoming gate by
+#: more than 5 rounds). The window is now MECHANICALLY derived: the 49
+#: stalest entries by last driver-green round, computed from the committed
+#: CORRECTNESS_r0*.json artifacts strictly before ROTATION_ROUND
+#: (tests/test_gate_rotation.py re-derives that ledger and fails if this
+#: list is not a stalest-first window, if any family is unrepresented, or
+#: if the max-staleness claim is violated). Snapshot at ROTATION_ROUND=9:
+#: q07_uuid has never sat in a green window (rows-only by design — it
+#: still deserves an external rows gate); q21-q41 were last green r3;
+#: the remaining 27 slots take the r4 cohort, tie-broken to keep every
+#: family represented (left at r4 for round 10: e06 e07 q05b q06 s03 s04
+#: s06 — the staleness bound still holds: 9-4=5). OUT: everything gated
+#: green r5-r8, including all 21 round-8 births (gated in their birth
+#: round per house rule).
+ROTATION_ROUND = 9
+
 GATE_PRIORITY = [
-    # -- the three uncast-HUGEINT reds, re-gated after the BIGINT casts ---
-    "d15_passage_dedup",
-    "c20_shard_manifest",
-    "m12_block_dedup_census",
-    # -- round-8 births, gated in their birth round -----------------------
-    "d15c_multiplicity_census",
-    "m22_magic_byte_census",
-    "s24_centroid_separation",
-    "q45_recursive_gapfill",
-    "e38_user_concentration",
-    "t28_token_rarity",
-    "m23_label_sniff_consistency",
-    "d30_source_pair_similarity",
-    "c24_decon_width_sweep",
-    "s25_quantization_width_sweep",
-    "d31_containment_audit",
-    "s26_quantized_recall",
-    "c25_quality_threshold_sweep",
-    "t29_vocab_growth_curve",
-    "e39_watermark_delay_sweep",
-    "d32_cosine_threshold_sweep",
-    "m24_cross_source_assets",
-    # -- the 14 entries no driver window has ever sampled (verdict task 3)
-    "q43_semi_join",
-    "q44_set_ops_all",
-    "d28_candidate_score_histogram",
-    "d29_detector_agreement",
-    "s22_nprobe_cost_frontier",
-    "s23_recall_vs_nprobe",
-    "t26_hapax_census",
-    "t27_token_class_census",
-    "c22_split_leakage_audit",
-    "c23_mixture_shift",
-    "e36_burst_windows",
-    "e37_session_length_histogram",
-    "m19_modality_mix_manifest",
-    "m20_byte_uniformity_census",
-    # -- streaming-family representative + the r7 bench-regression entry --
-    "e26_alert_throttle",
-    # -- stalest driver greens (last green r3), re-validated --------------
-    "d09_dedup_clusters",
-    "q08_distinct",
-    "q09_in_subquery",
-    "q10_quoted_idents",
-    "q11_pricing_summary",
-    "q12_shipping_priority",
-    "q13_local_supplier_volume",
-    "q14_forecast_revenue",
-    "q15_rollup",
-    "q16_cube",
-    "q17_window_topk_per_group",
-    "q18_window_running",
-    "q19_union",
-    "q20_intersect",
+    # -- never externally green (rows-only entry, last sampled never) ----
+    "q07_uuid",
+    # -- last driver green r3 --------------------------------------------
+    "q21_except",
+    "q22_topk_global",
+    "q23_having",
+    "q24_conditional_agg",
+    "q25_string_funcs",
+    "q26_date_funcs",
+    "q27_scalar_subquery",
+    "q28_anti_join",
+    "q29_left_join",
+    "q30_grouping_sets",
+    "q31_salted_distinct_agg",
+    "q32_percentiles",
+    "q33_range_window",
+    "q34_exists_correlated",
+    "q35_distinct_on",
+    "q36_string_agg",
+    "q37_pivot",
+    "q38_array_agg",
+    "q39_lateral",
+    "q40_window_medley",
+    "q41_unpivot",
+    # -- last driver green r4 (27 of 34; family-balanced tie-break) -------
+    "c01_hash_split",
+    "c03_train_order",
+    "c06_mixture_weights",
+    "c07_curation_pipeline",
+    "d07_embedding_neardup",
+    "d08_streaming_dedup",
+    "e01_tumbling_hourly",
+    "e02_sliding_counts",
+    "e03_session_windows",
+    "e04_streaming_tumbling",
+    "e05_asof_join",
+    "e15_custom_sessionizer",
+    "m01_binary_ingest",
+    "m02_media_catalog",
+    "m03_byte_histogram",
+    "m04_image_decode",
+    "m05_frame_sample",
+    "m06_thumbnail",
+    "q02_alias",
+    "q03_values",
+    "q04_series",
+    "q05_cross_join",
+    "s01_cosine_topk_brute",
+    "s02_lsh_bucketed_ann",
+    "t02_quality_score",
+    "t03_lang_id",
+    "t06_regex_tokens",
 ]
 
 
