@@ -2570,7 +2570,7 @@ def d27_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_droppable"),
             F.expr(
-                "CAST(coalesce(n_droppable, 0) AS DOUBLE) / corpus_docs"
+                "CAST(coalesce(n_droppable, 0) AS DOUBLE) / nullif(corpus_docs, 0)"
             ).alias("drop_frac"),
             F.expr("corpus_docs - coalesce(n_droppable, 0)")
             .cast("bigint")

@@ -87,18 +87,20 @@ def _sessionized(ev: DataFrame) -> DataFrame:
     )
 
 
-def _sessionize_ctes(cols: str) -> str:
+def _sessionize_ctes(cols: str, domain: str = "TRUE") -> str:
     """DuckDB twin of :func:`_sessionized`, as the shared
     ``flagged``/``numbered`` CTE pair over the given column list (Spark
     windows are end-exclusive: an event exactly at last+gap does NOT
-    merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles."""
+    merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles; streaming
+    consumers pass ``domain=STREAM_DOMAIN_D`` to mirror the stream
+    source's epoch gate."""
     return f"""flagged AS (
   SELECT {cols},
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL {SESSION_GAP_MIN} MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE {domain}
 ), numbered AS (
   SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
@@ -106,17 +108,32 @@ def _sessionize_ctes(cols: str) -> str:
 )"""
 
 
+#: Streaming event-time domain gate. Spark clamps watermarks at epoch 0
+#: (WatermarkTracker starts at 0 and only ever advances), so PRE-EPOCH
+#: event times can never advance a watermark: append-mode output for a
+#: pre-1970 stream is withheld forever — 0 rows against a batch oracle
+#: that sessionizes them fine (found by the round-9 degenerate sweep:
+#: e07/e08/e15/e26 @pre1970). The engine therefore defines the STREAMING
+#: domain as ts >= epoch and drops earlier rows at the source — shared
+#: verbatim by every streaming oracle (``STREAM_DOMAIN_D``) so both
+#: engines agree. Batch twins (e01, e28, ...) still process pre-epoch
+#: rows; a production deployment would route these to a quarantine sink.
+STREAM_DOMAIN = "ts >= TIMESTAMP '1970-01-01 00:00:00'"
+STREAM_DOMAIN_D = STREAM_DOMAIN
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table. The streaming file source lists a
     DIRECTORY; the testdata table is a single file, so expose it through a
-    symlink dir (what a real deployment's landing prefix is anyway)."""
+    symlink dir (what a real deployment's landing prefix is anyway).
+    Pre-epoch rows are outside the streaming domain (see STREAM_DOMAIN)."""
     from floorist_spark.streaming.stateful import _stream_dir_for
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     return _convert_ts(
         spark.readStream.schema(raw_schema).parquet(_stream_dir_for(sf_dir, "events"))
-    )
+    ).filter(STREAM_DOMAIN)
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +160,15 @@ E01_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {_SUM_VAL}
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+#: streaming twin of E01_SQL — same rollup over the STREAMING domain
+#: (pre-epoch rows are dropped at the stream source, see STREAM_DOMAIN)
+E01_STREAM_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, {_SUM_VAL}
+FROM events WHERE {STREAM_DOMAIN_D} GROUP BY 1, 2
+ORDER BY window_start, event_type
 """
 
 
@@ -294,9 +320,11 @@ E07_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {_SUM_VAL}
 FROM events
+WHERE {STREAM_DOMAIN_D}
 GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+       <= (SELECT max(ts) FROM events WHERE {STREAM_DOMAIN_D})
+          - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
 ORDER BY window_start, event_type
 """
 
@@ -343,13 +371,14 @@ def e08_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E08_SQL = f"""
-WITH {_sessionize_ctes("user_id, event_id, ts, value")}
+WITH {_sessionize_ctes("user_id, event_id, ts, value", domain=STREAM_DOMAIN_D)}
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events, {_SUM_VAL}
 FROM numbered GROUP BY user_id, session_id
 HAVING max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE
-       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+       <= (SELECT max(ts) FROM events WHERE {STREAM_DOMAIN_D})
+          - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
 ORDER BY user_id, session_start
 """
 
@@ -949,7 +978,7 @@ def e16_continuous_aggregate(
     )
 
 
-E16_SQL = E01_SQL  # the maintained rollup must equal the full batch rollup
+E16_SQL = E01_STREAM_SQL  # maintained rollup == full batch rollup, stream domain
 
 
 # ---------------------------------------------------------------------------
@@ -1069,6 +1098,8 @@ SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
        epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
 FROM events c JOIN events v
   ON c.user_id = v.user_id
+ AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
+ AND v.ts >= TIMESTAMP '1970-01-01 00:00:00'
  AND c.event_type = 'click' AND v.event_type = 'view'
  AND v.ts <= c.ts
  AND v.ts >= c.ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
@@ -3109,7 +3140,7 @@ ORACLES = {
     "e01_tumbling_hourly": E01_SQL,
     "e02_sliding_counts": E02_SQL,
     "e03_session_windows": E03_SQL,
-    "e04_streaming_tumbling": E01_SQL,  # stream/batch parity: same oracle
+    "e04_streaming_tumbling": E01_STREAM_SQL,  # stream/batch parity (gated domain)
     "e05_asof_join": E05_SQL,
     "e06_range_join": E06_SQL,
     "e07_streaming_watermark": E07_SQL,

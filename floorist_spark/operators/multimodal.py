@@ -671,7 +671,14 @@ def m10_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "neg_id",
-            F.expr(f"CAST((doc_id + 1 + pmod({h}, n - 1)) % n AS BIGINT)"),
+            # nullif: a 1-vector corpus has NO valid negative (the only
+            # other id IS the anchor) — DuckDB's `% 0` renders NULL and
+            # the neg join drops the row; Spark ANSI pmod must match
+            # instead of throwing REMAINDER_BY_ZERO
+            F.expr(
+                f"CAST((doc_id + 1 + pmod({h}, nullif(n - 1, 0))) % n"
+                " AS BIGINT)"
+            ),
         )
     )
     neg = emb.select(

@@ -378,13 +378,50 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 # Grouping sets / rollup / cube
 # ---------------------------------------------------------------------------
 
+def _grand_total_if_empty(
+    spark: SparkSession, rolled: DataFrame, fallback_exprs: list[str]
+) -> DataFrame:
+    """ANSI bridge for grouping sets that include the global () set:
+    Spark's expand+aggregate emits ZERO rows over empty input, while the
+    SQL standard (DuckDB, Postgres) emits the global grouping-set row —
+    NULL group keys, NULL sums, COUNT 0 (found by the round-9 degenerate
+    sweep: q15/q16 row count 0 vs 1 on the empty corpus).
+
+    The fallback row's values are CONSTANTS — it is only ever appended
+    when the input has no rows, where every SUM is NULL and every COUNT
+    is 0 — so no second scan of the fact table is needed: a one-row
+    literal is anti-joined against ``rolled.limit(1)`` (riding the
+    already-computed aggregate, broadcast by AQE) and unioned in. No-op
+    on any non-empty input; O(1) cost at any scale."""
+    probe = rolled.limit(1).select(F.lit(1).alias("_k"))
+    fb = (
+        spark.range(1)
+        .select([F.expr(e) for e in fallback_exprs] + [F.lit(1).alias("_k")])
+        .join(probe, "_k", "left_anti")
+        .drop("_k")
+    )
+    return rolled.unionByName(fb)
+
+
 def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (l_returnflag, l_linestatus): hierarchy subtotals +
-    grand total. Spark expands to a single expand+aggregate — one shuffle."""
-    return (
+    grand total. Spark expands to a single expand+aggregate — one shuffle;
+    the empty-input grand-total row is bridged to ANSI semantics by
+    :func:`_grand_total_if_empty`."""
+    rolled = (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.expr(_dsum(QTY, "sum_qty")), F.count("*").alias("n_rows"))
+    )
+    return _grand_total_if_empty(
+        spark,
+        rolled,
+        [
+            "CAST(NULL AS STRING) AS l_returnflag",
+            "CAST(NULL AS STRING) AS l_linestatus",
+            "CAST(NULL AS DOUBLE) AS sum_qty",
+            "CAST(0 AS BIGINT) AS n_rows",
+        ],
     )
 
 
@@ -396,14 +433,25 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (o_orderstatus, o_orderpriority): all 4 grouping-set
-    combinations in one pass."""
-    return (
+    combinations in one pass; empty-input global row bridged to ANSI
+    semantics (see :func:`_grand_total_if_empty`)."""
+    cubed = (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.expr(_dsum("CAST(o_totalprice AS DECIMAL(14,4))", "sum_price")),
             F.count("*").alias("n_orders"),
         )
+    )
+    return _grand_total_if_empty(
+        spark,
+        cubed,
+        [
+            "CAST(NULL AS STRING) AS o_orderstatus",
+            "CAST(NULL AS STRING) AS o_orderpriority",
+            "CAST(NULL AS DOUBLE) AS sum_price",
+            "CAST(0 AS BIGINT) AS n_orders",
+        ],
     )
 
 

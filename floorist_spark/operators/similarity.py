@@ -1285,7 +1285,7 @@ def s15_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 "n_truth",
                 "n_hit",
-                F.expr("CAST(n_hit AS DOUBLE) / n_truth").alias("recall_at_k"),
+                F.expr("CAST(n_hit AS DOUBLE) / nullif(n_truth, 0)").alias("recall_at_k"),
             )
         )
     out = parts[0]
@@ -2275,7 +2275,8 @@ def s23_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             F.expr("coalesce(n_hits, CAST(0 AS BIGINT))").alias("n_hits"),
             F.expr(
-                "CAST(coalesce(n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / n_truth"
+                "CAST(coalesce(n_hits, CAST(0 AS BIGINT)) AS DOUBLE) "
+                "/ nullif(n_truth, 0)"
             ).alias("recall"),
         )
         .orderBy("nprobe")
@@ -2664,7 +2665,7 @@ def s26_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(N_QUERIES).cast("int").alias("n_queries"),
                 "n_truth",
                 "n_hit",
-                F.expr("CAST(n_hit AS DOUBLE) / n_truth").alias("recall_at_k"),
+                F.expr("CAST(n_hit AS DOUBLE) / nullif(n_truth, 0)").alias("recall_at_k"),
             )
         )
     out = parts[0]

@@ -382,8 +382,18 @@ def e15_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: oracle-side twin of the stream source's epoch gate (see
+#: events_analytics.STREAM_DOMAIN): Spark clamps watermarks at epoch 0,
+#: so pre-epoch rows are outside the streaming domain on BOTH engines.
+#: main.-qualified so the shadowing CTE is not a circular reference.
+_STREAM_EVENTS_CTE = (
+    "events AS (SELECT * FROM main.events "
+    "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00')"
+)
+
 E15_SQL = f"""
-WITH flagged AS (
+WITH {_STREAM_EVENTS_CTE}, flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL 30 MINUTE
@@ -587,7 +597,7 @@ def e26_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gate harness splits the source into multiple batches, a hash mismatch
 #: here is THAT, not an engine bug.
 E26_SQL = f"""
-WITH RECURSIVE kept AS (
+WITH RECURSIVE {_STREAM_EVENTS_CTE}, kept AS (
   SELECT user_id, event_type, ts, event_id FROM events e
   WHERE NOT EXISTS (
     SELECT 1 FROM events p
@@ -768,7 +778,7 @@ def e29_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the availableNow gate run); multi-batch straggler divergence is
 #: documented at the state function.
 E29_SQL = f"""
-WITH v AS (
+WITH {_STREAM_EVENTS_CTE}, v AS (
   SELECT user_id, min(ts) AS t_view FROM events
   WHERE event_type = '{_FUNNEL_SEQ[0]}' GROUP BY user_id
 ), c AS (
