@@ -1,0 +1,86 @@
+"""Canonical-identity resolution for duplicated primary keys.
+
+The shipped testdata has unique ``doc_id`` / ``event_id`` / ``vec_id``,
+but a 100 TB ingest does not: at-least-once delivery and shard re-ingest
+duplicate identity keys routinely, and the round-9 degenerate sweep
+showed the similarity-structure operators (the MinHash/SimHash chain,
+sessionizers, mixtures) silently disagreeing with their oracles on such
+corpora — each side had "key is unique" baked in somewhere different.
+
+The contract these helpers implement: **identity-keyed operators process
+each identity exactly once, represented by its lexicographically least
+payload** (deterministic across engines, runs, and cluster sizes —
+unlike ``dropDuplicates``, which keeps an arbitrary row). Operators
+whose JOB is duplicate accounting (d01/d02/d15c exact-dup censuses, m12
+CAS census) keep reading raw rows — canonicalizing their input would
+delete the duplicates they exist to count.
+
+Both sides express the same plan: a row_number window per identity key
+ordered by the full payload, keeping rank 1. NULLS FIRST is pinned
+explicitly because the engines' defaults differ (Spark ASC is
+nulls-first, DuckDB ASC is nulls-last). On unique-key corpora this is a
+value-level no-op; the Spark aggregate shuffles on the same key most
+downstream aggregates use, so the exchange is shared or reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: identity key + payload ordering per canonicalizable table
+_KEYS = {
+    "documents": ("doc_id", ("text", "lang", "source", "n_chars")),
+    "events": ("event_id", ("ts", "user_id", "event_type", "value", "props")),
+    "embeddings": ("vec_id", ("embedding", "label")),
+}
+
+
+def canonical(df: DataFrame, table: str) -> DataFrame:
+    """One representative row per identity key (least payload).
+
+    Spark side uses ``min(struct(payload...))`` — lexicographic struct
+    ordering (field by field, nulls smallest) matches the oracle's
+    ``ORDER BY ... NULLS FIRST`` row_number pick exactly, and unlike a
+    window it is MAP-SIDE COMBINABLE: each partition pre-reduces to one
+    candidate row per key, so the exchange carries at most one row per
+    (key, partition) instead of sorting every duplicate — the shape that
+    survives a 100x re-ingest storm."""
+    key, payload = _KEYS[table]
+    return df.groupBy(key).agg(
+        F.min(F.struct(*payload)).alias("_p")
+    ).select(key, *[F.col(f"_p.{c}").alias(c) for c in payload])
+
+
+def _canon_subq(table: str) -> str:
+    key, payload = _KEYS[table]
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in payload)
+    cols = ", ".join((key, *payload))
+    return (
+        f"(SELECT {cols} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {key} ORDER BY {order}) AS _rn FROM {table}) "
+        f"WHERE _rn = 1)"
+    )
+
+
+#: DuckDB inline-subquery twins — splice as ``FROM {CANON_DOCS_D} documents``
+CANON_DOCS_D = _canon_subq("documents")
+CANON_EVENTS_D = _canon_subq("events")
+CANON_EMB_D = _canon_subq("embeddings")
+
+#: Shadowing CTE for STREAMING oracles: the stream source applies the
+#: epoch gate (Spark clamps watermarks at 0 — see
+#: events_analytics.STREAM_DOMAIN) THEN exactly-once ingest dedup on
+#: event_id (at-least-once redelivery carries the identical record, so
+#: the canonical least-payload pick equals any copy; Spark side is
+#: ``dropDuplicates("event_id")``). Order matters and matches the Spark
+#: plan: a duplicate id with one pre-epoch copy keeps its post-epoch
+#: copy. main.-qualified so the CTE may shadow the registered view.
+STREAM_EVENTS_CTE = (
+    "events AS (SELECT event_id, ts, user_id, event_type, value, props "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY "
+    "ts ASC NULLS FIRST, user_id ASC NULLS FIRST, event_type ASC NULLS "
+    "FIRST, value ASC NULLS FIRST, props ASC NULLS FIRST) AS _rn "
+    "FROM main.events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00') "
+    "WHERE _rn = 1)"
+)

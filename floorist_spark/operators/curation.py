@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
+from floorist_spark.operators._canon import CANON_DOCS_D as _CDOCS
 from floorist_spark.session import load_table
 
 #: split-fraction boundaries over a 0-99 hash bucket (train/val/test)
@@ -171,8 +172,13 @@ def c04_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    from floorist_spark.operators._canon import canonical
+
+    # identity-keyed: each document packs exactly once — duplicated
+    # doc_ids share a shuffle_key, which would make the greedy fill's
+    # tie order (and so every later cumsum in the shard) engine-dependent
     return (
-        _docs(spark, sf_dir)
+        canonical(_docs(spark, sf_dir), "documents")
         .select(
             "doc_id",
             F.expr(shard).alias("shard"),
@@ -199,7 +205,7 @@ WITH base AS (
          {_bucket_duck("shard", PACK_SHARDS)} AS shard,
          md5(concat('order:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
          CAST(len({tf.tokens_duck(tf.norm_duck('text'))}) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {_CDOCS} documents
 )
 SELECT doc_id, shard, n_tokens,
        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_key

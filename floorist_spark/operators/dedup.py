@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
+from floorist_spark.operators._canon import CANON_DOCS_D as _CDOCS
 from floorist_spark.operators._cache import local_checkpoint, memo, track
 from floorist_spark.session import load_table
 
@@ -87,9 +88,17 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): per-doc char-5-gram arrays. The normalized text is
     materialized as a column first — inlining the regexp normalization into
-    the shingle lambda would re-run it per shingle (see textfrag)."""
+    the shingle lambda would re-run it per shingle (see textfrag).
+
+    The input is CANONICALIZED (one representative row per doc_id, least
+    payload — see :mod:`_canon`): the whole similarity chain keys on
+    doc_id, and the round-9 degenerate sweep showed every chain entry
+    silently diverging from its oracle on re-ingested/duplicated ids.
+    Exact-dup censuses (d01/d02/d15c) deliberately stay raw."""
+    from floorist_spark.operators._canon import canonical
+
     return (
-        _docs_parallel(spark, sf_dir)
+        canonical(_docs_parallel(spark, sf_dir), "documents")
         .select("doc_id", F.expr(_NORM_S).alias("nrm"))
         .select("doc_id", F.expr(tf.shingles_spark("nrm", SHINGLE_K)).alias("sh"))
     )
@@ -270,7 +279,7 @@ def _duck_bands() -> str:
       -- MATERIALIZED: docs (the shingle+digest pass, the expensive part
       -- of every dedup oracle) is referenced by bands AND the Jaccard
       -- joins; DuckDB inlines plain CTEs per reference
-      SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents),
+      SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM {_CDOCS} documents),
     bands_all AS (
       SELECT doc_id, band, sigarr[band + 1] AS sig FROM (
         SELECT doc_id, [{sigs}] AS sigarr FROM docs
@@ -369,7 +378,7 @@ cand AS (
   FROM bands a JOIN bands b USING (band, sig)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents),
 scored AS (
   SELECT doc_a, doc_b, {tf.jaccard_duck("da.sh", "db.sh")} AS jaccard
   FROM cand JOIN sh da ON doc_a = da.doc_id JOIN sh db ON doc_b = db.doc_id
@@ -392,8 +401,10 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     60 bit-votes are conditional ``sum`` aggregates in a single
     groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
     (doc_id, 60 ints) after map-side combine."""
+    from floorist_spark.operators._canon import canonical
+
     ex = (
-        _docs_parallel(spark, sf_dir)
+        canonical(_docs_parallel(spark, sf_dir), "documents")
         .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
         .select("doc_id", F.md5("t").alias("d"))
     )
@@ -412,7 +423,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D05_SQL = f"""
 WITH digs AS (
-  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM {_CDOCS} documents
 )
 SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash
 FROM digs ORDER BY doc_id
@@ -457,7 +468,7 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D06_SQL = f"""
 WITH digs AS (
-  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM documents
+  SELECT doc_id, {tf.digests_duck(tf.tokens_duck(_NORM_D))} AS digs FROM {_CDOCS} documents
 ),
 fp AS (
   SELECT doc_id, {tf.simhash_duck("digs", SIMHASH_BITS)} AS simhash FROM digs
@@ -571,9 +582,12 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("src", "dst")
 
     labels, ckpt = local_checkpoint(
-        load_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl")
-        )
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
+        # one label per document IDENTITY — duplicated ingest rows would
+        # otherwise each emit their own cluster row (id-only distinct,
+        # equivalent to _canon for a key-only projection)
+        .distinct()
     )
     # labels are monotonically non-increasing (least of self and neighbor
     # min), so sum(lbl) is a sufficient convergence check — one cheap
@@ -616,7 +630,7 @@ cand AS (
   FROM bands a JOIN bands b USING (band, sig)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents),
 scored AS (
   SELECT doc_a, doc_b, {tf.jaccard_duck("da.sh", "db.sh")} AS jaccard
   FROM cand JOIN sh da ON doc_a = da.doc_id JOIN sh db ON doc_b = db.doc_id
@@ -630,7 +644,7 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 reach AS (
-  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  SELECT DISTINCT doc_id AS doc, doc_id AS lbl FROM documents
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
 )
@@ -649,11 +663,17 @@ def d10_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives. Composes d09's connected components with the text family's
     quality scoring; per-cluster argmax is a window row_number, so the
     only added shuffle is on cluster_id."""
-    from floorist_spark.operators.text import t02_quality_score
+    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators.text import quality_score_expr
     from pyspark.sql.window import Window
 
     clusters = d09_dedup_clusters(spark, sf_dir)
-    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    # quality of the CANONICAL representative (not t02's raw per-row
+    # scores): clusters are identity-keyed, so the keep decision must
+    # score each doc_id exactly once — t02 itself stays per-ingest-row
+    quality = canonical(_docs_parallel(spark, sf_dir), "documents").select(
+        "doc_id", F.expr(quality_score_expr()).alias("quality_score")
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
@@ -686,7 +706,7 @@ def _d10_sql() -> str:
 quality AS (
   SELECT doc_id,
     0.5::DOUBLE * ({_LEN_SCORE_D}) + 0.5::DOUBLE * ({_STOP_RATIO_D}) AS quality_score
-  FROM documents
+  FROM {_CDOCS} documents
 ),
 ranked AS (
   SELECT c.cluster_id, c.doc_id, q.quality_score,
@@ -926,7 +946,7 @@ cdocs AS (
 mh AS (SELECT d.doc_id, {mh_cols} FROM docs d JOIN cdocs USING (doc_id)),
 sh AS (
   SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh
-  FROM documents JOIN cdocs USING (doc_id)
+  FROM {_CDOCS} documents JOIN cdocs USING (doc_id)
 ),
 est AS (
   SELECT doc_a, doc_b, CAST(({matches}) AS DOUBLE) / {nmh} AS est_jaccard
@@ -1655,7 +1675,7 @@ FROM (
     body = "\nUNION ALL\n".join(selects)
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM documents)
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS hs FROM {_CDOCS} documents)
 {body}
 ORDER BY n_rows
 """
@@ -1790,7 +1810,7 @@ def d21_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D21_SQL = f"""
 WITH hs AS (
-  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents
 ),
 ex AS MATERIALIZED (
   SELECT doc_id, unnest(sh) AS h FROM hs
@@ -1880,7 +1900,7 @@ def d22_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D22_SQL = f"""
 WITH hs AS (
-  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents
 ),
 ex AS MATERIALIZED (
   SELECT d.source, unnest(h.sh) AS h
@@ -2308,12 +2328,12 @@ cand AS (
   FROM bands a JOIN bands b USING (band, sig)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents),
 params AS (
   SELECT greatest(CAST({AUDIT_MOD} AS BIGINT),
          (CAST(count(*) AS BIGINT) + {AUDIT_TARGET - 1}) // {AUDIT_TARGET})
            AS m
-  FROM documents
+  FROM (SELECT DISTINCT doc_id FROM documents)
 ),
 stratum AS (
   SELECT doc_id, sh FROM sh, params
@@ -2554,7 +2574,7 @@ def d27_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc").alias("n_docs_in_pairs"))
     )
     totals = load_table(spark, sf_dir, "documents").agg(
-        F.count("*").alias("corpus_docs")
+        F.countDistinct("doc_id").alias("corpus_docs")
     )
     return (
         taus.join(pairs_agg, "tau", "left")
@@ -2589,7 +2609,7 @@ cand AS (
   FROM bands a JOIN bands b USING (band, sig)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents),
+sh AS (SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents),
 scored AS (
   SELECT doc_a, doc_b, {tf.jaccard_duck("a.sh", "b.sh")} AS j
   FROM cand JOIN sh a ON a.doc_id = cand.doc_a
@@ -2612,7 +2632,7 @@ da AS (
     SELECT tau, doc_b AS doc FROM fan
   ) GROUP BY tau
 ),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS corpus_docs FROM documents)
 SELECT t.tau,
        CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
        CAST(coalesce(n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs,
@@ -3195,7 +3215,7 @@ def _d30_sql() -> str:
     match_expr = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(nsig))
     return f"""
 WITH sh AS (
-  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM documents
+  SELECT doc_id, {tf.hashes_duck(_SHINGLES_D)} AS sh FROM {_CDOCS} documents
 ), ex AS (
   SELECT d.source, t.h
   FROM sh JOIN documents d USING (doc_id), LATERAL unnest(sh.sh) AS t(h)

@@ -35,6 +35,8 @@ from pyspark.sql import types as T
 
 from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table, normalize_event_time
+from floorist_spark.operators._canon import CANON_EVENTS_D as _CEV
+from floorist_spark.operators._canon import STREAM_EVENTS_CTE as _SEV
 
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
 #: for the 2dp synthetic data; sum of 10k values fits DECIMAL(18,6))
@@ -87,22 +89,32 @@ def _sessionized(ev: DataFrame) -> DataFrame:
     )
 
 
-def _sessionize_ctes(cols: str, domain: str = "TRUE") -> str:
+def _sessionize_ctes(
+    cols: str, domain: str = "TRUE", src: str = "events"
+) -> str:
     """DuckDB twin of :func:`_sessionized`, as the shared
     ``flagged``/``numbered`` CTE pair over the given column list (Spark
     windows are end-exclusive: an event exactly at last+gap does NOT
     merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles; streaming
     consumers pass ``domain=STREAM_DOMAIN_D`` to mirror the stream
-    source's epoch gate."""
-    return f"""flagged AS (
-  SELECT {cols},
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    source's epoch gate; identity-keyed consumers (e17/e19/e37) pass a
+    canonical ``src`` so duplicated event_ids sessionize exactly once."""
+    return f"""_evsrc AS MATERIALIZED (
+  -- _rid makes the window order TOTAL: full-duplicate rows tie on
+  -- (ts, event_id), and the lag and running-sum windows are evaluated
+  -- independently — an inconsistent tie order between them splits a
+  -- session (round-9 degenerate sweep, e03 @dup_ids). MATERIALIZED pins
+  -- one row numbering for both windows.
+  SELECT *, row_number() OVER () AS _rid FROM {src} WHERE {domain}
+), flagged AS (
+  SELECT {cols}, _rid,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, _rid)
                    >= INTERVAL {SESSION_GAP_MIN} MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, _rid) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events WHERE {domain}
+  FROM _evsrc
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id, _rid
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )"""
@@ -131,9 +143,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return _convert_ts(
-        spark.readStream.schema(raw_schema).parquet(_stream_dir_for(sf_dir, "events"))
-    ).filter(STREAM_DOMAIN)
+    return (
+        _convert_ts(
+            spark.readStream.schema(raw_schema).parquet(
+                _stream_dir_for(sf_dir, "events")
+            )
+        )
+        .filter(STREAM_DOMAIN)
+        # exactly-once ingest: at-least-once delivery duplicates
+        # event_ids; every streaming operator sees each event once
+        # (oracle twin: _canon.STREAM_EVENTS_CTE)
+        .dropDuplicates(["event_id"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -165,9 +186,10 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 #: streaming twin of E01_SQL — same rollup over the STREAMING domain
 #: (pre-epoch rows are dropped at the stream source, see STREAM_DOMAIN)
 E01_STREAM_SQL = f"""
+WITH {_SEV}
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {_SUM_VAL}
-FROM events WHERE {STREAM_DOMAIN_D} GROUP BY 1, 2
+FROM events GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
@@ -317,14 +339,13 @@ def e07_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E07_SQL = f"""
+WITH {_SEV}
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {_SUM_VAL}
 FROM events
-WHERE {STREAM_DOMAIN_D}
 GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-       <= (SELECT max(ts) FROM events WHERE {STREAM_DOMAIN_D})
-          - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
 ORDER BY window_start, event_type
 """
 
@@ -371,14 +392,13 @@ def e08_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E08_SQL = f"""
-WITH {_sessionize_ctes("user_id, event_id, ts, value", domain=STREAM_DOMAIN_D)}
+WITH {_SEV}, {_sessionize_ctes("user_id, event_id, ts, value")}
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events, {_SUM_VAL}
 FROM numbered GROUP BY user_id, session_id
 HAVING max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE
-       <= (SELECT max(ts) FROM events WHERE {STREAM_DOMAIN_D})
-          - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
 ORDER BY user_id, session_start
 """
 
@@ -1003,7 +1023,12 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, so the final top-k sorts a tiny distinct-path table, never
     event rows. Determinism: events order by (ts, event_id) — a total
     order — and the top-k tie-breaks on the path string."""
-    ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    from floorist_spark.operators._canon import canonical
+
+    # identity-keyed: duplicated event_ids sessionize exactly once
+    ev = canonical(_load_events(spark, sf_dir), "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
     numbered = _sessionized(ev)
     paths = numbered.groupBy("user_id", "session_id").agg(
         F.expr(
@@ -1021,7 +1046,7 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E17_SQL = f"""
-WITH {_sessionize_ctes("user_id, event_id, ts, event_type")}, paths AS (
+WITH {_sessionize_ctes("user_id, event_id, ts, event_type", src=_CEV + " events")}, paths AS (
   -- ORDER BY (ts, event_id) is total given event_id is the events table key;
   -- the Spark twin sorts struct(ts, event_id, event_type) — same order
   SELECT user_id, session_id,
@@ -1094,12 +1119,11 @@ def e18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E18_SQL = f"""
+WITH {_SEV}
 SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
        epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
 FROM events c JOIN events v
   ON c.user_id = v.user_id
- AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
- AND v.ts >= TIMESTAMP '1970-01-01 00:00:00'
  AND c.event_type = 'click' AND v.event_type = 'view'
  AND v.ts <= c.ts
  AND v.ts >= c.ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
@@ -1137,8 +1161,12 @@ def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one (verified via .explain, same trap as e14's hourly
     rollup)."""
     from floorist_spark.operators._cache import track
+    from floorist_spark.operators._canon import canonical
 
-    ev = _load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    # identity-keyed: duplicated event_ids sessionize exactly once
+    ev = canonical(_load_events(spark, sf_dir), "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
     # _sessionized, NOT session_window: session_window's gap semantics
     # apply per full grouping key, so grouping by event_type too would
     # sessionize each type independently and never co-locate types.
@@ -1191,7 +1219,7 @@ def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E19_SQL = f"""
-WITH {_sessionize_ctes("user_id, event_id, ts, event_type")}, st AS (
+WITH {_sessionize_ctes("user_id, event_id, ts, event_type", src=_CEV + " events")}, st AS (
   SELECT DISTINCT user_id, session_id, event_type FROM numbered
 ), n_s AS (
   SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_id FROM st)
@@ -2863,7 +2891,10 @@ def e37_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies the clustered distribution — no second exchange); the
     histogram is a map-side-combinable aggregate on <= ~40 bucket keys;
     the share denominator is a broadcast 1-row total."""
-    ev = _load_events(spark, sf_dir)
+    from floorist_spark.operators._canon import canonical
+
+    # identity-keyed: duplicated event_ids sessionize exactly once
+    ev = canonical(_load_events(spark, sf_dir), "events")
     sess = (
         _sessionized(ev)
         .groupBy("user_id", "session_id")
@@ -2906,7 +2937,7 @@ def e37_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E37_SQL = f"""
-WITH {_sessionize_ctes("user_id, event_id, ts")},
+WITH {_sessionize_ctes("user_id, event_id, ts", src=_CEV + " events")},
 sess AS (
   SELECT user_id, session_id,
          CAST(count(*) AS BIGINT) AS n_events,

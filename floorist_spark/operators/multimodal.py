@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
 from floorist_spark.session import load_table
+from floorist_spark.operators._canon import CANON_DOCS_D as _CDOCS
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -55,7 +56,8 @@ _HEX_DIGITS = "0123456789abcdef"
 
 
 def _payloads(
-    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = ()
+    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = (),
+    canon: bool = False,
 ) -> DataFrame:
     """(doc_id, [*extra,] payload binary): utf-8 bytes of the document
     text — the stand-in for an image/audio/video blob column; ``extra``
@@ -69,10 +71,19 @@ def _payloads(
     would arrive in pandas as None and crash the mapInPandas task, while
     the DuckDB oracles degrade gracefully (zero frames via LEFT JOIN /
     empty aggregates). Testdata has no NULL text; this pins the
-    real-corpus behavior."""
+    real-corpus behavior.
+
+    ``canon=True`` resolves duplicated doc_ids to one representative row
+    (see :mod:`_canon`) — used by the per-ASSET operators (m07/m11/m13/
+    m14/m15) whose outputs key on identity; per-row metadata ops (m01,
+    m03, ...) and the duplicate-accounting censuses (m12) stay raw."""
+    docs = load_table(spark, sf_dir, "documents")
+    if canon:
+        from floorist_spark.operators._canon import canonical
+
+        docs = canonical(docs, "documents")
     return (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             *extra,
@@ -438,14 +449,14 @@ def m07_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id bigint, win bigint, n_samples bigint, rms double"
     return (
-        _payloads(spark, sf_dir)
+        _payloads(spark, sf_dir, canon=True)
         .mapInPandas(energy, schema)
         .orderBy("doc_id", "win")
     )
 
 
 M07_SQL = f"""
-WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM {_CDOCS} documents),
 bytes AS (
   SELECT doc_id, i, CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT) AS b
   FROM hx, LATERAL unnest(range(0, CAST(length(hx) / 2 AS BIGINT))) AS t(i)
@@ -795,7 +806,7 @@ def m11_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id bigint, n_frames bigint, n_cuts bigint, cuts_md5 string"
     return (
-        _payloads(spark, sf_dir)
+        _payloads(spark, sf_dir, canon=True)
         .mapInPandas(detect, schema)
         .select(
             "doc_id",
@@ -817,7 +828,7 @@ WITH frames AS (
          unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT)))
            AS frame_idx,
          text
-  FROM documents
+  FROM {_CDOCS} documents
 ), sigs AS (
   SELECT doc_id, frame_idx,
          CAST(concat('0x', substr(md5(substr(text,
@@ -851,7 +862,7 @@ SELECT d.doc_id,
             THEN CAST(a.n_frames AS DOUBLE) / (a.n_cuts + 1)
        END AS mean_shot_frames,
        coalesce(a.cuts_md5_raw, md5('')) AS cuts_md5
-FROM documents d LEFT JOIN agg a USING (doc_id)
+FROM {_CDOCS} d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
 
@@ -1031,7 +1042,7 @@ def m13_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments bigint, longest_run bigint"
     )
     return (
-        _payloads(spark, sf_dir)
+        _payloads(spark, sf_dir, canon=True)
         .mapInPandas(vad, schema)
         .select(
             "doc_id",
@@ -1048,7 +1059,7 @@ def m13_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M13_SQL = f"""
-WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM {_CDOCS} documents),
 bytes AS (
   SELECT doc_id, i,
          CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INT)
@@ -1082,7 +1093,7 @@ SELECT d.doc_id,
        CASE WHEN coalesce(p.n_frames, 0) > 0
             THEN CAST(coalesce(p.n_voiced, 0) AS DOUBLE) / p.n_frames
             END AS voiced_frac
-FROM documents d
+FROM {_CDOCS} d
 LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 LEFT JOIN seg_doc s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
@@ -1142,7 +1153,7 @@ def _cdc_ctes() -> str:
     as INT32 that product overflows for any byte ≥ 0x80, i.e. on the
     first multibyte UTF-8 character (the all-ASCII testdata sits exactly
     at the 2³¹−1 edge and masked it)."""
-    return f"""hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+    return f"""hx AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM {_CDOCS} documents),
 bytes AS (
   SELECT doc_id, i,
          CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS BIGINT), 2))
@@ -1229,7 +1240,7 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_chunk_len bigint, n_unique_chunks bigint"
     )
     return (
-        _payloads(spark, sf_dir)
+        _payloads(spark, sf_dir, canon=True)
         .mapInPandas(cdc, schema)
         .select(
             "doc_id",
@@ -1274,7 +1285,7 @@ SELECT d.doc_id,
        CASE WHEN p.n_chunks > 0
             THEN CAST(p.n_chunks - p.n_unique_chunks AS DOUBLE) / p.n_chunks
             END AS dup_chunk_frac
-FROM documents d
+FROM {_CDOCS} d
 LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
@@ -1340,7 +1351,7 @@ def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {k: [] for k in out}
 
     dd = (
-        _payloads(spark, sf_dir)
+        _payloads(spark, sf_dir, canon=True)
         .mapInPandas(chunk_digests, "doc_id bigint, digest string")
     )
     from floorist_spark.operators._cache import track

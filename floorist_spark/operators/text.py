@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from floorist_spark.functions import textfrag as tf
+from floorist_spark.operators._canon import CANON_DOCS_D as _CDOCS
 from floorist_spark.session import load_table
 
 
@@ -123,6 +124,20 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quality_score"),
         )
         .orderBy("doc_id")
+    )
+
+
+def quality_score_expr() -> str:
+    """t02's blended score as a reusable Spark SQL expression — shared
+    with d10's keep decision so the quality definition lives once."""
+    en = LANG_STOPWORDS["en"]
+    stop_ratio_s = f"CAST({_hits_spark(_TOK_S, en)} AS DOUBLE) / size({_TOK_S})"
+    len_score_s = (
+        f"least(CAST(length({_NORM_S}) AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE))"
+    )
+    return (
+        f"CAST(0.5 AS DOUBLE) * ({len_score_s}) "
+        f"+ CAST(0.5 AS DOUBLE) * ({stop_ratio_s})"
     )
 
 
@@ -631,8 +646,14 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see s05's coordinate-mean note)."""
     from floorist_spark.operators._cache import track
 
+    from floorist_spark.operators._canon import canonical
+
+    # identity-keyed: pos must be unique per doc_id or the ordered IEEE
+    # fold (and the trained counts) become duplicate-ingest-dependent
     toks = track(
-        _docs(spark, sf_dir).select("doc_id", F.expr(_TOK_S).alias("toks")).persist()
+        canonical(_docs(spark, sf_dir), "documents")
+        .select("doc_id", F.expr(_TOK_S).alias("toks"))
+        .persist()
     )
     toks.count()  # one scan feeds vocab + both bigram walks
     bg = toks.select(
@@ -675,7 +696,7 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T12_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOK_D} AS toks FROM documents
+  SELECT doc_id, {_TOK_D} AS toks FROM {_CDOCS} documents
 ), b AS (
   SELECT doc_id, {tf.word_ngrams_duck('toks', 2)} AS bgs FROM toks
 ), e AS (
@@ -1125,17 +1146,26 @@ def t17_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: oracle mirrors the SEMANTICS with the plain relational shape (unnest →
 #: per-(doc, token) counts); only results must match, not plans
+#: PER-ROW oracle: t17 scores each ingested row (the Spark side is a
+#: zero-shuffle scan — per-row stats are pre-dedup quality signals), so
+#: the oracle must NOT assume doc_id is unique. A GROUP BY doc_id here
+#: silently pooled duplicated ids' tokens and disagreed with the per-row
+#: engine on any re-ingested corpus (round-9 degenerate sweep). The
+#: MATERIALIZED row key is evaluated once, so it is a stable join key
+#: within the query; it never reaches the output.
 T17_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOK_D}) AS token FROM documents
+WITH rows AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, text FROM documents
+), tok AS (
+  SELECT _rid, unnest({_TOK_D}) AS token FROM rows
 ), hist AS (
-  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+  SELECT _rid, token, count(*) AS c FROM tok GROUP BY _rid, token
 ), agg AS (
-  SELECT doc_id,
+  SELECT _rid,
          CAST(sum(c) AS BIGINT) AS n_tokens,
          CAST(count(*) AS BIGINT) AS n_types,
          CAST(sum(c * c) AS BIGINT) AS sum2
-  FROM hist GROUP BY doc_id
+  FROM hist GROUP BY _rid
 )
 SELECT d.doc_id,
        coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
@@ -1145,7 +1175,7 @@ SELECT d.doc_id,
        CASE WHEN a.n_tokens > 0
             THEN 1.0 - CAST(a.sum2 AS DOUBLE) / (a.n_tokens * a.n_tokens)
        END AS simpson
-FROM documents d LEFT JOIN agg a USING (doc_id)
+FROM rows d LEFT JOIN agg a USING (_rid)
 ORDER BY d.doc_id
 """
 
@@ -1592,7 +1622,11 @@ def t22_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
-    toks = _docs(spark, sf_dir).select(
+    from floorist_spark.operators._canon import canonical
+
+    # identity-keyed: duplicated doc_ids would interleave both copies'
+    # positions into one (doc_id, grp) phrase group and scramble phrases
+    toks = canonical(_docs(spark, sf_dir), "documents").select(
         "doc_id",
         F.posexplode(F.expr(f"split({_NORM_S}, ' ')")).alias("pos", "tok"),
     )
@@ -1657,7 +1691,7 @@ WITH toks AS (
   SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
          d.arr[CAST(t.i + 1 AS BIGINT)] AS tok
   FROM (SELECT doc_id, string_split({tf.norm_duck("text")}, ' ') AS arr
-        FROM documents) d,
+        FROM {_CDOCS} documents) d,
        LATERAL unnest(range(0, CAST(len(d.arr) AS BIGINT))) AS t(i)
 ), occ AS (
   SELECT * FROM (

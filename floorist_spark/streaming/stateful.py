@@ -383,14 +383,9 @@ def e15_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-#: oracle-side twin of the stream source's epoch gate (see
-#: events_analytics.STREAM_DOMAIN): Spark clamps watermarks at epoch 0,
-#: so pre-epoch rows are outside the streaming domain on BOTH engines.
-#: main.-qualified so the shadowing CTE is not a circular reference.
-_STREAM_EVENTS_CTE = (
-    "events AS (SELECT * FROM main.events "
-    "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00')"
-)
+#: oracle-side twin of the stream source's epoch gate + exactly-once
+#: ingest dedup (see _canon.STREAM_EVENTS_CTE).
+from floorist_spark.operators._canon import STREAM_EVENTS_CTE as _STREAM_EVENTS_CTE
 
 E15_SQL = f"""
 WITH {_STREAM_EVENTS_CTE}, flagged AS (

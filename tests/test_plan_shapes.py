@@ -356,12 +356,15 @@ def test_d18_wedge_join_keyed(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_m11_scene_cuts_no_shuffle(spark):
+def test_m11_scene_cuts_single_canon_shuffle(spark):
     from floorist_spark.operators.multimodal import m11_scene_cuts
 
     plan = _plan(m11_scene_cuts(spark, SF_SMOKE))
-    # pure per-row frame pass: no hash exchange, no join, no explode
-    assert plan.count("Exchange hashpartitioning") == 0
+    # per-ASSET frame pass: the only exchange is the identity-resolution
+    # aggregate (round-9 _canon — one representative row per doc_id,
+    # map-side combinable min(struct)); still no join, no explode
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # the canon aggregate pre-reduces map-side
     assert "Join" not in plan
     assert "Generate" not in plan
 

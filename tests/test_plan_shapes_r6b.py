@@ -85,12 +85,14 @@ def test_s17_query_side_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_m13_vad_is_shuffle_free(spark):
+def test_m13_vad_single_canon_shuffle(spark):
     from floorist_spark.operators.multimodal import m13_vad_segments
 
     plan = _plan(m13_vad_segments(spark, SF_SMOKE))
-    # gate + run merge happen inside the Arrow batch pass
-    assert plan.count("Exchange hashpartitioning") == 0
+    # gate + run merge happen inside the Arrow batch pass; the only
+    # exchange is the round-9 identity-resolution aggregate (_canon)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
     assert "Join" not in plan
     assert "Generate" not in plan
 
@@ -136,12 +138,14 @@ def test_s18_query_side_broadcasts_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_m14_cdc_is_shuffle_free(spark):
+def test_m14_cdc_single_canon_shuffle(spark):
     from floorist_spark.operators.multimodal import m14_cdc_chunks
 
     plan = _plan(m14_cdc_chunks(spark, SF_SMOKE))
-    # boundaries, splits and the distinct census live in the numpy pass
-    assert plan.count("Exchange hashpartitioning") == 0
+    # boundaries, splits and the distinct census live in the numpy pass;
+    # the only exchange is the identity-resolution aggregate (_canon)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
     assert "Join" not in plan
     assert "Generate" not in plan
 
