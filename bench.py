@@ -401,6 +401,14 @@ def main() -> int:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # versioned full-timing artifact (round-8 verdict task 4): the
+    # driver's tail truncation keeps only the summary line, so
+    # round-over-round per-query regression detection needs the full map
+    # committed — `SPARK_GRAFT_BENCH_OUT=BENCHLOCAL_rNN.json python bench.py`
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if artifact:
+        with open(artifact, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
 
     # The grading driver records only the LAST 2000 characters of this
     # output, so a catalog-sized "queries" dict pushes the line's HEAD
