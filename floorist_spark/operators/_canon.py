@@ -47,9 +47,16 @@ def canonical(df: DataFrame, table: str) -> DataFrame:
     (key, partition) instead of sorting every duplicate — the shape that
     survives a 100x re-ingest storm."""
     key, payload = _KEYS[table]
-    return df.groupBy(key).agg(
-        F.min(F.struct(*payload)).alias("_p")
-    ).select(key, *[F.col(f"_p.{c}").alias(c) for c in payload])
+    # unit-test corpora may omit metadata columns (lang/source/...); the
+    # pick stays deterministic over whatever payload exists. Production
+    # corpora and every oracle-gated run carry the full schema, where
+    # this matches the oracle fragment's full ORDER BY exactly.
+    present = tuple(c for c in payload if c in df.columns)
+    return (
+        df.groupBy(key)
+        .agg(F.min(F.struct(*present)).alias("_p"))
+        .select(key, *[F.col(f"_p.{c}").alias(c) for c in present])
+    )
 
 
 def _canon_subq(table: str) -> str:

@@ -438,8 +438,15 @@ def test_m14_m15_oracle_survives_non_ascii_payloads(spark, tmp_path):
     from tests.oracle_compare import compare_results
 
     body = "héllo wörld — ünïcode pâyload " * 40
-    rows = [(1, body), (2, body + " v2 tail"), (3, "plain ascii text " * 30)]
-    out = _write_docs(spark, tmp_path, rows)
+    texts = [(1, body), (2, body + " v2 tail"), (3, "plain ascii text " * 30)]
+    # full production schema: the m14/m15 oracles canonicalize on the
+    # complete payload column list (round-9 _canon contract)
+    rows = [(i, t, "en", "src0", len(t)) for i, t in texts]
+    out = _write_docs(
+        spark, tmp_path, rows,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
