@@ -59,6 +59,42 @@ def canonical(df: DataFrame, table: str) -> DataFrame:
     )
 
 
+def canonical_docs(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized canonical documents table: ONE identity-resolution
+    pass per dataset dir, shared by every doc-canonical consumer (the
+    dedup chain root, d05/d10, t12/t22, c04, the per-asset m-family) —
+    re-running the full-text min-struct aggregate per entry showed up as
+    +1-5 s per consumer in the round-9 bench. The input is repartitioned
+    to session parallelism first so the map-side partial agg is not
+    single-threaded on a one-split scan. Same eviction discipline as the
+    shingle memo: one dataset dir live at a time."""
+    from floorist_spark.operators._cache import memo
+    from floorist_spark.session import load_table
+
+    def build() -> DataFrame:
+        df = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return canonical(df, "documents")
+
+    return memo(spark, "canon_documents", sf_dir, build)
+
+
+def canonical_events(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized canonical events table (see canonical_docs) —
+    shared by the identity-keyed batch analytics e17/e19/e37."""
+    from floorist_spark.operators._cache import memo
+    from floorist_spark.session import load_table
+
+    def build() -> DataFrame:
+        df = load_table(spark, sf_dir, "events").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return canonical(df, "events")
+
+    return memo(spark, "canon_events", sf_dir, build)
+
+
 def _canon_subq(table: str) -> str:
     key, payload = _KEYS[table]
     order = ", ".join(f"{c} ASC NULLS FIRST" for c in payload)

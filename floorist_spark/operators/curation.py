@@ -172,13 +172,13 @@ def c04_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
 
     # identity-keyed: each document packs exactly once — duplicated
     # doc_ids share a shuffle_key, which would make the greedy fill's
     # tie order (and so every later cumsum in the shard) engine-dependent
     return (
-        canonical(_docs(spark, sf_dir), "documents")
+        canonical_docs(spark, sf_dir)
         .select(
             "doc_id",
             F.expr(shard).alias("shard"),

@@ -95,10 +95,10 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, and the round-9 degenerate sweep showed every chain entry
     silently diverging from its oracle on re-ingested/duplicated ids.
     Exact-dup censuses (d01/d02/d15c) deliberately stay raw."""
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
 
     return (
-        canonical(_docs_parallel(spark, sf_dir), "documents")
+        canonical_docs(spark, sf_dir)
         .select("doc_id", F.expr(_NORM_S).alias("nrm"))
         .select("doc_id", F.expr(tf.shingles_spark("nrm", SHINGLE_K)).alias("sh"))
     )
@@ -401,10 +401,10 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     60 bit-votes are conditional ``sum`` aggregates in a single
     groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
     (doc_id, 60 ints) after map-side combine."""
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
 
     ex = (
-        canonical(_docs_parallel(spark, sf_dir), "documents")
+        canonical_docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
         .select("doc_id", F.md5("t").alias("d"))
     )
@@ -663,7 +663,7 @@ def d10_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives. Composes d09's connected components with the text family's
     quality scoring; per-cluster argmax is a window row_number, so the
     only added shuffle is on cluster_id."""
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
     from floorist_spark.operators.text import quality_score_expr
     from pyspark.sql.window import Window
 
@@ -671,7 +671,7 @@ def d10_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality of the CANONICAL representative (not t02's raw per-row
     # scores): clusters are identity-keyed, so the keep decision must
     # score each doc_id exactly once — t02 itself stays per-ingest-row
-    quality = canonical(_docs_parallel(spark, sf_dir), "documents").select(
+    quality = canonical_docs(spark, sf_dir).select(
         "doc_id", F.expr(quality_score_expr()).alias("quality_score")
     )
     w = Window.partitionBy("cluster_id").orderBy(

@@ -1023,10 +1023,10 @@ def e17_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, so the final top-k sorts a tiny distinct-path table, never
     event rows. Determinism: events order by (ts, event_id) — a total
     order — and the top-k tie-breaks on the path string."""
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_events
 
     # identity-keyed: duplicated event_ids sessionize exactly once
-    ev = canonical(_load_events(spark, sf_dir), "events").select(
+    ev = canonical_events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "event_type"
     )
     numbered = _sessionized(ev)
@@ -1161,10 +1161,10 @@ def e19_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one (verified via .explain, same trap as e14's hourly
     rollup)."""
     from floorist_spark.operators._cache import track
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_events
 
     # identity-keyed: duplicated event_ids sessionize exactly once
-    ev = canonical(_load_events(spark, sf_dir), "events").select(
+    ev = canonical_events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "event_type"
     )
     # _sessionized, NOT session_window: session_window's gap semantics
@@ -2891,10 +2891,10 @@ def e37_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies the clustered distribution — no second exchange); the
     histogram is a map-side-combinable aggregate on <= ~40 bucket keys;
     the share denominator is a broadcast 1-row total."""
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_events
 
     # identity-keyed: duplicated event_ids sessionize exactly once
-    ev = canonical(_load_events(spark, sf_dir), "events")
+    ev = canonical_events(spark, sf_dir)
     sess = (
         _sessionized(ev)
         .groupBy("user_id", "session_id")

@@ -77,11 +77,12 @@ def _payloads(
     (see :mod:`_canon`) — used by the per-ASSET operators (m07/m11/m13/
     m14/m15) whose outputs key on identity; per-row metadata ops (m01,
     m03, ...) and the duplicate-accounting censuses (m12) stay raw."""
-    docs = load_table(spark, sf_dir, "documents")
     if canon:
-        from floorist_spark.operators._canon import canonical
+        from floorist_spark.operators._canon import canonical_docs
 
-        docs = canonical(docs, "documents")
+        docs = canonical_docs(spark, sf_dir)
+    else:
+        docs = load_table(spark, sf_dir, "documents")
     return (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(

@@ -646,12 +646,12 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see s05's coordinate-mean note)."""
     from floorist_spark.operators._cache import track
 
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
 
     # identity-keyed: pos must be unique per doc_id or the ordered IEEE
     # fold (and the trained counts) become duplicate-ingest-dependent
     toks = track(
-        canonical(_docs(spark, sf_dir), "documents")
+        canonical_docs(spark, sf_dir)
         .select("doc_id", F.expr(_TOK_S).alias("toks"))
         .persist()
     )
@@ -1622,11 +1622,11 @@ def t22_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
-    from floorist_spark.operators._canon import canonical
+    from floorist_spark.operators._canon import canonical_docs
 
     # identity-keyed: duplicated doc_ids would interleave both copies'
     # positions into one (doc_id, grp) phrase group and scramble phrases
-    toks = canonical(_docs(spark, sf_dir), "documents").select(
+    toks = canonical_docs(spark, sf_dir).select(
         "doc_id",
         F.posexplode(F.expr(f"split({_NORM_S}, ' ')")).alias("pos", "tok"),
     )

@@ -360,11 +360,12 @@ def test_m11_scene_cuts_single_canon_shuffle(spark):
     from floorist_spark.operators.multimodal import m11_scene_cuts
 
     plan = _plan(m11_scene_cuts(spark, SF_SMOKE))
-    # per-ASSET frame pass: the only exchange is the identity-resolution
-    # aggregate (round-9 _canon — one representative row per doc_id,
-    # map-side combinable min(struct)); still no join, no explode
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "partial_min" in plan  # the canon aggregate pre-reduces map-side
+    # per-ASSET frame pass over the MEMOIZED canonical docs table: the
+    # identity-resolution aggregate (map-side combinable min(struct))
+    # lives inside the session-cached build and amortizes across every
+    # canonical consumer; the operator itself adds no join, no explode
+    assert "InMemoryTableScan" in plan  # reads the canon memo, not the scan
+    assert "partial_min" in plan  # the cached build pre-reduces map-side
     assert "Join" not in plan
     assert "Generate" not in plan
 

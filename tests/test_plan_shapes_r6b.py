@@ -89,9 +89,9 @@ def test_m13_vad_single_canon_shuffle(spark):
     from floorist_spark.operators.multimodal import m13_vad_segments
 
     plan = _plan(m13_vad_segments(spark, SF_SMOKE))
-    # gate + run merge happen inside the Arrow batch pass; the only
-    # exchange is the round-9 identity-resolution aggregate (_canon)
-    assert plan.count("Exchange hashpartitioning") == 1
+    # gate + run merge happen inside the Arrow batch pass;
+    # identity resolution rides the session-memoized canonical docs table
+    assert "InMemoryTableScan" in plan
     assert "partial_min" in plan
     assert "Join" not in plan
     assert "Generate" not in plan
@@ -143,8 +143,8 @@ def test_m14_cdc_single_canon_shuffle(spark):
 
     plan = _plan(m14_cdc_chunks(spark, SF_SMOKE))
     # boundaries, splits and the distinct census live in the numpy pass;
-    # the only exchange is the identity-resolution aggregate (_canon)
-    assert plan.count("Exchange hashpartitioning") == 1
+    # identity resolution rides the session-memoized canonical docs table
+    assert "InMemoryTableScan" in plan
     assert "partial_min" in plan
     assert "Join" not in plan
     assert "Generate" not in plan
