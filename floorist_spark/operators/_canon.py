@@ -1,11 +1,11 @@
 """Canonical-identity resolution for duplicated primary keys.
 
-The shipped testdata has unique ``doc_id`` / ``event_id`` / ``vec_id``,
-but a 100 TB ingest does not: at-least-once delivery and shard re-ingest
-duplicate identity keys routinely, and the round-9 degenerate sweep
-showed the similarity-structure operators (the MinHash/SimHash chain,
-sessionizers, mixtures) silently disagreeing with their oracles on such
-corpora — each side had "key is unique" baked in somewhere different.
+The shipped testdata has unique ``doc_id`` / ``event_id``, but a 100 TB
+ingest does not: at-least-once delivery and shard re-ingest duplicate
+identity keys routinely, and the round-9 degenerate sweep showed the
+document/event-keyed operators (the MinHash/SimHash chain, sessionizers,
+mixtures) silently disagreeing with their oracles on such corpora — each
+side had "key is unique" baked in somewhere different.
 
 The contract these helpers implement: **identity-keyed operators process
 each identity exactly once, represented by its lexicographically least
@@ -28,11 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: identity key + payload ordering per canonicalizable table
+#: identity key + payload ordering per canonicalizable table. embeddings
+#: is deliberately absent: the similarity family treats vec_id as a plain
+#: attribute, never as an identity to resolve — both engines read raw
+#: rows, and the degenerate `random` profile (conflicting-payload vec_id
+#: duplicates) pins that agreement.
 _KEYS = {
     "documents": ("doc_id", ("text", "lang", "source", "n_chars")),
     "events": ("event_id", ("ts", "user_id", "event_type", "value", "props")),
-    "embeddings": ("vec_id", ("embedding", "label")),
 }
 
 
@@ -109,7 +112,6 @@ def _canon_subq(table: str) -> str:
 #: DuckDB inline-subquery twins — splice as ``FROM {CANON_DOCS_D} documents``
 CANON_DOCS_D = _canon_subq("documents")
 CANON_EVENTS_D = _canon_subq("events")
-CANON_EMB_D = _canon_subq("embeddings")
 
 #: Shadowing CTE for STREAMING oracles: the stream source applies the
 #: epoch gate (Spark clamps watermarks at 0 — see

@@ -77,76 +77,77 @@ def _with_cache_release(
 #: (tests/test_llm_operators.py enforces both invariants). Pure ordering —
 #: membership and semantics of every entry are unchanged.
 #:
-#: Round-9 rotation (executing the round-8 verdict's task 2: finish the
-#: rotation so no entry's last external green trails the upcoming gate by
-#: more than 5 rounds). The window is now MECHANICALLY derived: the 49
-#: stalest entries by last driver-green round, computed from the committed
+#: Round-10 rotation. The window is MECHANICALLY derived: the 49 stalest
+#: entries by last driver-green round, computed from the committed
 #: CORRECTNESS_r0*.json artifacts strictly before ROTATION_ROUND
 #: (tests/test_gate_rotation.py re-derives that ledger and fails if this
 #: list is not a stalest-first window, if any family is unrepresented, or
-#: if the max-staleness claim is violated). Snapshot at ROTATION_ROUND=9:
-#: q07_uuid has never sat in a green window (rows-only by design — it
-#: still deserves an external rows gate); q21-q41 were last green r3;
-#: the remaining 27 slots take the r4 cohort, tie-broken to keep every
-#: family represented (left at r4 for round 10: e06 e07 q05b q06 s03 s04
-#: s06 — the staleness bound still holds: 9-4=5). OUT: everything gated
-#: green r5-r8, including all 21 round-8 births (gated in their birth
-#: round per house rule).
-ROTATION_ROUND = 9
+#: if the max-staleness claim is violated). Snapshot at ROTATION_ROUND=10:
+#: q07_uuid has never hash-gated green (it was rows-only until round 10
+#: gave it a deterministic derived-column oracle — its r9 `no_oracle`
+#: record does not count as green under the new contract, so it leads the
+#: window and takes its first-ever hash gate here); then the 7 r4
+#: leftovers (e06 e07 q05b q06 s03 s04 s06), the full 36-entry r5 cohort,
+#: and 5 of the 35 r6 entries at the tie boundary, picked to thicken the
+#: thinnest families in the window (t/d/c/m). OUT: everything gated green
+#: r6-r9 beyond those 5 (ties at the boundary are free per the test).
+#: Staleness bound after this gate runs green: max 10-6 = 4 <= 5.
+ROTATION_ROUND = 10
 
 GATE_PRIORITY = [
-    # -- never externally green (rows-only entry, last sampled never) ----
+    # -- never externally hash-green (oracle added round 10) --------------
     "q07_uuid",
-    # -- last driver green r3 --------------------------------------------
-    "q21_except",
-    "q22_topk_global",
-    "q23_having",
-    "q24_conditional_agg",
-    "q25_string_funcs",
-    "q26_date_funcs",
-    "q27_scalar_subquery",
-    "q28_anti_join",
-    "q29_left_join",
-    "q30_grouping_sets",
-    "q31_salted_distinct_agg",
-    "q32_percentiles",
-    "q33_range_window",
-    "q34_exists_correlated",
-    "q35_distinct_on",
-    "q36_string_agg",
-    "q37_pivot",
-    "q38_array_agg",
-    "q39_lateral",
-    "q40_window_medley",
-    "q41_unpivot",
-    # -- last driver green r4 (27 of 34; family-balanced tie-break) -------
-    "c01_hash_split",
-    "c03_train_order",
-    "c06_mixture_weights",
-    "c07_curation_pipeline",
-    "d07_embedding_neardup",
-    "d08_streaming_dedup",
-    "e01_tumbling_hourly",
-    "e02_sliding_counts",
-    "e03_session_windows",
-    "e04_streaming_tumbling",
-    "e05_asof_join",
-    "e15_custom_sessionizer",
-    "m01_binary_ingest",
-    "m02_media_catalog",
-    "m03_byte_histogram",
-    "m04_image_decode",
-    "m05_frame_sample",
-    "m06_thumbnail",
-    "q02_alias",
-    "q03_values",
-    "q04_series",
-    "q05_cross_join",
-    "s01_cosine_topk_brute",
-    "s02_lsh_bucketed_ann",
-    "t02_quality_score",
-    "t03_lang_id",
-    "t06_regex_tokens",
+    # -- last driver green r4 ---------------------------------------------
+    "e06_range_join",
+    "e07_streaming_watermark",
+    "q05b_cross_join_1m",
+    "q06_empty",
+    "s03_ivf_assign",
+    "s04_ivf_search",
+    "s06_multiprobe_ann",
+    # -- last driver green r5 (the full 36-entry cohort) -------------------
+    "c08_snapshot_diff",
+    "c09_stride_interleave",
+    "c10_quality_weighted_sample",
+    "d10_curation_keep",
+    "d11_semantic_dedup",
+    "d12_crossmodal_neardup",
+    "e08_streaming_sessions",
+    "e09_funnel",
+    "e10_retention",
+    "e11_gapfill_hourly",
+    "e12_json_extract",
+    "e13_event_transitions",
+    "e14_hourly_anomaly",
+    "e16_continuous_aggregate",
+    "e17_path_analysis",
+    "e18_stream_stream_join",
+    "e19_cooccurrence_lift",
+    "e20_hll_distinct",
+    "e21_cms_heavy_hitters",
+    "e22_zorder_layout",
+    "e23_rolling_active",
+    "e24_growth_accounting",
+    "m07_audio_energy",
+    "m08_perceptual_hash",
+    "m09_aspect_bucket_batches",
+    "m10_contrastive_pairs",
+    "s05_kmeans_ivf_assign",
+    "s07_sq8_quantize",
+    "s08_quantized_rerank",
+    "s09_ann_recall",
+    "s10_knn_graph",
+    "s11_pq_quantize",
+    "s12_knn_classify",
+    "s13_filtered_ann",
+    "t11_feature_hashing",
+    "t14_langid_confusion",
+    # -- last driver green r6 (5 of 35; family-balancing tie-break) --------
+    "c14_epoch_allocation",
+    "d18_dup_graph_triangles",
+    "m11_scene_cuts",
+    "t18_pii_scrub",
+    "t19_distribution_outliers",
 ]
 
 

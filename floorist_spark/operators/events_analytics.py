@@ -40,7 +40,9 @@ from floorist_spark.operators._canon import STREAM_EVENTS_CTE as _SEV
 
 #: exact-accumulation cast for event values (values < 1e3, 6dp is lossless
 #: for the 2dp synthetic data; sum of 10k values fits DECIMAL(18,6))
-_VAL_S = "CAST(value AS DECIMAL(18,6))"
+#: string hop = exact cross-engine double→decimal ingestion (see
+#: relational._dcol: direct casts disagree at round-half ties)
+_VAL_S = "CAST(CAST(value AS STRING) AS DECIMAL(18,6))"
 #: decimal sum rendered via exact decimal STRING: both engines' float
 #: parsers are correctly rounded, while a direct decimal→double cast can
 #: differ by 1 ulp between engines once the scaled sum exceeds 2^53 (see
@@ -89,23 +91,23 @@ def _sessionized(ev: DataFrame) -> DataFrame:
     )
 
 
-def _sessionize_ctes(
-    cols: str, domain: str = "TRUE", src: str = "events"
-) -> str:
+def _sessionize_ctes(cols: str, src: str = "events") -> str:
     """DuckDB twin of :func:`_sessionized`, as the shared
     ``flagged``/``numbered`` CTE pair over the given column list (Spark
     windows are end-exclusive: an event exactly at last+gap does NOT
-    merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles; streaming
-    consumers pass ``domain=STREAM_DOMAIN_D`` to mirror the stream
-    source's epoch gate; identity-keyed consumers (e17/e19/e37) pass a
-    canonical ``src`` so duplicated event_ids sessionize exactly once."""
+    merge, hence ``>=``). Used by the e03/e08/e17/e19 oracles. Streaming
+    oracles do NOT filter here — they mirror the stream source's epoch
+    gate + exactly-once ingest by prepending the ``STREAM_EVENTS_CTE``
+    shadow (``_canon.py``), which re-binds the ``events`` name these CTEs
+    read; identity-keyed batch consumers (e17/e19/e37) pass a canonical
+    ``src`` so duplicated event_ids sessionize exactly once."""
     return f"""_evsrc AS MATERIALIZED (
   -- _rid makes the window order TOTAL: full-duplicate rows tie on
   -- (ts, event_id), and the lag and running-sum windows are evaluated
   -- independently — an inconsistent tie order between them splits a
   -- session (round-9 degenerate sweep, e03 @dup_ids). MATERIALIZED pins
   -- one row numbering for both windows.
-  SELECT *, row_number() OVER () AS _rid FROM {src} WHERE {domain}
+  SELECT *, row_number() OVER () AS _rid FROM {src}
 ), flagged AS (
   SELECT {cols}, _rid,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, _rid)
@@ -126,12 +128,12 @@ def _sessionize_ctes(
 #: pre-1970 stream is withheld forever — 0 rows against a batch oracle
 #: that sessionizes them fine (found by the round-9 degenerate sweep:
 #: e07/e08/e15/e26 @pre1970). The engine therefore defines the STREAMING
-#: domain as ts >= epoch and drops earlier rows at the source — shared
-#: verbatim by every streaming oracle (``STREAM_DOMAIN_D``) so both
-#: engines agree. Batch twins (e01, e28, ...) still process pre-epoch
-#: rows; a production deployment would route these to a quarantine sink.
+#: domain as ts >= epoch and drops earlier rows at the source — every
+#: streaming oracle mirrors it verbatim inside the ``STREAM_EVENTS_CTE``
+#: shadow (``_canon.py``) so both engines agree. Batch twins (e01, e28,
+#: ...) still process pre-epoch rows; a production deployment would
+#: route these to a quarantine sink.
 STREAM_DOMAIN = "ts >= TIMESTAMP '1970-01-01 00:00:00'"
-STREAM_DOMAIN_D = STREAM_DOMAIN
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +143,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pre-epoch rows are outside the streaming domain (see STREAM_DOMAIN)."""
     from floorist_spark.streaming.stateful import _stream_dir_for
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     return (
         _convert_ts(
@@ -152,7 +153,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(STREAM_DOMAIN)
         # exactly-once ingest: at-least-once delivery duplicates
         # event_ids; every streaming operator sees each event once
-        # (oracle twin: _canon.STREAM_EVENTS_CTE)
+        # (oracle twin: _canon.STREAM_EVENTS_CTE). Contract: this models
+        # REDELIVERY — duplicate event_ids inside the streaming domain
+        # carry identical record bytes, so dropDuplicates' arbitrary pick
+        # is value-deterministic. Conflicting payloads under one id are
+        # an upstream key collision, resolved deterministically only by
+        # the batch path (_canon.canonical_events least-payload pick); a
+        # least-payload pick here would need an arbitrary-stateful
+        # operator BEFORE the downstream windowed aggregations, which
+        # Spark's multi-stateful chaining rules disallow. The degenerate
+        # dup_ids profile pins the contract: its conflicting-payload
+        # event duplicates are all pre-epoch, removed by the domain gate
+        # above on both engines before dedup (gate-before-dedup order).
         .dropDuplicates(["event_id"])
     )
 
@@ -1982,8 +1994,15 @@ LATE_THRESHOLD_US = 10 * 60 * 1_000_000
 
 def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(hour, late_us) per event: how far each event's time lags the
-    event-time high-water mark of everything that ARRIVED before it
-    (arrival order = event_id). The two-level parallel-prefix max shared
+    event-time high-water mark of everything that ARRIVED before it.
+    Arrival order is (event_id, event time): event_id alone stops being
+    a TOTAL order on re-ingested corpora with duplicated ids, and an
+    under-specified window order diverges between engines exactly where
+    conflicting-payload duplicates exist (round-10 dup_ids sweep, e28:
+    which copy "arrived first" decided whose lateness was huge). The ts
+    tiebreak re-totalizes it; remaining ties are byte-identical copies,
+    whose relative order cannot change any row's lateness value. The
+    two-level parallel-prefix max shared
     by e28 (per-hour audit) and e39 (watermark-delay sweep): per-block
     maxima, an exclusive running max over the tiny block table, and a
     block-partitioned within-block prefix — no corpus-wide window."""
@@ -2011,7 +2030,7 @@ def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wi = (
         Window.partitionBy("blk")
-        .orderBy("event_id")
+        .orderBy("event_id", "us")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # Spark greatest() SKIPS NULLs, so hi is NULL only for the very
@@ -2078,7 +2097,7 @@ def e28_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 E28_SQL = f"""
 WITH x AS (
   SELECT date_trunc('hour', ts) AS hour, epoch_us(ts) AS us,
-         max(epoch_us(ts)) OVER (ORDER BY event_id
+         max(epoch_us(ts)) OVER (ORDER BY event_id, epoch_us(ts)
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
   FROM events
 ), late AS (
@@ -3116,7 +3135,7 @@ def _e39_sql() -> str:
     return f"""
 WITH x AS (
   SELECT epoch_us(ts) AS us,
-         max(epoch_us(ts)) OVER (ORDER BY event_id
+         max(epoch_us(ts)) OVER (ORDER BY event_id, epoch_us(ts)
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
   FROM events
 ), late AS (

@@ -69,6 +69,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations (see load_table); this legacy conf makes such columns
+        # readable as long everywhere — batch scans AND the streaming
+        # source's raw-schema probe — so it lives here, at session build,
+        # as the engine's single unscoped conf write (round-10 verdict
+        # task 5 consolidated the former per-callsite copies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -98,7 +105,12 @@ def get_spark(
         builder = builder.master(f"local[{n}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() silently skips builder confs when it reuses a live
+    # session (e.g. a test created one first); re-assert the one runtime
+    # conf scans depend on so every get_spark() caller gets it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,8 +130,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the boundary instead. Row-local projection — no shuffle, stays in
     codegen; DuckDB normalizes identically on the oracle side (ns
     truncation / naive-as-UTC)."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_time(df)

@@ -89,10 +89,9 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            if name not in oracles:
-                sp = df.toPandas()
-                print(f"  {name}: rows-only ({len(sp)} rows) [{time.time()-t0:.1f}s]")
-                continue
+            # round-10 rule: every entry carries an oracle (q07, the last
+            # rows-only holdout, now emits deterministic derived columns)
+            assert name in oracles, f"{name} has no oracle_sql() twin"
             # round-8 rule: native oracle types must be hash-compatible
             # (no HUGEINT; integer-vs-floating parity) — the pandas value
             # compare below can't see this class of driver red

@@ -71,6 +71,13 @@ PROFILES = (
     "zero_token",
     "unicode",
     "random",
+    # round-10 adversarial-float profiles (verdict task 4): the two
+    # historical engine-vs-oracle float defects were magnitude-dependent
+    # (decimal→double render drift r3; 1-ulp double-sum divergence past
+    # 2^53, q11 r5) — these shapes force exactly those magnitudes.
+    "sum_2p53",
+    "signed_zero",
+    "tie_render",
 )
 
 #: operators hard-code the embedding dimensionality in both engines' SQL
@@ -197,6 +204,25 @@ def gen_tables(profile: str, seed: int) -> dict:
                     if t == "documents" and rng.random() < 0.5:
                         # same doc_id, CONFLICTING payload — the nastier case
                         dup.append(_doc_row(r[0], _text(rng, 8), r[2], r[3]))
+                    elif t == "events" and rng.random() < 0.4:
+                        # same event_id, CONFLICTING payload, but PRE-EPOCH:
+                        # the streaming domain gate (ts >= 1970) removes it
+                        # on both engines BEFORE exactly-once dedup, pinning
+                        # the gate-before-dedup ordering; batch identity
+                        # consumers resolve it via _canon (least payload =
+                        # this 1960s copy, deterministically, both engines).
+                        # In-domain duplicate event_ids stay BYTE-IDENTICAL
+                        # by design: the streaming contract models
+                        # at-least-once REDELIVERY (same record bytes) —
+                        # conflicting payloads under one event_id inside the
+                        # domain are an upstream key collision, which only
+                        # the batch canonical path resolves deterministically
+                        # (streaming dropDuplicates keeps an arbitrary copy).
+                        dup.append((
+                            r[0], _ts(rng, 1960, 1969), rng.randint(1, 8),
+                            rng.choice(_ETYPE), _cents(rng, 0, 500),
+                            f'{{"k": {rng.randint(0, 99)}}}',
+                        ))
                     else:
                         dup.append(r)
             out[t] = dup
@@ -231,6 +257,69 @@ def gen_tables(profile: str, seed: int) -> dict:
             for i in range(1, 4)
         ]
         return base
+
+    if profile in ("sum_2p53", "signed_zero", "tie_render"):
+        # All three mutate the money/value DOUBLE columns of a consistent
+        # base corpus; positions are schema order.
+        money = {
+            "customer": (3,), "supplier": (3,), "part": (5,),
+            "orders": (3,), "lineitem": (4, 5), "events": (4,),
+        }
+        if profile == "sum_2p53":
+            # Cents values (binary-INEXACT doubles, unlike the usual
+            # parity-safe quantized grains) at near-declared-width
+            # magnitudes, over enough rows that the exact-DECIMAL sums'
+            # scaled integers cross 2^53: lineitem money ~5e7 x 20k rows
+            # -> sum ~1e12, x10^4 (scale 4) ~1e16 > 2^53; events value
+            # ~5e8 x 2k rows -> x10^6 (scale 6) ~1e18 > 2^53. Past 2^53
+            # the decimal->double render is where the round-5 q11 1-ulp
+            # defect lived (the _dsum string-render fix); and any
+            # leftover RAW double sum of 20k inexact addends differs by
+            # ulps between Spark's 32-partition partial-sum tree and
+            # DuckDB's sequential fold.
+            base = _base_tables(rng, n_events=2000, n_lines=20000)
+            ranges = {
+                "customer": (1e6, 9.9e6), "supplier": (1e6, 9.9e6),
+                "part": (1e6, 9.9e6), "orders": (1e6, 9.9e6),
+                # both lineitem money columns cast to DECIMAL(12,4)
+                # (< 1e8) in the engine's shared fragments - stay inside
+                # the width while crossing 2^53 in the sum
+                "lineitem": (1e7, 9.9e7),
+                # events value casts to DECIMAL(18,6) (< 1e12)
+                "events": (1e8, 9.9e8),
+            }
+
+            def mut(t: str, v: float) -> float:
+                lo, hi = ranges[t]
+                return _cents(rng, lo, hi)
+        elif profile == "signed_zero":
+            # IEEE -0.0: compares equal to +0.0 but renders "-0.0" - a
+            # divergence can only surface through string renders (the
+            # DECIMAL render path), min/max picks between equal-but-
+            # differently-signed zeros, and string sort keys.
+            base = _base_tables(rng, n_events=60, n_lines=40)
+
+            def mut(t: str, v: float) -> float:
+                return rng.choice([0.0, -0.0]) if rng.random() < 0.5 else v
+        else:  # tie_render
+            # Decimal expansions landing exactly on the DECIMAL(_,4)
+            # round-half boundary (5 in the 5th fractional digit). The
+            # nearest DOUBLE is a hair off the tie, so engines agree iff
+            # both round the BINARY value; one that rounds the shortest
+            # decimal repr would tie-break half-up/half-even and drift
+            # by 1 at scale 4 - the round-3 render-drift defect class.
+            base = _base_tables(rng, n_events=60, n_lines=40)
+
+            def mut(t: str, v: float) -> float:
+                return rng.randint(0, 9_999_999) / 1000.0 + 0.00005
+
+        def fix(t: str, r: tuple) -> tuple:
+            row = list(r)
+            for i in money.get(t, ()):
+                row[i] = mut(t, float(row[i]))
+            return tuple(row)
+
+        return {t: [fix(t, r) for r in rows] for t, rows in base.items()}
 
     if profile == "random":
         # seeded mixer: random row counts (possibly zero), duplicated ids,

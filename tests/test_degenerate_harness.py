@@ -66,9 +66,6 @@ def test_entry_on_degenerate_corpus(spark, corpora, name, profile):
 
     root, con = corpora(profile)
     df = all_queries()[name](spark, root)
-    sql = all_oracles().get(name)
-    if sql is None:
-        df.collect()  # rows-only entries: must at least execute
-        return
+    sql = all_oracles()[name]  # round-10: every entry has an oracle twin
     check_type_parity(con.sql(sql), df.schema, name)
     compare_results(df.toPandas(), con.execute(sql).fetchdf(), f"{name}@{profile}")

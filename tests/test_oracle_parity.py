@@ -1,6 +1,7 @@
-"""Driver-style correctness gate run locally: every queries() entry with an
-oracle_sql() mate must match DuckDB exactly at sf0.01; entries without an
-oracle get a rows-only sanity check."""
+"""Driver-style correctness gate run locally: every queries() entry must
+have an oracle_sql() mate and match DuckDB exactly at sf0.01 (round 10
+retired the last rows-only entry — q07 now emits deterministic derived
+columns over its uuids)."""
 
 from __future__ import annotations
 
@@ -38,18 +39,18 @@ def test_query_vs_oracle(name, spark, duck):
         "(md5(to_json(...))) so prefix-sampling harnesses can canonicalize"
     )
     spark_pdf = df.toPandas()
-    if name in oracles:
-        # Round-8 harness rule: NATIVE oracle result types must be
-        # hash-compatible with the Spark schema (no HUGEINT; integer-vs-
-        # floating class parity). The local pandas compare below equates
-        # 7 == 7.0 numerically, so without this plan-time check an uncast
-        # HUGEINT aggregate passes locally and gates red at the driver —
-        # which is exactly what happened to d15/m12/c20 in rounds 5-7.
-        check_type_parity(duck.sql(oracles[name]), df.schema, name)
-        duck_pdf = duck.execute(oracles[name]).fetchdf()
-        compare_results(spark_pdf, duck_pdf, name)
-    else:
-        assert spark_pdf is not None  # rows-only check: query ran
+    # round-10 invariant: EVERY entry has an oracle twin (q07, the last
+    # rows-only holdout, now emits deterministic derived columns)
+    assert name in oracles, f"{name} has no oracle_sql() twin"
+    # Round-8 harness rule: NATIVE oracle result types must be
+    # hash-compatible with the Spark schema (no HUGEINT; integer-vs-
+    # floating class parity). The local pandas compare below equates
+    # 7 == 7.0 numerically, so without this plan-time check an uncast
+    # HUGEINT aggregate passes locally and gates red at the driver —
+    # which is exactly what happened to d15/m12/c20 in rounds 5-7.
+    check_type_parity(duck.sql(oracles[name]), df.schema, name)
+    duck_pdf = duck.execute(oracles[name]).fetchdf()
+    compare_results(spark_pdf, duck_pdf, name)
 
 
 def test_type_parity_catches_hugeint(spark, duck):
