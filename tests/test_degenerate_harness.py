@@ -69,3 +69,41 @@ def test_entry_on_degenerate_corpus(spark, corpora, name, profile):
     sql = all_oracles()[name]  # round-10: every entry has an oracle twin
     check_type_parity(con.sql(sql), df.schema, name)
     compare_results(df.toPandas(), con.execute(sql).fetchdf(), f"{name}@{profile}")
+
+
+def test_dup_ids_event_duplicates_respect_streaming_contract():
+    """Generator-contract pin for the streaming ingest's exactly-once
+    dedup (events_analytics._events_stream): duplicate event_ids INSIDE
+    the streaming domain (ts >= epoch) must be byte-identical copies —
+    dropDuplicates keeps an arbitrary one, so value-determinism rests on
+    this redelivery model. Conflicting-payload duplicates are allowed
+    only PRE-EPOCH, where the domain gate removes them on both engines
+    before dedup. A generator change that emits in-domain conflicting
+    event payloads would silently turn streaming parity into luck; this
+    test makes it a loud failure instead."""
+    import datetime as dt
+
+    from tests.degenerate_corpora import gen_tables
+
+    epoch = dt.datetime(1970, 1, 1)
+    for seed in range(5):  # a few seeds: the conflict branch is random
+        events = gen_tables("dup_ids", seed)["events"]
+        in_domain: dict[int, tuple] = {}
+        saw_conflict_pre_epoch = False
+        for row in events:
+            event_id, ts = row[0], row[1]
+            if ts < epoch:
+                saw_conflict_pre_epoch = True
+                continue
+            if event_id in in_domain:
+                assert row == in_domain[event_id], (
+                    f"seed {seed}: in-domain duplicate event_id {event_id} "
+                    "has conflicting payloads — violates the streaming "
+                    "redelivery contract (_events_stream dropDuplicates)"
+                )
+            else:
+                in_domain[event_id] = row
+        assert saw_conflict_pre_epoch, (
+            f"seed {seed}: dup_ids emitted no pre-epoch conflicting event "
+            "copy — the gate-before-dedup ordering is no longer exercised"
+        )
