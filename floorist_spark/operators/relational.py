@@ -423,7 +423,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 # ---------------------------------------------------------------------------
 
 def _grand_total_if_empty(
-    spark: SparkSession, rolled: DataFrame, fallback_exprs: list[str]
+    spark: SparkSession, rolled: DataFrame, fallback_exprs: list[str],
+    source: DataFrame,
 ) -> DataFrame:
     """ANSI bridge for grouping sets that include the global () set:
     Spark's expand+aggregate emits ZERO rows over empty input, while the
@@ -433,16 +434,16 @@ def _grand_total_if_empty(
 
     The fallback row's values are CONSTANTS — it is only ever appended
     when the input has no rows, where every SUM is NULL and every COUNT
-    is 0 — so the bridge itself never scans the fact table: a one-row
-    literal is anti-joined against a ``rolled.limit(1)`` probe (broadcast
-    by AQE) and unioned in. The probe references the same aggregate plan
-    as the union's main branch; Spark gives no hard guarantee the
-    exchange is reused rather than re-executed, but the probe side is
-    limit-1 (its reduce phase short-circuits after one row) and the map
-    side is the rollup's own shuffle write either way, so the overhead is
-    at most one extra pass over that shuffle's first block — not a second
-    fact-table scan. No-op on any non-empty input."""
-    probe = rolled.limit(1).select(F.lit(1).alias("_k"))
+    is 0. The emptiness probe runs against ``source`` (the aggregate's
+    INPUT), not the aggregate itself: a grouping-set aggregate is empty
+    iff its input is, and ``source.limit(1)`` is a genuine O(1) scan
+    that short-circuits after the first row — probing ``rolled`` would
+    reference the aggregate plan twice, and without an exchange-reuse
+    guarantee Spark may execute the full rollup a second time (the
+    round-9 advice flag on the O(1) claim). The one-row literal is
+    anti-joined against the probe (broadcast by AQE) and unioned in.
+    No-op on any non-empty input."""
+    probe = source.limit(1).select(F.lit(1).alias("_k"))
     fb = (
         spark.range(1)
         .select([F.expr(e) for e in fallback_exprs] + [F.lit(1).alias("_k")])
@@ -457,9 +458,9 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total. Spark expands to a single expand+aggregate — one shuffle;
     the empty-input grand-total row is bridged to ANSI semantics by
     :func:`_grand_total_if_empty`."""
+    li = load_table(spark, sf_dir, "lineitem")
     rolled = (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        li.rollup("l_returnflag", "l_linestatus")
         .agg(F.expr(_dsum(QTY, "sum_qty")), F.count("*").alias("n_rows"))
     )
     return _grand_total_if_empty(
@@ -471,6 +472,7 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS DOUBLE) AS sum_qty",
             "CAST(0 AS BIGINT) AS n_rows",
         ],
+        source=li,
     )
 
 
@@ -484,9 +486,9 @@ def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (o_orderstatus, o_orderpriority): all 4 grouping-set
     combinations in one pass; empty-input global row bridged to ANSI
     semantics (see :func:`_grand_total_if_empty`)."""
+    orders = load_table(spark, sf_dir, "orders")
     cubed = (
-        load_table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
+        orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.expr(_dsum("CAST(CAST(o_totalprice AS STRING) AS DECIMAL(14,4))", "sum_price")),
             F.count("*").alias("n_orders"),
@@ -501,6 +503,7 @@ def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS DOUBLE) AS sum_price",
             "CAST(0 AS BIGINT) AS n_orders",
         ],
+        source=orders,
     )
 
 
