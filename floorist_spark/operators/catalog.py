@@ -77,77 +77,73 @@ def _with_cache_release(
 #: (tests/test_llm_operators.py enforces both invariants). Pure ordering —
 #: membership and semantics of every entry are unchanged.
 #:
-#: Round-10 rotation. The window is MECHANICALLY derived: the 49 stalest
+#: Round-11 rotation. The window is MECHANICALLY derived: the 49 stalest
 #: entries by last driver-green round, computed from the committed
 #: CORRECTNESS_r0*.json artifacts strictly before ROTATION_ROUND
 #: (tests/test_gate_rotation.py re-derives that ledger and fails if this
 #: list is not a stalest-first window, if any family is unrepresented, or
-#: if the max-staleness claim is violated). Snapshot at ROTATION_ROUND=10:
-#: q07_uuid has never hash-gated green (it was rows-only until round 10
-#: gave it a deterministic derived-column oracle — its r9 `no_oracle`
-#: record does not count as green under the new contract, so it leads the
-#: window and takes its first-ever hash gate here); then the 7 r4
-#: leftovers (e06 e07 q05b q06 s03 s04 s06), the full 36-entry r5 cohort,
-#: and 5 of the 35 r6 entries at the tie boundary, picked to thicken the
-#: thinnest families in the window (t/d/c/m). OUT: everything gated green
-#: r6-r9 beyond those 5 (ties at the boundary are free per the test).
-#: Staleness bound after this gate runs green: max 10-6 = 4 <= 5.
-ROTATION_ROUND = 10
+#: if the max-staleness claim is violated). Snapshot at ROTATION_ROUND=11:
+#: ledger distribution is r6:30 / r7:47 / r8:49 / r9:48 / r10:50 — so the
+#: window is the FULL 30-entry r6 cohort plus 19 of the 47 r7 entries at
+#: the tie boundary (ties free per the test), picked to thicken the
+#: thinnest families in the window: q42 (the only q in the cohort — the
+#: r6 set has no q at all), then 6 each of c/t/d lexicographically. OUT:
+#: the remaining 28 r7 ties and everything green r8-r10. Staleness bound
+#: after this gate runs green: max 11-7 = 4 <= 5.
+ROTATION_ROUND = 11
 
 GATE_PRIORITY = [
-    # -- never externally hash-green (oracle added round 10) --------------
-    "q07_uuid",
-    # -- last driver green r4 ---------------------------------------------
-    "e06_range_join",
-    "e07_streaming_watermark",
-    "q05b_cross_join_1m",
-    "q06_empty",
-    "s03_ivf_assign",
-    "s04_ivf_search",
-    "s06_multiprobe_ann",
-    # -- last driver green r5 (the full 36-entry cohort) -------------------
-    "c08_snapshot_diff",
-    "c09_stride_interleave",
-    "c10_quality_weighted_sample",
-    "d10_curation_keep",
-    "d11_semantic_dedup",
-    "d12_crossmodal_neardup",
-    "e08_streaming_sessions",
-    "e09_funnel",
-    "e10_retention",
-    "e11_gapfill_hourly",
-    "e12_json_extract",
-    "e13_event_transitions",
-    "e14_hourly_anomaly",
-    "e16_continuous_aggregate",
-    "e17_path_analysis",
-    "e18_stream_stream_join",
-    "e19_cooccurrence_lift",
-    "e20_hll_distinct",
-    "e21_cms_heavy_hitters",
-    "e22_zorder_layout",
-    "e23_rolling_active",
-    "e24_growth_accounting",
-    "m07_audio_energy",
-    "m08_perceptual_hash",
-    "m09_aspect_bucket_batches",
-    "m10_contrastive_pairs",
-    "s05_kmeans_ivf_assign",
-    "s07_sq8_quantize",
-    "s08_quantized_rerank",
-    "s09_ann_recall",
-    "s10_knn_graph",
-    "s11_pq_quantize",
-    "s12_knn_classify",
-    "s13_filtered_ann",
-    "t11_feature_hashing",
-    "t14_langid_confusion",
-    # -- last driver green r6 (5 of 35; family-balancing tie-break) --------
-    "c14_epoch_allocation",
-    "d18_dup_graph_triangles",
-    "m11_scene_cuts",
-    "t18_pii_scrub",
-    "t19_distribution_outliers",
+    # -- last driver green r6 (the full 30-entry cohort) -------------------
+    "c15_curriculum_phases",
+    "c19_contamination_report",
+    "d19_lsh_tuning_curve",
+    "d20_source_dup_overlap",
+    "d23_dup_graph_pagerank",
+    "d25_lsh_recall_audit",
+    "e25_attribution",
+    "e27_dwell_histogram",
+    "e28_lateness_audit",
+    "e29_streaming_funnel",
+    "e30_bot_regularity",
+    "e31_seasonality_profile",
+    "e32_ewma_trend",
+    "e33_outage_gaps",
+    "e34_conversion_lag",
+    "m13_vad_segments",
+    "m14_cdc_chunks",
+    "m15_chunk_overlap_pairs",
+    "m16_payload_size_census",
+    "m17_block_size_sweep",
+    "s14_index_health",
+    "s15_probe_frontier",
+    "s16_mmr_diversify",
+    "s17_hard_negatives",
+    "s18_rrf_fusion",
+    "s19_tombstone_compaction",
+    "s20_cell_rebalance",
+    "t20_readability",
+    "t23_encoding_anomalies",
+    "t24_source_divergence",
+    # -- last driver green r7 (19 of 47; family-balancing tie-break) -------
+    "q42_full_outer_join",
+    "c02_stratified_sample",
+    "c04_pack_bins",
+    "c05_decontamination",
+    "c11_bloom_decontaminate",
+    "c12_passage_chunks",
+    "c13_data_card",
+    "t01_token_stats",
+    "t04_fingerprint",
+    "t05_top_bigrams",
+    "t07_token_rarity",
+    "t08_word_repetition",
+    "t09_dup_ngram_fraction",
+    "d01_exact_dedup",
+    "d02_normalized_dedup",
+    "d03_minhash_lsh_candidates",
+    "d04_lsh_jaccard_dedup",
+    "d05_simhash",
+    "d06_simhash_near_pairs",
 ]
 
 

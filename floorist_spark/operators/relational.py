@@ -197,10 +197,21 @@ def q07_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's own tests take the same stance: they assert row count
     and column type over uuid_generate_v1() output, never the values
     (/root/reference/tests/test_floorist.py). uuid() stays in the plan,
-    exercised end-to-end; only its entropy is projected away."""
-    u = F.expr("uuid()")
-    return spark.range(0, 3).select(
-        F.col("id").alias("n"),
+    exercised end-to-end; only its entropy is projected away.
+
+    The uuid is materialized ONCE in an inner projection and every derived
+    column reads that named column: non-deterministic expressions are not
+    common-subexpression-eliminated, so inlining ``uuid()`` four times
+    would check four DIFFERENT values per row (each individually valid,
+    but not "properties of each generated value" as documented). Catalyst
+    keeps the two projections separate — CollapseProject refuses to inline
+    a non-deterministic expression referenced more than once."""
+    base = spark.range(0, 3).select(
+        F.col("id").alias("n"), F.expr("uuid()").alias("u")
+    )
+    u = F.col("u")
+    return base.select(
+        "n",
         (F.length(u) == 36).alias("len_ok"),
         # RFC-4122: version nibble is char 15 (1-based), '4' for random
         F.substring(u, 15, 1).alias("version_nibble"),

@@ -108,8 +108,13 @@ def get_spark(
     spark = builder.getOrCreate()
     # getOrCreate() silently skips builder confs when it reuses a live
     # session (e.g. a test created one first); re-assert the one runtime
-    # conf scans depend on so every get_spark() caller gets it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # conf scans depend on so every get_spark() caller gets it — unless the
+    # caller explicitly set it through extra_conf, which must win.
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    if nanos_key in (extra_conf or {}):
+        spark.conf.set(nanos_key, extra_conf[nanos_key])
+    else:
+        spark.conf.set(nanos_key, "true")
     return spark
 
 
