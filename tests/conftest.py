@@ -9,6 +9,13 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
+# Live-PG e2e support: compile the pgwire stand-in JDBC driver (if the JDK
+# is available) and export FLOORIST_EXTRA_JARS BEFORE any SparkSession is
+# created — the driver classpath is fixed at JVM launch.
+from tests.pgwire_build import export_extra_jars  # noqa: E402
+
+export_extra_jars()
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 

@@ -111,7 +111,15 @@ def pg_server(pg_driver, tmp_path_factory):
         }
         return
 
-    base = tmp_path_factory.mktemp("pg_e2e")
+    # NOT tmp_path_factory: pytest's basetemp chain is mode-700 for the
+    # invoking user, and the cluster runs as the `postgres` system user,
+    # which then cannot traverse into the data dir (initdb exits 1).
+    import tempfile
+
+    base_dir = tempfile.mkdtemp(prefix="floorist_pg_e2e_")
+    from pathlib import Path
+
+    base = Path(base_dir)
     data, sock = base / "data", base / "sock"
     sock.mkdir()
     if os.geteuid() == 0:
@@ -160,6 +168,7 @@ def pg_server(pg_driver, tmp_path_factory):
             check=False,
             capture_output=True,
         )
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 def pg_config(pg: dict) -> Config:
