@@ -159,9 +159,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is value-deterministic. Conflicting payloads under one id are
         # an upstream key collision, resolved deterministically only by
         # the batch path (_canon.canonical_events least-payload pick); a
-        # least-payload pick here would need an arbitrary-stateful
-        # operator BEFORE the downstream windowed aggregations, which
-        # Spark's multi-stateful chaining rules disallow. The degenerate
+        # least-payload pick here needs an arbitrary-stateful operator
+        # BEFORE the downstream windowed aggregations. Probe 2026-08-17
+        # (tests/test_tws_chaining_probe.py): Spark 4's
+        # transformWithStateInPandas WITH eventTimeColumnName lifts the
+        # old chaining restriction at the plan level (the analyzer
+        # accepts the shape and the query starts), but executing it is
+        # blocked in this container — the Python state-server protocol
+        # is protobuf-based and google.protobuf is not installed/
+        # fetchable. The probe test auto-upgrades to a full parity
+        # assertion the day the runtime appears. The degenerate
         # dup_ids profile pins the contract: its conflicting-payload
         # event duplicates are all pre-epoch, removed by the domain gate
         # above on both engines before dedup (gate-before-dedup order).
