@@ -252,6 +252,64 @@ def test_pg_exotic_types_survive_the_dump_path(spark, pg_server, seeded, tmp_pat
     assert rows["two"]["n"] == 1
 
 
+def test_numeric_type_zoo_bit_exact(spark, pg_server, pg_driver):
+    # The text wire protocol must not lose numeric fidelity: float8 is
+    # rendered shortest-roundtrip under extra_float_digits (the driver
+    # sets 3 at startup), so every double — including denormals and
+    # nonfinite values — must come back BIT-identical; bool/int2/float4/
+    # bytea/date and typmod-less numeric cover the remaining dialect
+    # mappings the uuid corpus doesn't touch.
+    df = read_query(
+        spark,
+        pg_config(pg_server),
+        "SELECT b, si, f4, f8, by, d, n FROM (VALUES "
+        " (true,  32767::int2, 1.5::float4, 0.1::float8,"
+        "  '\\x00ff10'::bytea, DATE '2026-02-28', 12345.678901234::numeric),"
+        " (false, (-32768)::int2, -2.25::float4, 2.2250738585072014e-308::float8,"
+        "  ''::bytea, DATE '1970-01-01', -1::numeric),"
+        " (NULL, NULL, 'NaN'::float4, 'Infinity'::float8,"
+        "  NULL, NULL, NULL),"
+        " (true, 0::int2, '-Infinity'::float4, 'NaN'::float8,"
+        "  '\\xdeadbeef'::bytea, DATE '2000-02-29', 0.5::numeric)"
+        ") AS t(b, si, f4, f8, by, d, n) ORDER BY si NULLS LAST",
+    )
+    types = dict(
+        zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])
+    )
+    assert types["b"] == "boolean"
+    assert types["si"] == "smallint"
+    assert types["f4"] == "float"
+    assert types["f8"] == "double"
+    assert types["by"] == "binary"
+    assert types["d"] == "date"
+    assert types["n"].startswith("decimal")  # typmod-less -> dialect default
+    rows = df.collect()
+    import math
+    from datetime import date as _date
+    from decimal import Decimal
+
+    by_si = {r["si"]: r for r in rows}
+    r = by_si[-32768]
+    assert r["b"] is False
+    assert r["f4"] == -2.25
+    assert r["f8"] == 2.2250738585072014e-308  # smallest normal, bit-exact
+    assert bytes(r["by"]) == b""
+    assert r["d"] == _date(1970, 1, 1)
+    r = by_si[32767]
+    assert r["b"] is True and r["f4"] == 1.5
+    assert r["f8"] == 0.1  # shortest-roundtrip text render, bit-exact
+    assert bytes(r["by"]) == b"\x00\xff\x10"
+    assert r["n"] == Decimal("12345.678901234")
+    r = by_si[0]
+    assert math.isinf(r["f4"]) and r["f4"] < 0
+    assert math.isnan(r["f8"])
+    assert bytes(r["by"]) == b"\xde\xad\xbe\xef"
+    assert r["d"] == _date(2000, 2, 29)
+    r = by_si[None]
+    assert r["b"] is None and r["by"] is None and r["d"] is None
+    assert math.isnan(r["f4"]) and math.isinf(r["f8"]) and r["f8"] > 0
+
+
 def test_fetchsize_pages_server_side(spark, pg_server, pg_driver):
     # F2: fetchsize bounds rows per wire round-trip; 5000 rows at
     # fetchsize=100 forces ~50 fetches through one connection
