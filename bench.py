@@ -334,9 +334,13 @@ def main() -> int:
         _release_memos()
         warm2 = _warm_dedup_memos(SF_DIR)
         best_warm = min(w for w in (warm, warm2) if w is not None)
+        # one successful build is enough for a number — never leave the
+        # entry simultaneously timed and errored in the artifact
+        errors.pop("x00_dedup_memo_build", None)
         timings["x00_dedup_memo_build"] = best_warm
         print(
-            f"  x00_dedup_memo_build: {best_warm:.3f}s min-of-2",
+            f"  x00_dedup_memo_build: {best_warm:.3f}s"
+            f" min-of-{sum(w is not None for w in (warm, warm2))}",
             file=sys.stderr,
         )
 
