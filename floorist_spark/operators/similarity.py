@@ -38,6 +38,39 @@ N_CENTROIDS = 8  # vec_id < 8 double as deterministic coarse centroids
 _COS_S = tf.cosine_spark("q_emb", "c_emb")
 _COS_D = tf.cosine_duck("q.embedding", "c.embedding")
 
+#: Canonical one-row-per-vec_id view for the ITERATIVE entries (s05's
+#: Lloyd chain, s16's MMR greedy chain). Single-pass similarity entries
+#: treat vec_id as a plain attribute — a duplicated id is just two corpus
+#: rows, and total (value, id) tie-breaks keep both engines aligned. The
+#: iterative chains are different: their state is KEYED by vec_id (a
+#: Python dict of centroids, a picked-set anti-join on neighbor_id), so
+#: conflicting duplicate ids make each engine collapse a different copy
+#: and the chains diverge from round one (first seen: seed-11 `random`
+#: degenerate corpus, round 11 — s05 assigned 5/14 vectors to different
+#: centroids, s16 picked different pool rows). The fix pins the key
+#: semantics: among duplicates, BOTH engines keep the lexicographically
+#: least (embedding, label) row; with unique ids this is the identity.
+_EMB_CANON_CTE = (
+    "emb_c AS (SELECT vec_id, embedding, label FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY embedding ASC, label ASC) AS _rn FROM embeddings"
+    ") WHERE _rn = 1)"
+)
+
+
+def _emb_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_EMB_CANON_CTE`` (see note above): one shuffle on
+    vec_id; array columns order lexicographically in both engines."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("embedding"), F.asc("label")
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
 
 def _sign_bucket_spark(col: str, bits: int = 8) -> str:
     """``bits``-bit bucket from the signs of the first ``bits`` coords —
@@ -369,7 +402,7 @@ def s05_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floorist_spark.operators._cache import track
 
     emb = track(
-        load_table(spark, sf_dir, "embeddings")
+        _emb_canonical(spark, sf_dir)
         .select("vec_id", "embedding")
         .persist()
     )
@@ -441,8 +474,9 @@ def _s05_sql() -> str:
     a0 → c1 → a1 → … — every arithmetic step the exact twin of the Spark
     side (same fold order, same decimal render, same tie-break)."""
     parts = [
+        _EMB_CANON_CTE,  # vec_id is a KEY here — see _EMB_CANON_CTE note
         f"c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
-        f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+        f"FROM emb_c WHERE vec_id < {N_CENTROIDS})",
     ]
     # ORDER BY key audit (round 8): vec_id is the embeddings table key, so
     # the fold order is total within each (centroid_id, j) group; the Spark
@@ -459,7 +493,7 @@ def _s05_sql() -> str:
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_sqdist_duck('e.embedding', 'c.c_emb')} ASC,
                       c.centroid_id ASC) AS rn
-    FROM embeddings e, c{t} c
+    FROM emb_c e, c{t} c
   ) WHERE rn = 1
 )"""
         )
@@ -484,7 +518,7 @@ def _s05_sql() -> str:
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
            ORDER BY {_sqdist_duck('e.embedding', 'c.c_emb')} ASC,
                     c.centroid_id ASC) AS rn
-  FROM embeddings e, c{T_LLOYD} c
+  FROM emb_c e, c{T_LLOYD} c
 ) WHERE rn = 1 ORDER BY vec_id"""
     return "WITH " + ",\n".join(parts) + "\n" + final
 
@@ -1366,10 +1400,12 @@ def s16_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float path: cosine folds are bit-identical by textfrag construction;
     the MMR score is a fixed two-term scalar expression and ``max`` is
     order-independent, so scores hash-match the oracle exactly; ties
-    break by neighbor_id."""
+    break by neighbor_id. The greedy chain's picked-set is keyed by
+    neighbor_id, so the input is the canonical per-vec_id view — see
+    ``_EMB_CANON_CTE``."""
     from floorist_spark.operators._cache import track
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_canonical(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1490,9 +1526,10 @@ sel{r} AS (
         f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
     )
     return f"""
-WITH scored AS (
+WITH {_EMB_CANON_CTE},
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  FROM emb_c q JOIN emb_c c ON q.vec_id != c.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 pool AS MATERIALIZED (
@@ -1508,8 +1545,8 @@ pairs AS MATERIALIZED (
   FROM pool p1
   JOIN pool p2 ON p1.query_id = p2.query_id
               AND p1.neighbor_id != p2.neighbor_id
-  JOIN embeddings ea ON ea.vec_id = p1.neighbor_id
-  JOIN embeddings eb ON eb.vec_id = p2.neighbor_id
+  JOIN emb_c ea ON ea.vec_id = p1.neighbor_id
+  JOIN emb_c eb ON eb.vec_id = p2.neighbor_id
 ),
 sel1 AS (
   SELECT query_id, neighbor_id, cosine, CAST(0 AS DOUBLE) AS max_sim_prev,
