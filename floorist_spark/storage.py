@@ -35,9 +35,25 @@ Reference semantics reproduced:
 from __future__ import annotations
 
 import logging
+import os
 from datetime import date
+from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (anywhere in the tree); everything else the
+    sink can carry hashes fine."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 class StorageClient:
@@ -112,7 +128,7 @@ class StorageClient:
         # the chunk logs and the returned count match the reference's
         # per-dump chunk numbers, not the cumulative prefix contents.
         before = set(self.list_parquet_files(target))
-        writer_df = df.coalesce(1) if parity else df
+        writer_df = self._plan_writer(df, chunksize, parity)
         (
             writer_df.write.mode("append")
             .option("compression", "gzip")
@@ -123,6 +139,90 @@ class StorageClient:
         for chunk in range(1, len(files) + 1):
             logging.info("[Dump #%d] Written parquet chunk #%d", dump_count, chunk)
         return len(files)
+
+    def _plan_writer(self, df: DataFrame, chunksize: int | None, parity: bool) -> DataFrame:
+        """Shape the writer input so the gzip/Parquet encode runs in
+        parallel instead of on one task (optimization guide §2.4/§2.6; was
+        ``coalesce(1)`` in parity mode — the single biggest bench entry).
+
+        Parity mode must still land EXACTLY ceil(N/chunksize) files. With
+        ``maxRecordsPerFile`` each write task emits ceil(rows_in_task /
+        chunksize) files, so the total equals the parity count iff every
+        task holds a whole number of chunks with at most one task carrying
+        the single global partial chunk. Assign each row a global chunk id
+        (row_number over a deterministic total order — xxhash64 of the row,
+        so a retried stage reproduces the same assignment, SPARK-38388
+        class) and hash-repartition on that id: each chunk lands whole in
+        one task, only the last chunk is partial, and the count telescopes
+        back to ceil(N/chunksize) while ~cores tasks encode concurrently.
+        The row_number pass IS single-partition, but it only shuffles and
+        numbers rows — the expensive part (gzip + Parquet encode) is what
+        gets parallelized. At real scale the parity contract itself is the
+        serial constraint; scale mode below is the 100 TB path.
+
+        Scale mode keeps the input partitioning (a well-partitioned
+        cluster input already writes in parallel) and only spreads when the
+        input arrives BELOW the session's parallelism (e.g. a single-file
+        local scan or a broadcast-join result) — scale-adaptive, a no-op on
+        a properly partitioned cluster.
+        """
+        if parity:
+            if not chunksize:
+                return df.coalesce(1)  # one-file contract: inherently serial
+            order = (
+                F.xxhash64(*df.columns)
+                if all(_hashable(f.dataType) for f in df.schema.fields)
+                else F.lit(1)  # map-typed rows: count-correct, order-arbitrary
+            )
+            rn = F.row_number().over(Window.orderBy(order))
+            tag = "__floorist_chunk__"
+            n_par = self.spark.sparkContext.defaultParallelism
+            # Spark's FileFormatWriter makes TASK 0 write a file even when
+            # its iterator is empty (schema preservation for empty jobs) —
+            # so if no chunk hashes into partition 0 the parity count gains
+            # a spurious 0-row file. Remap chunk 0 (always present) to a
+            # value that provably lands in partition 0: `hash()` IS the
+            # HashPartitioning expression (Murmur3 seed 42), so the
+            # placement pmod(hash(v), n) is computable in-engine. A
+            # collision with a real chunk id only merges two whole chunks
+            # into one task — the file count still telescopes exactly.
+            zero_chunk = self._partition_zero_preimage(n_par)
+            chunk = ((rn - F.lit(1)) / F.lit(chunksize)).cast("long")
+            return (
+                df.withColumn(
+                    tag,
+                    F.when(chunk == 0, F.lit(zero_chunk)).otherwise(chunk),
+                )
+                .repartition(n_par, F.col(tag))
+                .drop(tag)
+            )
+        n = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            return df.repartition(n)
+        return df
+
+    #: session-shared cache of pmod(hash(v), n)==0 preimages, keyed by n
+    _zero_preimages: dict[int, int] = {}
+
+    def _partition_zero_preimage(self, n: int) -> int:
+        """Smallest nonnegative long v with pmod(hash(v), n) == 0, i.e. a
+        value HashPartitioning places in partition 0. One tiny range scan,
+        cached per partition count for the process lifetime."""
+        cached = StorageClient._zero_preimages.get(n)
+        if cached is not None:
+            return cached
+        lo = 0
+        while True:
+            found = (
+                self.spark.range(lo, lo + 8 * n)
+                .where(F.pmod(F.hash(F.col("id")), F.lit(n)) == 0)
+                .agg(F.min("id"))
+                .first()[0]
+            )
+            if found is not None:
+                StorageClient._zero_preimages[n] = int(found)
+                return int(found)
+            lo += 8 * n
 
     def write_empty_marker(self, target: str) -> None:
         """F6: directory marker instead of a Parquet file. On S3A `mkdirs`
@@ -148,12 +248,31 @@ class StorageClient:
     def list_parquet_files(self, target: str) -> list[str]:
         """Recursive listing of data files under ``target`` (excludes
         _SUCCESS and hidden files) — the test surface for chunk-count
-        parity (`tests/test_floorist.py:160-188`)."""
+        parity (`tests/test_floorist.py:160-188`).
+
+        ``file:`` URIs walk the tree in-process: the generic Hadoop
+        ``listFiles`` RemoteIterator costs ~5 py4j round trips per file
+        (measured 7.3s for a 1000-file export — driver-side overhead half
+        as large as the write itself, guide §5/§7.3). Remote schemes (s3a)
+        keep the Hadoop path, where the round trips are to the store, not
+        py4j."""
+        parsed = urlparse(target)
+        if parsed.scheme in ("", "file"):
+            base = parsed.path
+            if not os.path.isdir(base):
+                return []
+            out: list[str] = []
+            for root_dir, _dirs, files in os.walk(base):
+                for name in files:
+                    if not name.startswith("_") and not name.startswith("."):
+                        # Hadoop Path renders local URIs as file:/abs/path
+                        out.append("file:" + os.path.join(root_dir, name))
+            return sorted(out)
         fs = self._fs(target)
         root = self._jpath(target)
         if not fs.exists(root):
             return []
-        out: list[str] = []
+        out = []
         it = fs.listFiles(root, True)
         while it.hasNext():
             status = it.next()

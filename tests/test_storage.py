@@ -91,6 +91,45 @@ def test_gzip_compression(spark, storage):
     assert all(".gz.parquet" in os.path.basename(f) for f in files)
 
 
+def test_parity_writer_is_parallel_with_exact_count(spark, storage):
+    # r11 optimization: parity mode no longer funnels the gzip/Parquet
+    # encode through coalesce(1) — the writer input is hash-partitioned by
+    # a deterministic global chunk id, so >1 task encodes concurrently
+    # while the file count stays EXACTLY ceil(N/chunksize).
+    df = spark.range(0, 1000).select(F.col("id").alias("n"))
+    planned = storage._plan_writer(df, 13, parity=True)
+    assert planned.rdd.getNumPartitions() > 1
+    _, target = storage.make_path("par13", run_date=date(2026, 1, 2))
+    n = storage.write_parquet(df, target, chunksize=13, parity=True)
+    assert n == 77  # exact parity through the parallel path
+
+
+def test_parity_count_exact_with_map_column(spark, storage):
+    # MapType rows can't feed xxhash64; the fallback ordering must still
+    # land the exact chunk count.
+    df = spark.range(0, 100).select(
+        F.col("id").alias("n"), F.create_map(F.lit("k"), F.col("id")).alias("m")
+    )
+    _, target = storage.make_path("parmap", run_date=date(2026, 1, 2))
+    n = storage.write_parquet(df, target, chunksize=30, parity=True)
+    assert n == 4  # ceil(100/30)
+    assert spark.read.parquet(target).count() == 100
+
+
+def test_scale_mode_spreads_single_partition_input(spark, storage):
+    # scale-adaptive: input arriving below session parallelism (e.g. a
+    # single-file scan) is spread so the write runs in parallel; input at
+    # or above parallelism keeps its partitioning (cluster no-op).
+    one = spark.range(0, 100).coalesce(1)
+    spread = storage._plan_writer(one, None, parity=False)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 100).repartition(
+        spark.sparkContext.defaultParallelism + 3
+    )
+    kept = storage._plan_writer(wide, None, parity=False)
+    assert kept.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism + 3
+
+
 def test_scale_mode_respects_max_records_per_file(spark, storage):
     # scale mode: no coalesce, but files still bounded by chunksize
     df = spark.range(0, 1000).repartition(4).select(F.col("id").alias("n"))
