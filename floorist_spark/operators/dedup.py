@@ -393,6 +393,43 @@ ORDER BY doc_a, doc_b
 # d05 — SimHash fingerprints
 # ---------------------------------------------------------------------------
 
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the unordered SimHash fingerprint table,
+    memoized. Before the memo, every consumer recomputed the fingerprint
+    pass (tokenize → md5 → 60 vote aggregates) per reference: the d06
+    self-join evaluated it TWICE in one query (the broadcast side defeats
+    exchange reuse — plans/r11/d06_simhash_near_pairs_before.txt shows the
+    full Generate→HashAggregate chain duplicated) and d12/d29 re-ran it
+    per entry. One fingerprint pass per dataset now feeds the whole
+    SimHash family, matching the MinHash memo discipline (guide §2.4).
+    Unordered on purpose: d05's presentation orderBy otherwise survives
+    inside consumers as a range exchange + sort on EACH join side."""
+
+    def build() -> DataFrame:
+        from floorist_spark.operators._canon import canonical_docs
+
+        ex = (
+            canonical_docs(spark, sf_dir)
+            .select(
+                "doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t")
+            )
+            .select("doc_id", F.md5("t").alias("d"))
+        )
+        votes = ex.groupBy("doc_id").agg(
+            *[
+                F.expr(tf.simhash_vote_spark("d", j, SIMHASH_BITS)).alias(f"v{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+        bits = " + ".join(
+            f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+            for j in range(SIMHASH_BITS)
+        )
+        return votes.select("doc_id", F.expr(bits).alias("simhash"))
+
+    return memo(spark, "dedup_simhash_fp", sf_dir, build)
+
+
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from word tokens (md5 bit source — two
     independent bits per hex digit, +/-1 votes; 60 bits keeps random
@@ -401,24 +438,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     60 bit-votes are conditional ``sum`` aggregates in a single
     groupBy(doc_id) — no per-bit re-hashing, shuffle carries only
     (doc_id, 60 ints) after map-side combine."""
-    from floorist_spark.operators._canon import canonical_docs
-
-    ex = (
-        canonical_docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(tf.tokens_spark(_NORM_S))).alias("t"))
-        .select("doc_id", F.md5("t").alias("d"))
-    )
-    votes = ex.groupBy("doc_id").agg(
-        *[
-            F.expr(tf.simhash_vote_spark("d", j, SIMHASH_BITS)).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    bits = " + ".join(
-        f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
-        for j in range(SIMHASH_BITS)
-    )
-    return votes.select("doc_id", F.expr(bits).alias("simhash")).orderBy("doc_id")
+    return _simhash_fp(spark, sf_dir).orderBy("doc_id")
 
 
 D05_SQL = f"""
@@ -440,7 +460,7 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (chunk_id, chunk_value) — the scale-safe SimHash
     dedup: 4*32768 buckets, so random docs essentially never become
     candidates. bit_count(a XOR b) verifies the exact distance."""
-    fp = d05_simhash(spark, sf_dir)
+    fp = _simhash_fp(spark, sf_dir)
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -46,6 +46,25 @@ def test_catalog_boundary_releases_previous_entry_caches(spark):
     assert _n_persisted(spark) == 0
 
 
+def test_simhash_fp_memo_shared_across_consumers(spark):
+    # r11: the SimHash fingerprint pass is memoized — d05/d06/d12/d29 all
+    # ride ONE (doc_id, simhash) table instead of recomputing the
+    # tokenize→md5→vote aggregation per consumer (and twice inside the
+    # d06 self-join).
+    release_caches()
+    release_memos()
+    from floorist_spark.operators.dedup import _simhash_fp, d06_simhash_near_pairs
+
+    fp1 = _simhash_fp(spark, SF_SMOKE)
+    n_memos = len(_MEMO)
+    assert _simhash_fp(spark, SF_SMOKE) is fp1  # memo hit, same handle
+    d06_simhash_near_pairs(spark, SF_SMOKE).count()
+    assert len(_MEMO) == n_memos  # d06 rode the existing memos
+    release_caches()
+    release_memos()
+    assert _n_persisted(spark) == 0
+
+
 def test_release_caches_is_idempotent_and_complete(spark):
     qs = all_queries()
     qs["d09_dedup_clusters"](spark, SF_SMOKE).count()
