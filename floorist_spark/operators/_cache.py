@@ -43,6 +43,30 @@ _LIVE: list = []
 #: d13 re-derived the same shingle+digest pass per entry before this).
 _MEMO: dict = {}
 
+#: session-lifetime handles (TrackedCheckpoints) backing memoized
+#: DataFrames: a memo built over a localCheckpoint must keep the
+#: checkpoint's RDD blocks alive as long as the memo itself (truncated
+#: lineage ⇒ the persisted copy cannot be recomputed), so the handle's
+#: lifetime is tied to the memo tier, not the per-entry _LIVE tier
+_MEMO_AUX: list = []
+
+
+def memo_aux(obj):
+    """Register a handle (e.g. a TrackedCheckpoint) that must live as long
+    as the memo tier; freed by release_memos() or when memos for another
+    dataset are evicted. Returns it."""
+    _MEMO_AUX.append(obj)
+    return obj
+
+
+def _drain_memo_aux() -> None:
+    while _MEMO_AUX:
+        obj = _MEMO_AUX.pop()
+        try:
+            obj.unpersist()
+        except Exception:
+            pass
+
 
 def memo(spark, name: str, sf_dir: str, build):
     """Session-lifetime memo for a persisted intermediate keyed by
@@ -61,13 +85,19 @@ def memo(spark, name: str, sf_dir: str, build):
     hit = _MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    evicted = False
     for k in list(_MEMO):
         if k[1] != sf_dir or _MEMO[k][0] is not spark:
             _, stale = _MEMO.pop(k)
+            evicted = True
             try:
                 stale.unpersist()
             except Exception:
                 pass
+    if evicted:
+        # memos are one-dataset-at-a-time, so any eviction means every
+        # aux handle belongs to the dataset (or session) just dropped
+        _drain_memo_aux()
     df = build().persist()
     df.count()
     _MEMO[key] = (spark, df)
@@ -82,6 +112,7 @@ def release_memos() -> None:
             df.unpersist()
         except Exception:
             pass
+    _drain_memo_aux()
 
 
 def track(obj):

@@ -1967,7 +1967,7 @@ def c22_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, so a 10M-copy degenerate cluster costs 3 rows here. The
     straddle signature is sort_array over those <= 3 splits, never a
     per-doc collect."""
-    from floorist_spark.operators.dedup import d09_dedup_clusters
+    from floorist_spark.operators.dedup import _cluster_labels
 
     b = _bucket_spark("split", 100)
     splits = _docs(spark, sf_dir).select(
@@ -1977,7 +1977,7 @@ def c22_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN {b} < {VAL_UPTO} THEN 'val' ELSE 'test' END"
         ).alias("split"),
     )
-    clusters = d09_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
     cs = (
         clusters.join(splits, "doc_id")
         .groupBy("cluster_id", "split")

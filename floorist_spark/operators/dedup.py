@@ -251,23 +251,69 @@ def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b): the distinct capped-band LSH candidate pairs,
+    memoized. Seven symmetric consumers (d03, the d04 verify chain, d13,
+    d25, d27, d28, d31) previously re-ran the band self-join + distinct
+    each; the pair table is thousands of rows of two bigints, so keeping
+    it session-cached is free and every consumer starts from the same
+    materialized pair set."""
+
+    def build() -> DataFrame:
+        bands = _band_rows(spark, sf_dir)
+        return (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    return memo(spark, "dedup_cand_pairs", sf_dir, build)
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, i, u, j): every candidate pair with its
+    exact hashed-shingle set arithmetic, memoized — the per-pair
+    array_intersect/array_union over the shingle sets is the expensive
+    part of the whole verify family, and d04/d09/d10/d13/d27/d28/d31
+    each recomputed it from the hashed memo before this. All consumer
+    quantities are projections: Spark's array_intersect/array_union
+    already return duplicate-free arrays, so ``i`` equals the
+    array_distinct-wrapped intersect size ``jaccard_spark`` spells out
+    (verified bit-exact over every candidate pair at sf0.01/sf0.1), and
+    ``j = CAST(i AS DOUBLE) / u`` is the identical IEEE division."""
+
+    def build() -> DataFrame:
+        hashed = _hashed_shingles(spark, sf_dir)
+        return (
+            _cand_pairs(spark, sf_dir)
+            .join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+            .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr("size(da.sh)").alias("n_a"),
+                F.expr("size(db.sh)").alias("n_b"),
+                F.expr("size(array_intersect(da.sh, db.sh))").alias("i"),
+                F.expr("size(array_union(da.sh, db.sh))").alias("u"),
+            )
+            .withColumn("j", F.expr("CAST(i AS DOUBLE) / u"))
+        )
+
+    return memo(spark, "dedup_scored_pairs", sf_dir, build)
+
+
 def d03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs from banded MinHash: docs sharing any band
     signature. The self-join keys on (band, sig) — bucket-local, never
-    all-pairs; the distinct collapses multi-band collisions."""
-    bands = _band_rows(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    all-pairs; the distinct collapses multi-band collisions. Pairs come
+    from the shared candidate memo; only the presentation order is built
+    here."""
+    return _cand_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _duck_bands() -> str:
@@ -337,18 +383,11 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain."""
 
     def build() -> DataFrame:
-        hashed = _hashed_shingles(spark, sf_dir)
-        bands = _band_rows(spark, sf_dir)
-        cand = (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "sig"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
+        return (
+            _scored_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b", F.col("j").alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
-        return _score_candidates(hashed, cand, "doc_a", "doc_b")
 
     return memo(spark, "dedup_verified_pairs", sf_dir, build)
 
@@ -596,51 +635,71 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the compounding lineage each round. At billions of docs the same
     loop runs with the label table disk-backed (this is exactly
     GraphFrames' label-propagation shape). Oracle: DuckDB recursive CTE."""
-    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
 
-    labels, ckpt = local_checkpoint(
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
-        # one label per document IDENTITY — duplicated ingest rows would
-        # otherwise each emit their own cluster row (id-only distinct,
-        # equivalent to _canon for a key-only projection)
-        .distinct()
-    )
-    # labels are monotonically non-increasing (least of self and neighbor
-    # min), so sum(lbl) is a sufficient convergence check — one cheap
-    # aggregate per round instead of a self-join diff
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    while True:
-        nbr = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        labels, new_ckpt = local_checkpoint(
-            labels.join(nbr, labels.doc == nbr.dst, "left").select(
-                "doc",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id), UNORDERED — d09's converged label table,
+    memoized. Five bench consumers (d09, d10, d16, c22 and the c16/c23
+    mixture chain) each re-ran the whole propagation loop (2-4 rounds of
+    join + localCheckpoint + convergence collect) per entry before this;
+    the labels derive deterministically from the memoized verified-pair
+    memo, so one loop per dataset serves them all. The final checkpoint's
+    blocks back the memo's persisted copy (truncated lineage), so the
+    handle is registered with memo_aux — freed with the memo tier, not at
+    the per-entry boundary."""
+    from floorist_spark.operators._cache import memo_aux
+
+    def build() -> DataFrame:
+        pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
-        )
-        # the new checkpoint is materialized eagerly, so the previous
-        # round's blocks are dead — free them now instead of letting every
-        # round's label table accumulate in executor memory
-        ckpt.unpersist()
-        ckpt = new_ckpt
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        ).toDF("src", "dst")
 
-    # the FINAL checkpoint must stay alive for the returned plan; the
-    # catalog boundary frees it after the consumer's action
-    track(ckpt)
-    return labels.select(
-        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    ).orderBy("doc_id")
+        labels, ckpt = local_checkpoint(
+            load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
+            # one label per document IDENTITY — duplicated ingest rows
+            # would otherwise each emit their own cluster row (id-only
+            # distinct, equivalent to _canon for a key-only projection)
+            .distinct()
+        )
+        # labels are monotonically non-increasing (least of self and
+        # neighbor min), so sum(lbl) is a sufficient convergence check —
+        # one cheap aggregate per round instead of a self-join diff
+        prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        while True:
+            nbr = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            labels, new_ckpt = local_checkpoint(
+                labels.join(nbr, labels.doc == nbr.dst, "left").select(
+                    "doc",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nlbl", "lbl")
+                    ).alias("lbl"),
+                )
+            )
+            # the new checkpoint is materialized eagerly, so the previous
+            # round's blocks are dead — free them now instead of letting
+            # every round's label table accumulate in executor memory
+            ckpt.unpersist()
+            ckpt = new_ckpt
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+
+        memo_aux(ckpt)
+        return labels.select(
+            F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+
+    return memo(spark, "dedup_cluster_labels", sf_dir, build)
 
 
 D09_SQL = f"""
@@ -687,7 +746,9 @@ def d10_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floorist_spark.operators.text import quality_score_expr
     from pyspark.sql.window import Window
 
-    clusters = d09_dedup_clusters(spark, sf_dir)
+    # unordered memoized labels: d09's orderBy is presentation-only and
+    # would cost each consumer a useless range-exchange+sort (the d05 rule)
+    clusters = _cluster_labels(spark, sf_dir)
     # quality of the CANONICAL representative (not t02's raw per-row
     # scores): clusters are identity-keyed, so the keep decision must
     # score each doc_id exactly once — t02 itself stays per-ingest-row
@@ -904,16 +965,7 @@ def d13_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard = integer-cardinality ratio, error = one IEEE subtract —
     all bit-identical across engines."""
     nmh = NBANDS * NROWS
-    hashed = _hashed_shingles(spark, sf_dir)
     mins = _signature_mins(spark, sf_dir)
-    bands = _band_rows(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
     ma = mins.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(nmh)]
@@ -922,19 +974,17 @@ def d13_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(nmh)]
     )
     matches = " + ".join(f"CAST(a{i} = b{i} AS INT)" for i in range(nmh))
-    sha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(ma, "doc_a")
+        _scored_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.col("j").alias("exact_jaccard"))
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
         .withColumn("est_jaccard", F.expr(f"CAST(({matches}) AS DOUBLE) / {nmh}"))
-        .join(sha, "doc_a")
-        .join(shb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.expr(tf.jaccard_spark("sh_a", "sh_b")).alias("exact_jaccard"),
+            "exact_jaccard",
         )
         .withColumn("abs_err", F.expr("abs(est_jaccard - exact_jaccard)"))
         .orderBy("doc_a", "doc_b")
@@ -1561,7 +1611,7 @@ def d16_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d10 pays that; here weights are quality-agnostic by design)."""
     from pyspark.sql.window import Window
 
-    clusters = d09_dedup_clusters(spark, sf_dir)
+    clusters = _cluster_labels(spark, sf_dir)
     return (
         clusters.withColumn(
             "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
@@ -2280,10 +2330,21 @@ def d25_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('audit:', "
         "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     )
+    # Per-doc distinct sets and their sizes are computed ONCE on the
+    # (tiny) stratum, not once per pair: array_intersect already returns
+    # duplicate-free output, and |A∪B| = |A|+|B|−|A∩B| over the distinct
+    # sizes — both identities verified bit-exact against the old
+    # per-pair array_distinct/array_union at sf0.01/sf0.1, so every
+    # jac_bucket integer is unchanged while the quadratic stage does one
+    # set op per pair instead of four.
     stratum = (
         hashed.crossJoin(F.broadcast(mod))
         .filter(F.expr(f"{h32} % m = 0"))
-        .select("doc_id", "sh")
+        .select(
+            "doc_id",
+            F.expr("array_distinct(sh)").alias("shd"),
+            F.expr("CAST(size(array_distinct(sh)) AS BIGINT)").alias("nd"),
+        )
     )
     truth = (
         stratum.alias("a")
@@ -2293,33 +2354,20 @@ def d25_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr(
-                "CAST(size(array_intersect(array_distinct(a.sh), "
-                "array_distinct(b.sh))) AS BIGINT)"
+                "CAST(size(array_intersect(a.shd, b.shd)) AS BIGINT)"
             ).alias("i"),
-            F.expr(
-                "CAST(size(array_union(a.sh, b.sh)) AS BIGINT)"
-            ).alias("u"),
+            F.expr("a.nd + b.nd").alias("ndsum"),
         )
         .select(
             "doc_a",
             "doc_b",
-            F.expr("IF(u = 0, CAST(20 AS BIGINT), (20 * i) DIV u)").alias(
-                "jac_bucket"
-            ),
+            F.expr(
+                "IF(ndsum - i = 0, CAST(20 AS BIGINT), "
+                "(20 * i) DIV (ndsum - i))"
+            ).alias("jac_bucket"),
         )
     )
-    bands = _band_rows(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    cand = _cand_pairs(spark, sf_dir).withColumn("hit", F.lit(1))
     return (
         truth.join(cand, ["doc_a", "doc_b"], "left")
         .groupBy("jac_bucket")
@@ -2554,29 +2602,7 @@ def d27_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates are map-side combinable on the 5-value τ key and the
     threshold dimension left-joins so every τ row survives an empty
     filter."""
-    hashed = _hashed_shingles(spark, sf_dir)
-    bands = _band_rows(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    scored = (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(tf.jaccard_spark("sh_a", "sh_b")).alias("j"),
-        )
-    )
+    scored = _scored_pairs(spark, sf_dir).select("doc_a", "doc_b", "j")
     taulist = ", ".join(D27_THRESHOLDS)
     taus = spark.range(1).select(
         F.expr(f"explode(array({taulist}))").alias("tau")
@@ -2697,23 +2723,8 @@ def d28_candidate_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     RES+1-row map-side-combinable aggregate, and the share denominator is
     a broadcast 1-row total. Nothing new shuffles beyond the d04 chain —
     at 100 TB this rides the same checkpointed signature table."""
-    hashed = _hashed_shingles(spark, sf_dir)
-    bands = _band_rows(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    scored = (
-        cand.join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
-        .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
-        .select(
-            F.expr("size(array_intersect(da.sh, db.sh))").alias("ni"),
-            F.expr("size(array_union(da.sh, db.sh))").alias("nu"),
-            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("j"),
-        )
+    scored = _scored_pairs(spark, sf_dir).select(
+        F.col("i").alias("ni"), F.col("u").alias("nu"), "j"
     )
     hist = (
         scored.select(
@@ -2810,31 +2821,16 @@ def d31_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed integer shingle sets joined per side, one output row per
     FLAGGED pair. Nothing new shuffles; at 100 TB this shares the
     checkpointed signature table with the whole d03-d29 family."""
-    hashed = _hashed_shingles(spark, sf_dir)
-    bands = _band_rows(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     return (
-        cand.join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
-        .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        _scored_pairs(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",
-            F.expr("size(da.sh)").cast("bigint").alias("n_a"),
-            F.expr("size(db.sh)").cast("bigint").alias("n_b"),
-            F.expr("size(array_intersect(da.sh, db.sh))")
-            .cast("bigint")
-            .alias("n_inter"),
-            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
-            F.expr(
-                "CAST(size(array_intersect(da.sh, db.sh)) AS DOUBLE) "
-                "/ least(size(da.sh), size(db.sh))"
-            ).alias("containment"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("i").cast("bigint").alias("n_inter"),
+            F.col("j").alias("jaccard"),
+            F.expr("CAST(i AS DOUBLE) / least(n_a, n_b)").alias("containment"),
         )
         .filter(F.col("containment") >= D31_CONTAIN_THRESHOLD)
         .withColumn(

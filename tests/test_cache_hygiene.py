@@ -36,11 +36,19 @@ def test_catalog_boundary_releases_previous_entry_caches(spark):
     qs["d01_exact_dedup"](spark, SF_SMOKE).count()
     assert _n_persisted(spark) == len(_MEMO)
 
-    # and the memo set does NOT grow when the chain re-runs (the whole
-    # point: d09/d10 reuse d04's tables instead of rebuilding them)
+    # and the memo set stays a BOUNDED named set when the chain re-runs
+    # (the whole point: d09/d10 reuse d04's tables instead of rebuilding
+    # them). r11 grew the set by three: candidate pairs, scored pairs,
+    # and d09's converged cluster labels.
     qs["d09_dedup_clusters"](spark, SF_SMOKE).count()
-    # canonical docs (round 9), hashed shingles, minhash mins, verified pairs
-    assert len(_MEMO) <= 4
+    n_memos = len(_MEMO)
+    # canonical docs, hashed shingles, minhash mins, cand pairs, scored
+    # pairs, verified pairs, cluster labels
+    assert n_memos <= 7
+    # re-running the same consumers must not grow the set further
+    qs["d09_dedup_clusters"](spark, SF_SMOKE).count()
+    qs["d04_lsh_jaccard_dedup"](spark, SF_SMOKE).count()
+    assert len(_MEMO) == n_memos
     release_caches()
     release_memos()
     assert _n_persisted(spark) == 0
@@ -62,6 +70,30 @@ def test_simhash_fp_memo_shared_across_consumers(spark):
     assert len(_MEMO) == n_memos  # d06 rode the existing memos
     release_caches()
     release_memos()
+    assert _n_persisted(spark) == 0
+
+
+def test_cluster_labels_memo_shared_across_consumers(spark):
+    # r11: d09's converged label table is memoized — d10/d16/c22 (and the
+    # c16/c23 mixture chain) ride ONE propagation-loop run per dataset
+    # instead of re-running the iterative join+checkpoint loop per entry.
+    release_caches()
+    release_memos()
+    from floorist_spark.operators.dedup import (
+        _cluster_labels,
+        d10_curation_keep,
+        d16_soft_dedup_weights,
+    )
+
+    labels = _cluster_labels(spark, SF_SMOKE)
+    assert _cluster_labels(spark, SF_SMOKE) is labels  # memo hit
+    n_memos = len(_MEMO)
+    d10_curation_keep(spark, SF_SMOKE).count()
+    d16_soft_dedup_weights(spark, SF_SMOKE).count()
+    assert len(_MEMO) == n_memos  # consumers rode the memo, no rebuild
+    release_caches()
+    release_memos()
+    # the aux-held localCheckpoint blocks must be freed with the memo tier
     assert _n_persisted(spark) == 0
 
 

@@ -135,6 +135,67 @@ def test_memoized_pair_chain_reuses_cached_tables(spark):
         release_memos()
 
 
+def test_scored_pairs_memo_values_and_reuse(spark):
+    """The r11 scored-pairs memo: (1) its per-pair set arithmetic must be
+    bit-identical to the spelled-out jaccard_spark expression it replaced
+    (array_intersect/array_union already dedup, so dropping the
+    array_distinct wrappers is a no-op — this pins that premise); (2) the
+    sweep-family consumers must read it as an InMemoryTableScan instead of
+    re-running the band self-join + per-pair array math."""
+    from pyspark.sql import functions as F
+
+    from floorist_spark.functions import textfrag as tf
+    from floorist_spark.operators._cache import release_memos
+    from floorist_spark.operators.dedup import (
+        _cand_pairs,
+        _hashed_shingles,
+        _scored_pairs,
+        d13_minhash_calibration,
+        d27_threshold_sweep,
+        d28_candidate_score_histogram,
+        d31_containment_audit,
+    )
+
+    release_memos()
+    try:
+        scored = _scored_pairs(spark, SF_SMOKE)
+        assert scored is _scored_pairs(spark, SF_SMOKE)  # memo hit
+        hashed = _hashed_shingles(spark, SF_SMOKE)
+        ref = (
+            _cand_pairs(spark, SF_SMOKE)
+            .join(hashed.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+            .join(hashed.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("j_ref"),
+                F.expr(
+                    "size(array_intersect(array_distinct(da.sh), "
+                    "array_distinct(db.sh)))"
+                ).alias("i_ref"),
+                F.expr("size(array_union(da.sh, db.sh))").alias("u_ref"),
+            )
+        )
+        diff = (
+            scored.join(ref, ["doc_a", "doc_b"], "full_outer")
+            .filter(
+                "i IS DISTINCT FROM i_ref OR u IS DISTINCT FROM u_ref "
+                "OR j IS DISTINCT FROM j_ref"
+            )
+            .count()
+        )
+        assert diff == 0
+        for build in (
+            d13_minhash_calibration,
+            d27_threshold_sweep,
+            d28_candidate_score_histogram,
+            d31_containment_audit,
+        ):
+            assert "InMemoryTableScan" in _plan(build(spark, SF_SMOKE))
+    finally:
+        release_memos()
+
+
 def test_d15_digest_only_exchanges(spark):
     from floorist_spark.operators.dedup import d15_passage_dedup
 
