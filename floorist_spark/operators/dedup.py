@@ -2917,6 +2917,10 @@ def d32_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket"
     )
+    # NOT persisted: the scored table does feed two aggregates (the c24
+    # double-consumer shape), but an in-process A/B measured the persist
+    # variant SLOWER (2.3s -> 3.2s steady) — the bucket self-join +
+    # cosine fold is cheaper than a persist round-trip at this size
     scored = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
