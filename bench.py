@@ -247,6 +247,15 @@ MIN_OF_2 = frozenset(
         "d29_detector_agreement",
         "e26_alert_throttle",
         "t15_bpe_merges",
+        # r11 additions: these swung 2-6x between same-commit sweeps under
+        # co-tenant load (e.g. m21 17.4s contended vs 2.9s clean, e29
+        # 3.8s vs 8.3s) while their warm-solo mins were flat — the same
+        # adjudication problem the first four had in round 10
+        "d15_passage_dedup",
+        "d23_dup_graph_pagerank",
+        "e29_streaming_funnel",
+        "m21_phash_candidate_histogram",
+        "s16_mmr_diversify",
     }
 )
 
