@@ -1851,28 +1851,36 @@ def d21_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reuses the memoized hashed-shingle sets (the d03 chain
     root — no corpus re-shingle), explodes to (doc_id, h) and resolves
     first ownership with a min-aggregate on the 8-byte hash — exchanges
-    carry (hash, doc_id) pairs only, never shingle text. The join back
-    is hash-keyed; the owner side collapses to one row per distinct
-    shingle before joining. Novelty is an integer ratio — bit-identical
-    across engines."""
-    ex = _hashed_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("h")
-    )
+    carry (hash, doc_id) pairs only, never shingle text. A doc's novel
+    count is the number of OWNER rows naming it, so it comes from a
+    second (tiny, vocabulary-sized) aggregate over the owner table —
+    the exploded table is never joined back (that join re-shuffled every
+    (doc_id, h) row on h; r11 guide §2.4). Per-doc totals are size(sh)
+    straight off the memo (sh is distinct by construction), so docs
+    with zero novel shingles survive via the left join. Novelty is an
+    integer ratio — bit-identical across engines."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    ex = hashed.select("doc_id", F.explode("sh").alias("h"))
     owner = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = owner.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    # every doc has >= 1 shingle (shingles_spark pads empty docs to one
+    # element), so the size filter only guards a hypothetical empty set —
+    # the exploded path produced no row for those either
+    sizes = hashed.select(
+        "doc_id", F.expr("CAST(size(sh) AS BIGINT)").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
     return (
-        ex.join(owner, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.expr("IF(first_doc = doc_id, 1, 0)")).alias("n_novel"),
-        )
+        sizes.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
-            F.expr("CAST(n_novel AS DOUBLE) / n_shingles").alias(
-                "novelty_frac"
-            ),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.expr("CAST(n_novel AS DOUBLE) / n_shingles"),
         )
         .orderBy("doc_id")
     )
@@ -2042,6 +2050,12 @@ def d23_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement distributed)."""
     base = (PR_SCALE * (PR_ALPHA_DEN - PR_ALPHA_NUM)) // PR_ALPHA_DEN
     pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # NOT persisted (r11 in-process A/B, 4 interleaved reps at sf0.1:
+    # unpersisted med 4.17s vs sym/deg-persisted med 6.53s): sym and deg
+    # are loop-invariant, but they are projections/one aggregate over the
+    # already-persisted pair memo, and caching them replaces cheap
+    # re-derivation with memory-store round-trips plus two extra
+    # materialization barriers per entry — the d32 lesson again.
     sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -2158,12 +2172,22 @@ def d24_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
             F.expr(tf.word_ngrams_spark("toks", ANCHOR_W)).alias("grams"),
         )
+        # digest the anchors INSIDE the cached projection: the cache holds
+        # 32-hex digests instead of raw 8-token gram text (far smaller),
+        # and the md5 pass runs once even though the anchor table is
+        # consumed twice below (dup test + position join) — r11 guide §2.3
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(size(grams) AS BIGINT)").alias("n_anchors"),
+            F.expr("transform(grams, g -> md5(g))").alias("ds"),
+        )
     )
-    # read twice (anchor explode + per-doc totals): cache the gram arrays
+    # read twice (anchor explode + per-doc totals): cache the digest arrays
     base = track(base.persist())
     anchors = base.select(
-        "doc_id", F.posexplode("grams").alias("pos", "g")
-    ).select("doc_id", (F.col("pos") + 1).alias("idx"), F.md5("g").alias("d"))
+        "doc_id", F.posexplode("ds").alias("pos", "d")
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), "d")
     dup_d = (
         anchors.groupBy("d")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("x"))
@@ -2204,11 +2228,7 @@ def d24_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dup_anchors")
     )
     return (
-        base.select(
-            "doc_id",
-            "n_tokens",
-            F.expr("CAST(size(grams) AS BIGINT)").alias("n_anchors"),
-        )
+        base.select("doc_id", "n_tokens", "n_anchors")
         .join(n_dup, "doc_id", "left")
         .join(per_doc_cov, "doc_id", "left")
         .select(
@@ -3162,7 +3182,10 @@ def d30_source_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floorist_spark.operators._cache import track
 
     distinct_sh = track(src_hashes.distinct().persist())
-    sigs = src_hashes.groupBy("source").agg(
+    # min is invariant under duplicates, so the signature mins read the
+    # persisted DISTINCT table instead of re-running the explode pass a
+    # second time (one (source, h) scan per dataset, not two — r11)
+    sigs = distinct_sh.groupBy("source").agg(
         *[
             F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
             for i in range(nsig)

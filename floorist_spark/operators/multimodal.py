@@ -895,10 +895,10 @@ def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     count as one empty block so every document keeps an output row.
 
     Scale shape: one narrow scan -> per-doc block digests -> every
-    exchange (ownership groupBy, survivor join, per-doc fold) carries
-    (digest, doc_id, idx) only — the d14/d15 digest-only-exchange rule.
-    First-owner is min(struct(doc_id, idx)): map-side combinable, so a
-    block repeated 10M times reduces to one owner row per partition
+    exchange (ownership groupBy, owner-count rollup, per-doc fold)
+    carries (digest, doc_id, idx) only — the d14/d15 digest-only-exchange
+    rule. First-owner is min(struct(doc_id, idx)): map-side combinable,
+    so a block repeated 10M times reduces to one owner row per partition
     before the shuffle.
 
     Duplicate-id robustness (round 8, same fix as d15): the block
@@ -922,21 +922,28 @@ def m12_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     owners = ch.groupBy("d").agg(
         F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("o")
     )
+    # each distinct digest names exactly ONE first-owning (doc_id, idx)
+    # row, so n_first_owned is a count over the owner table itself — the
+    # block table is never joined back (that join re-shuffled every
+    # distinct block row on the digest; r11 guide §2.4). Docs owning no
+    # block first (every block seen earlier) survive via the left join.
+    firsts = owners.groupBy(F.col("o.doc_id").alias("doc_id")).agg(
+        F.count("*").alias("n_first_owned")
+    )
     return (
-        ch.join(owners, "d")
-        .select(
-            "doc_id",
-            "d",
-            (
-                (F.col("o.doc_id") == F.col("doc_id"))
-                & (F.col("o.idx") == F.col("idx"))
-            ).alias("keep"),
-        )
-        .groupBy("doc_id")
+        ch.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_blocks"),
             F.countDistinct("d").alias("n_distinct_blocks"),
-            F.sum(F.col("keep").cast("long")).alias("n_first_owned"),
+        )
+        .join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_distinct_blocks",
+            F.coalesce("n_first_owned", F.lit(0))
+            .cast("bigint")
+            .alias("n_first_owned"),
         )
         .orderBy("doc_id")
     )

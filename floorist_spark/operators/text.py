@@ -443,8 +443,13 @@ def t09_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exploded n-gram table is hashed to md5 immediately, so
     every shuffle carries (doc_id, 32-byte digest) — never n-gram text.
-    Three digest-keyed shuffles (global count, count-join, per-doc rollup),
-    each with map-side partial aggregation; the exploded table is persisted
+    A doc's dup count is ``n_ngrams - (grams unique to it)``, and a gram
+    with ndocs = 1 names its single owner in the same aggregate row
+    (min(doc_id) IS the owner), so the per-gram counts collapse to a
+    tiny per-owner aggregate joined onto the per-doc totals — the full
+    (doc_id, digest) table is never joined back (that join re-shuffled
+    every exploded row on the digest; r11 guide §2.4). Two digest/doc
+    shuffles + one vocabulary-sized one; the exploded table is persisted
     so the corpus is scanned once (at 100 TB you would checkpoint it to
     storage instead — same plan, durable intermediate)."""
     from floorist_spark.operators._cache import track
@@ -461,19 +466,29 @@ def t09_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("md5(ng)").alias("h"))
     )
     ng = track(ng.persist())
-    counts = ng.groupBy("h").agg(F.count("*").alias("ndocs"))
+    uniq = (
+        ng.groupBy("h")
+        .agg(F.count("*").alias("ndocs"), F.min("doc_id").alias("owner"))
+        .filter(F.col("ndocs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_uniq"))
+    )
     return (
-        ng.join(counts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_ngrams"),
-            F.sum(F.expr("IF(ndocs >= 2, 1, 0)")).cast("bigint").alias("n_dup"),
-        )
+        ng.groupBy("doc_id")
+        .agg(F.count("*").alias("n_ngrams"))
+        .join(uniq, "doc_id", "left")
         .select(
             "doc_id",
             "n_ngrams",
-            "n_dup",
-            F.expr("CAST(n_dup AS DOUBLE) / n_ngrams").alias("dup_ngram_frac"),
+            # n_dup = sum(IF(ndocs >= 2)) = n_ngrams - sum(IF(ndocs = 1)):
+            # exact BIGINT arithmetic, so the rewrite is bit-identical
+            F.expr(
+                "CAST(n_ngrams - coalesce(n_uniq, CAST(0 AS BIGINT)) "
+                "AS BIGINT)"
+            ).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ngram_frac", F.expr("CAST(n_dup AS DOUBLE) / n_ngrams")
         )
         .orderBy("doc_id")
     )

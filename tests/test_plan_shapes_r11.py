@@ -1,0 +1,120 @@
+"""Executed-plan pins for the round-11 optimization rewrites (guide §2.3/
+§2.4): the census operators that used to join a per-key aggregate back onto
+the full exploded table now answer ownership from the aggregate itself, so
+the corpus-sized table is never re-joined on the high-cardinality digest.
+Locally the old join-back hid behind a vocabulary-sized broadcast; at scale
+that build side outgrows the broadcast threshold and degenerates to a full
+sort-merge re-shuffle — these pins hold the rewritten shape so a refactor
+cannot silently reintroduce it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _join_lines(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln or "NestedLoop" in ln
+    ]
+
+
+def _keys_on(ln: str, col: str) -> bool:
+    """True when the bare column ``col`` (not a suffix of a longer name,
+    e.g. d# inside doc_id# or h# inside sh#) appears in a plan line."""
+    return re.search(rf"(?<![\w]){col}#\d", ln) is not None
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    from floorist_spark.operators._cache import release_caches
+
+    release_caches()
+
+
+def test_d21_novelty_never_rejoins_exploded_table(spark):
+    from floorist_spark.operators.dedup import d21_shingle_novelty
+
+    plan = _plan(d21_shingle_novelty(spark, SF_SMOKE))
+    # the (doc_id, h) explode feeds the owner aggregate exactly once —
+    # novel counts come from a second aggregate OVER the owner table, and
+    # the only join is doc-keyed metadata (sizes x novel-counts), so no
+    # join carries the 8-byte shingle hash
+    assert plan.count("Generate explode") == 1, plan
+    joins = _join_lines(plan)
+    assert joins, plan
+    for ln in joins:
+        assert not _keys_on(ln, "h"), ln
+
+
+def test_t09_dup_fraction_never_rejoins_exploded_table(spark):
+    from floorist_spark.operators.text import t09_dup_ngram_fraction
+
+    plan = _plan(t09_dup_ngram_fraction(spark, SF_SMOKE))
+    # the persisted (doc_id, digest) table feeds two aggregates (per-digest
+    # counts, per-doc totals); the digest-keyed join-back is gone — the
+    # only join attaches the per-owner unique counts on doc_id
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    joins = _join_lines(plan)
+    assert joins, plan
+    for ln in joins:
+        assert not _keys_on(ln, "h"), ln
+
+
+def test_m12_census_counts_owners_without_rejoin(spark):
+    from floorist_spark.operators.multimodal import m12_block_dedup_census
+
+    plan = _plan(m12_block_dedup_census(spark, SF_SMOKE))
+    # n_first_owned is a count over the owner table; the distinct block
+    # table is never joined back on the digest d — the one join is the
+    # doc-keyed attach of those counts
+    joins = _join_lines(plan)
+    assert joins, plan
+    for ln in joins:
+        assert not _keys_on(ln, "d"), ln
+        assert _keys_on(ln, "doc_id"), ln
+
+
+def test_d24_cache_holds_digests_not_gram_text(spark):
+    from floorist_spark.operators.dedup import d24_exact_substring_spans
+
+    plan = _plan(d24_exact_substring_spans(spark, SF_SMOKE))
+    # the persisted anchor table carries 32-hex digest arrays (ds), never
+    # the raw 8-token gram arrays, and the md5 pass ran once inside the
+    # cache build — every InMemoryTableScan output is gram-text-free
+    scans = [ln for ln in plan.splitlines() if "InMemoryTableScan" in ln]
+    assert scans, plan
+    assert any("ds#" in ln for ln in scans), scans
+    for ln in scans:
+        assert "grams#" not in ln, ln
+
+
+def test_d30_signature_mins_read_distinct_cache(spark):
+    from floorist_spark.operators.dedup import d30_source_pair_similarity
+
+    plan = _plan(d30_source_pair_similarity(spark, SF_SMOKE))
+    # the (source, h) explode happens once, inside the persisted distinct
+    # build: the signature-min aggregate and both exact-Jaccard consumers
+    # all read the cache (min is invariant under duplicates). The cached
+    # relation's build plan is printed under every scan reference, so the
+    # pin is that every printed explode is the SAME node (one expression
+    # id) — the old shape ran a second, distinct explode for the mins
+    explodes = {
+        ln[ln.index("Generate") :]
+        for ln in plan.splitlines()
+        if "Generate explode" in ln
+    }
+    assert len(explodes) == 1, explodes
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "partial_min" in plan
