@@ -354,28 +354,6 @@ ORDER BY doc_a, doc_b
 # d04 — LSH candidates + exact Jaccard verify
 # ---------------------------------------------------------------------------
 
-def _score_candidates(
-    hashed: DataFrame, cand: DataFrame, left: str, right: str
-) -> DataFrame:
-    """Join both sides' hashed shingle sets onto a candidate-pair table
-    and keep pairs at/above JACCARD_THRESHOLD — the verify stage shared
-    by the symmetric (d04 self-pair) and asymmetric (d17 batch-vs-index)
-    paths, so the threshold and the integer-set Jaccard live in exactly
-    one Spark site."""
-    a = hashed.alias("da")
-    b = hashed.alias("db")
-    return (
-        cand.join(a, cand[left] == F.col("da.doc_id"))
-        .join(b, cand[right] == F.col("db.doc_id"))
-        .select(
-            left,
-            right,
-            F.expr(tf.jaccard_spark("da.sh", "db.sh")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-
-
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates that passed the exact
     Jaccard >= 0.8 verify. Memoized: d04 returns it ordered, d09 clusters
@@ -1407,26 +1385,35 @@ def d17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy, never |index|²; at 100 TB the index side is the
     checkpointed signature table (see ``_hashed_shingles``) read back
     bucketed on (band, sig), making the probe a co-located storage join,
-    and a small-enough batch broadcasts. Signatures/shingles come from
-    the same session memo the d03–d16 chain shares; the degenerate-
-    bucket cap applies before the probe exactly as in d03. The Jaccard
-    verify touches candidate pairs only."""
+    and a small-enough batch broadcasts. In-session the verified-pair
+    memo IS that probe, already materialized: an arrival×index candidate
+    is exactly a ``_cand_pairs`` row where exactly one side is an
+    arrival (membership in both sets is "the two docs share a capped
+    (band, sig) bucket", and arrival/index split the corpus), and the
+    Jaccard + threshold is the memoized verify (``j`` pinned bit-exact
+    to the spelled-out ``jaccard_spark`` by
+    ``test_scored_pairs_memo_values_and_reuse``). So d17 is a filter +
+    re-orientation of ``_verified_pairs`` — the band self-join and the
+    per-pair set arithmetic never re-run (r11; guide §2.1)."""
     from pyspark.sql.window import Window
 
-    bands = _band_rows(spark, sf_dir)
-    arr_bands = bands.filter(F.expr(f"doc_id % {ARRIVAL_MOD} = 0"))
-    idx_bands = bands.filter(F.expr(f"doc_id % {ARRIVAL_MOD} != 0"))
-    cand = (
-        arr_bands.alias("a")
-        .join(idx_bands.alias("b"), ["band", "sig"])
+    vp = _verified_pairs(spark, sf_dir)
+    is_arr_a = F.col("doc_a") % ARRIVAL_MOD == 0
+    is_arr_b = F.col("doc_b") % ARRIVAL_MOD == 0
+    scored = (
+        vp.filter(is_arr_a & ~is_arr_b)
         .select(
-            F.col("a.doc_id").alias("arrival_id"),
-            F.col("b.doc_id").alias("index_id"),
+            F.col("doc_a").alias("arrival_id"),
+            F.col("doc_b").alias("index_id"),
+            "jaccard",
         )
-        .distinct()
-    )
-    scored = _score_candidates(
-        _hashed_shingles(spark, sf_dir), cand, "arrival_id", "index_id"
+        .unionByName(
+            vp.filter(is_arr_b & ~is_arr_a).select(
+                F.col("doc_b").alias("arrival_id"),
+                F.col("doc_a").alias("index_id"),
+                "jaccard",
+            )
+        )
     )
     w = Window.partitionBy("arrival_id").orderBy(
         F.desc("jaccard"), F.asc("index_id")

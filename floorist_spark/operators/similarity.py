@@ -1395,8 +1395,16 @@ def s16_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     The greedy loop is ``MMR_K − 1`` bounded driver-composed rounds —
     like t15's BPE loop, each round is pure DataFrame ops (anti-join the
     picked set, max-sim aggregate, per-query window argmax) with NO
-    collect; state between rounds is the Q-row picked set. Pool and
-    pairs persist across rounds (released by the harness via track).
+    collect; state between rounds is the Q-row picked set. Pool, pairs
+    AND each round's picked table persist (released by the harness via
+    track): round r references picked r−1 three times (anti-join,
+    max-sim join, union), so an unpersisted chain re-inlines the whole
+    previous round per reference — 3^(K−1) copies of round 1's subtree,
+    166 Exchanges / 276 Windows in the executed plan at K=3. Persisting
+    the Q·r-row picked set per round makes the CacheManager substitute
+    one InMemoryRelation per reference: the final plan is linear in K
+    (r11; guide §3.3 "materialise an intermediate to truncate the
+    plan").
     Float path: cosine folds are bit-identical by textfrag construction;
     the MMR score is a fixed two-term scalar expression and ``max`` is
     order-independent, so scores hash-match the oracle exactly; ties
@@ -1490,6 +1498,8 @@ def s16_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         picked = picked.unionByName(round_pick)
+        if r < MMR_K:
+            picked = track(picked.persist())
     return picked.orderBy("query_id", "pick")
 
 
