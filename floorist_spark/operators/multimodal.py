@@ -1191,6 +1191,58 @@ bytes AS (
 )"""
 
 
+def _cdc_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clen, digest): one row per CDC chunk of every canonical
+    payload, session-memoized — the boundary scan is the expensive
+    Python pass of the whole CDC family, and m14 (census) and m15
+    (cross-doc overlap) each ran their own copy of it before this (r11;
+    guide §2.1). The digest is md5 over the lowercase-hex rendering —
+    exactly the ``md5(string_agg(h2))`` both entries' oracles compute,
+    so distinct-counting digests is the oracle's own uniqueness notion.
+    Chunks tile the payload (the final byte always closes the last
+    chunk), so ``sum(clen)`` per doc is the payload byte length and
+    empty payloads contribute no rows (consumers restore them with a
+    left join, like the oracles). At cluster scale this memo is the
+    checkpointed chunk table a blob store maintains; every exchange
+    over it carries (doc_id, clen, 32-hex digest) only."""
+
+    def chunk_rows(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {"doc_id": [], "clen": [], "digest": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                ends = _cdc_ends(b)
+                if not ends:
+                    continue
+                starts = [0] + [e + 1 for e in ends[:-1]]
+                for s, e in zip(starts, ends):
+                    out["doc_id"].append(doc_id)
+                    out["clen"].append(e + 1 - s)
+                    out["digest"].append(
+                        hashlib.md5(
+                            b[s : e + 1].tobytes().hex().encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    def build() -> DataFrame:
+        return _payloads(spark, sf_dir, canon=True).mapInPandas(
+            chunk_rows, "doc_id bigint, clen bigint, digest string"
+        )
+
+    from floorist_spark.operators._cache import memo
+
+    return memo(spark, "mm_cdc_chunks", sf_dir, build)
+
+
 def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking census: split each payload at positions
     where the hash of the trailing 4-byte window ≡ 0 (mod CDC_DIV), then
@@ -1204,52 +1256,33 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary test (w·CDC_MULT mod 2³²) < 2³²/CDC_DIV matches numpy's
     uint32 wraparound against the oracle's exact HUGEINT product reduced
     mod 2³² — integers on both sides, no float anywhere. Chunk
-    uniqueness is counted on raw chunk content (the oracle hashes the
-    hex rendering — both are injective, so the distinct counts match).
+    uniqueness counts distinct hex-rendering digests — the oracle's own
+    ``count(DISTINCT md5(string_agg(h2)))``, byte for byte.
 
-    Scale shape: like m11/m13 the whole operator is one Arrow-batched
-    corpus scan — boundaries, splits and the distinct census all happen
-    inside the per-doc numpy pass; NO shuffle at any corpus size
-    (orderBy is presentation only). Empty payloads emit an all-zero row
-    (NULL ratios), total like the oracle's LEFT JOIN."""
-
-    def cdc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-        import pandas as pd
-
-        out: dict[str, list] = {
-            "doc_id": [],
-            "n_bytes": [],
-            "n_chunks": [],
-            "max_chunk_len": [],
-            "n_unique_chunks": [],
-        }
-        for pdf in batches:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                n = len(b)
-                ends = _cdc_ends(b)
-                starts = [0] + [e + 1 for e in ends[:-1]]
-                chunks = [
-                    b[s : e + 1].tobytes() for s, e in zip(starts, ends)
-                ]
-                out["doc_id"].append(doc_id)
-                out["n_bytes"].append(n)
-                out["n_chunks"].append(len(chunks))
-                out["max_chunk_len"].append(
-                    max((len(c) for c in chunks), default=0)
-                )
-                out["n_unique_chunks"].append(len(set(chunks)))
-            yield pd.DataFrame(out)
-            out = {k: [] for k in out}
-
-    schema = (
-        "doc_id bigint, n_bytes bigint, n_chunks bigint, "
-        "max_chunk_len bigint, n_unique_chunks bigint"
+    Scale shape: the census aggregates the memoized chunk table (one
+    Arrow-batched boundary scan per DATASET, shared with m15 — r11;
+    previously each entry ran its own scan). All aggregates are
+    map-side combinable over (doc_id, clen, digest) rows; n_bytes is
+    sum(clen) because chunks tile the payload. Empty payloads emit an
+    all-zero row (NULL ratios) via the left join, exactly like the
+    oracle's."""
+    ch = _cdc_chunk_rows(spark, sf_dir)
+    per = ch.groupBy("doc_id").agg(
+        F.sum("clen").alias("b"),
+        F.count("*").alias("c"),
+        F.max("clen").alias("m"),
+        F.countDistinct("digest").alias("u"),
     )
+    base = _payloads(spark, sf_dir, canon=True).select("doc_id")
     return (
-        _payloads(spark, sf_dir, canon=True)
-        .mapInPandas(cdc, schema)
+        base.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(coalesce(b, 0) AS BIGINT)").alias("n_bytes"),
+            F.expr("CAST(coalesce(c, 0) AS BIGINT)").alias("n_chunks"),
+            F.expr("CAST(coalesce(m, 0) AS BIGINT)").alias("max_chunk_len"),
+            F.expr("CAST(coalesce(u, 0) AS BIGINT)").alias("n_unique_chunks"),
+        )
         .select(
             "doc_id",
             "n_bytes",
@@ -1321,50 +1354,23 @@ def m15_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds partially-overlapping documents that whole-doc digests (d01)
     and fixed blocks (m12) both miss. New surface, SURVEY §7.2.7.
 
-    Scale shape: the chunking pass is m14's shuffle-free numpy scan,
-    emitting (doc_id, digest) rows; pairing is an equi-join on the
-    digest — never all-pairs — with ubiquitous digests capped out by
-    MAX_CHUNK_OWNERS exactly like the LSH degenerate-bucket cap, so one
-    empty-block digest can never quadratically explode the join. All
-    exchanges carry 16-byte digests; containment is one division of
-    exact BIGINTs."""
-    import hashlib
-
-    def chunk_digests(
-        batches: Iterator["pd.DataFrame"],
-    ) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-        import pandas as pd
-
-        out: dict[str, list] = {"doc_id": [], "digest": []}
-        for pdf in batches:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                ends = _cdc_ends(b)
-                if not ends:
-                    continue
-                starts = [0] + [e + 1 for e in ends[:-1]]
-                # distinct digests per doc (a repeated chunk counts once);
-                # md5 over the lowercase hex rendering = the oracle's
-                # md5(string_agg(h2)) byte-for-byte
-                seen = {
-                    hashlib.md5(
-                        b[s : e + 1].tobytes().hex().encode()
-                    ).hexdigest()
-                    for s, e in zip(starts, ends)
-                }
-                out["doc_id"].extend([doc_id] * len(seen))
-                out["digest"].extend(sorted(seen))
-            yield pd.DataFrame(out)
-            out = {k: [] for k in out}
-
-    dd = (
-        _payloads(spark, sf_dir, canon=True)
-        .mapInPandas(chunk_digests, "doc_id bigint, digest string")
-    )
+    Scale shape: the chunk rows come from the session memo shared with
+    m14 (one boundary scan per DATASET — r11; the entry previously ran
+    its own copy of the numpy pass); the per-doc distinct set is a
+    digest-keyed distinct over those cached rows. Pairing is an
+    equi-join on the digest — never all-pairs — with ubiquitous digests
+    capped out by MAX_CHUNK_OWNERS exactly like the LSH
+    degenerate-bucket cap, so one empty-block digest can never
+    quadratically explode the join. All exchanges carry 16-byte
+    digests; containment is one division of exact BIGINTs."""
     from floorist_spark.operators._cache import track
 
-    dd = track(dd.persist())
+    dd = track(
+        _cdc_chunk_rows(spark, sf_dir)
+        .select("doc_id", "digest")
+        .distinct()
+        .persist()
+    )
     dd.count()
     owners = dd.groupBy("digest").agg(F.count("*").alias("n_owners"))
     usable = dd.join(

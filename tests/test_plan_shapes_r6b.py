@@ -139,15 +139,19 @@ def test_s18_query_side_broadcasts_no_cartesian(spark):
 
 
 def test_m14_cdc_single_canon_shuffle(spark):
+    import re
+
     from floorist_spark.operators.multimodal import m14_cdc_chunks
 
     plan = _plan(m14_cdc_chunks(spark, SF_SMOKE))
-    # boundaries, splits and the distinct census live in the numpy pass;
-    # identity resolution rides the session-memoized canonical docs table
+    # r11: the boundary scan lives in the session-memoized chunk table
+    # (shared with m15) — the census is aggregates + an empty-payload
+    # left join over it; no exchange carries the raw payload
     assert "InMemoryTableScan" in plan
-    assert "partial_min" in plan
-    assert "Join" not in plan
     assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "payload#" not in m.group(0), m.group(0)
 
 
 def test_d22_exchanges_carry_hashes_not_shingles(spark):
