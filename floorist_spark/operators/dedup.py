@@ -636,6 +636,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).toDF("src", "dst")
 
+        # Deliberately corpus-wide, NOT endpoint-restricted (r11
+        # interleaved A/B, 3 reps each at sf0.1: this shape med 2.75s
+        # vs loop-over-edge-endpoints-then-left-join-singletons med
+        # 3.62s): restricting the rounds to the ~477 edge endpoints
+        # saves per-round bytes but adds a second distinct plus a
+        # corpus-sized singleton re-attach join at the end, which costs
+        # more than the smaller rounds save here. At cluster scale the
+        # trade flips (N rows per round vs |dup endpoints|) — revisit
+        # on the real topology, where the re-attach is one co-located
+        # storage join.
         labels, ckpt = local_checkpoint(
             load_table(spark, sf_dir, "documents")
             .select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("lbl"))
