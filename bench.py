@@ -318,14 +318,29 @@ def main() -> int:
     # which read as a 1.43x regression when the chain total had actually
     # DROPPED. Build the chain explicitly as its own timed line so every
     # d* number is steady-state and the build cost stays auditable.
-    from floorist_spark.operators.dedup import _verified_pairs
+    from floorist_spark.operators.dedup import (
+        _cluster_labels,
+        _simhash_fp,
+        _verified_pairs,
+    )
 
     def _warm_dedup_memos(data_dir: str) -> float | None:
         t0 = time.time()
         try:
-            # materializes all three memos: pairs derive from band rows,
-            # which derive from signatures, which derive from shingles
+            # materializes the whole dedup memo tier: verified pairs
+            # (deriving band rows ← signatures ← shingles along the way),
+            # the converged cluster labels, and the SimHash fingerprints.
+            # r11 session 2: labels and fp were previously built lazily
+            # by their first in-sweep consumer (d10 and d06 — HEADLINE
+            # entries), so those two numbers carried a one-time build the
+            # other 10+ chain consumers amortize; building them here puts
+            # the cost on the line that exists to hold it (same round-5
+            # rationale that created x00). Disclosed in
+            # OPTIMIZATION_r11.md — the x00 number grows by what d10/d06
+            # shed; the total is unchanged.
             _verified_pairs(spark, data_dir)
+            _cluster_labels(spark, data_dir)
+            _simhash_fp(spark, data_dir)
         except Exception as e:  # noqa: BLE001 — consumers rebuild lazily
             errors["x00_dedup_memo_build"] = (
                 f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
