@@ -118,3 +118,68 @@ def test_d30_signature_mins_read_distinct_cache(spark):
     assert len(explodes) == 1, explodes
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "partial_min" in plan
+
+
+def test_s16_rounds_persist_picked_no_exponential_inline(spark):
+    from floorist_spark.operators import _cache
+    from floorist_spark.operators.similarity import MMR_K, s16_mmr_diversify
+
+    # r11 session 2: round r references the previous round's picked set
+    # three times (anti-join, max-sim join, union); unpersisted, that
+    # inlined 3^(K-1) copies of round 1 into the executed plan (166
+    # Exchanges / 276 Windows at K=3). The fix persists+tracks the picked
+    # table per intermediate round, alongside pool and pairs — pinned at
+    # the tracking registry (the plan text is unpinnable here: cached
+    # build subtrees re-print under every InMemoryTableScan reference)
+    n0 = len(_cache._LIVE)
+    plan = _plan(s16_mmr_diversify(spark, SF_SMOKE))
+    assert len(_cache._LIVE) - n0 >= 2 + (MMR_K - 2), _cache._LIVE
+    # every greedy round reads caches, never a fresh corpus scan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d17_probe_reads_verified_pair_memo(spark):
+    from floorist_spark.operators._cache import _MEMO, release_memos
+    from floorist_spark.operators.dedup import d17_incremental_dedup
+
+    # r11 session 2: the arrival-vs-index probe is a filter +
+    # re-orientation of the memoized verified pairs (bit-exactness of the
+    # memo's jaccard is pinned by test_scored_pairs_memo_values_and_reuse)
+    # — constructing d17 with a cold memo tier must build the
+    # verified-pair memo, which the old band-self-join + per-pair-verify
+    # shape never touched
+    release_memos()
+    try:
+        plan = _plan(d17_incremental_dedup(spark, SF_SMOKE))
+        assert any(k[0] == "dedup_verified_pairs" for k in _MEMO), list(_MEMO)
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        release_memos()
+
+
+def test_m14_m15_share_one_chunk_memo(spark):
+    from floorist_spark.operators._cache import release_memos
+    from floorist_spark.operators.multimodal import (
+        _cdc_chunk_rows,
+        m14_cdc_chunks,
+        m15_chunk_overlap_pairs,
+    )
+
+    release_memos()
+    try:
+        ch = _cdc_chunk_rows(spark, SF_SMOKE)
+        assert ch is _cdc_chunk_rows(spark, SF_SMOKE)  # memo hit
+        # both consumers read the cached chunk rows — no second
+        # mapInPandas boundary scan in either executed plan
+        for build in (m14_cdc_chunks, m15_chunk_overlap_pairs):
+            plan = _plan(build(spark, SF_SMOKE))
+            assert "InMemoryTableScan" in plan, plan
+            # the only Python evaluation is inside the cached build plan
+            # (printed under InMemoryRelation); the live operator tree
+            # above the scans must not re-run one
+            live = plan.split("InMemoryRelation", 1)[0]
+            assert "MapInPandas" not in live, live
+    finally:
+        release_memos()
