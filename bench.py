@@ -323,6 +323,10 @@ def main() -> int:
     # AnalysisException). Failures land in "errors" and the run continues.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    #: every attempt's wall seconds for the min-of-N entries (r11 verdict
+    #: item 6: the min-discipline must be auditable from the artifact
+    #: alone, not from the run log)
+    wall_all_runs: dict[str, list[float]] = {}
 
     calib_start = _calibration_probe(spark)
     print(f"  calibration(start): {calib_start:.3f}s", file=sys.stderr)
@@ -378,6 +382,9 @@ def main() -> int:
         # entry simultaneously timed and errored in the artifact
         errors.pop("x00_dedup_memo_build", None)
         timings["x00_dedup_memo_build"] = best_warm
+        wall_all_runs["x00_dedup_memo_build"] = [
+            w for w in (warm, warm2) if w is not None
+        ]
         print(
             f"  x00_dedup_memo_build: {best_warm:.3f}s"
             f" min-of-{sum(w is not None for w in (warm, warm2))}",
@@ -412,8 +419,13 @@ def main() -> int:
     for name in HEADLINE:
         runs = 2 if name in MIN_OF_2 else 1
         best = None
-        steal0 = _host_steal_sec()
+        best_steal = None
         for _ in range(runs):
+            # steal sampled PER RUN (ADVICE r11): the recorded delta is
+            # the one of the run that produced the KEPT (min) timing, so
+            # a burst during a discarded attempt can no longer be
+            # attributed to a clean best number (or vice versa)
+            steal0 = _host_steal_sec()
             t0 = time.time()
             try:
                 qs[name](spark, SF_DIR).write.format("noop").mode(
@@ -426,12 +438,24 @@ def main() -> int:
                 print(f"  {name}: FAILED {errors[name]}", file=sys.stderr)
                 continue
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        steal1 = _host_steal_sec()
-        if steal0 is not None and steal1 is not None and steal1 > steal0:
-            steal_by_entry[name] = round(steal1 - steal0, 2)
+            steal1 = _host_steal_sec()
+            run_steal = (
+                round(steal1 - steal0, 2)
+                if steal0 is not None and steal1 is not None
+                else None
+            )
+            if runs > 1:
+                wall_all_runs.setdefault(name, []).append(round(elapsed, 3))
+            if best is None or elapsed < best:
+                best = elapsed
+                best_steal = run_steal
         if best is None:
+            # every attempt failed: no timing, so no steal record either
+            # (ADVICE r11 — per-entry steal keys must align with
+            # timings_sec)
             continue
+        if best_steal is not None and best_steal > 0:
+            steal_by_entry[name] = best_steal
         errors.pop(name, None)  # a later attempt succeeded; keep one number
         timings[name] = round(best, 3)
         tag = " min-of-2" if runs == 2 else ""
@@ -472,6 +496,7 @@ def main() -> int:
                     continue
                 elapsed = time.time() - t0
                 ok_runs += 1
+                wall_all_runs.setdefault(key, []).append(round(elapsed, 3))
                 best = elapsed if best is None else min(best, elapsed)
             if best is not None:
                 # at least one run succeeded: the entry gets ONE number and
@@ -542,6 +567,8 @@ def main() -> int:
     }
     if stream_floor is not None:
         out["stream_startup_floor_sec"] = stream_floor
+    if wall_all_runs:
+        out["wall_all_runs"] = wall_all_runs
     steal_run_end = _host_steal_sec()
     if steal_run_start is not None and steal_run_end is not None:
         out["host_steal_cpu_sec"] = {

@@ -330,3 +330,47 @@ def cosine_spark(a: str, b: str) -> str:
 
 def cosine_duck(a: str, b: str) -> str:
     return f"{dot_duck(a, b)} / ({norm2_duck(a)} * {norm2_duck(b)})"
+
+
+# -- Python twins (Arrow-batched worker passes) -------------------------------
+#
+# The dedup chain's shingle+digest pass runs as an Arrow-batched Python
+# pass (guide §4.2) instead of the JVM transform/substring/array_distinct
+# expression chain — per-shingle string churn in codegen measured slower
+# than hashlib's C md5 over the same data. These twins MUST stay
+# bit-identical to the Spark/DuckDB fragments above; the pin is
+# tests/test_shingle_arrow_parity.py, which compares the Python pass
+# against the retired expression chain value-for-value on real corpora.
+
+_PY_NORM_TRANS = str.maketrans(
+    _ASCII_UPPER + "\t\n\x0b\x0c\r", _ASCII_LOWER + "     "
+)
+
+
+def norm_py(text: str) -> str:
+    """Python twin of :func:`norm_spark`: ASCII case fold, control
+    whitespace → space, space-run collapse, space-only trim — the same
+    exact character classes (str.translate is per code point, like both
+    engines' ``translate``; ``strip(' ')`` is ASCII-space-only, like
+    Spark's ``trim``)."""
+    import re
+
+    return re.sub(" +", " ", text.translate(_PY_NORM_TRANS)).strip(" ")
+
+
+def shingles_py(nrm: str, k: int = 5) -> list[str]:
+    """Python twin of :func:`shingles_spark`: all char k-grams, 1-indexed;
+    short docs (len < k) yield ONE shingle — the whole string (Spark's
+    ``substring`` truncates), empty docs yield ``['']``."""
+    if len(nrm) >= k:
+        return [nrm[i : i + k] for i in range(len(nrm) - k + 1)]
+    return [nrm]
+
+
+def base_hash_py(s: str) -> int:
+    """Python twin of :func:`base_hash_spark`: top 7 hex chars of md5 over
+    the UTF-8 bytes, as an integer (Spark casts the string to BINARY —
+    UTF-8 — before md5; DuckDB hashes the VARCHAR's UTF-8 bytes)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)

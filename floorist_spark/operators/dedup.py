@@ -158,51 +158,146 @@ FROM documents GROUP BY 1 ORDER BY keep_doc_id
 # d03 — MinHash-LSH candidate pairs (banded)
 # ---------------------------------------------------------------------------
 
+def _shingle_minhash_batches(batches):
+    """mapInPandas body of :func:`_shingle_rows`: per doc, the DISTINCT
+    hashed char-5-gram set (first-occurrence order, like array_distinct)
+    plus all B*R MinHash mins as vectorized numpy affine transforms over
+    those hashes. Bit-exact twin of the retired JVM expression chain
+    (``transform(array_distinct(sh), s -> md5-fold)`` and the 32 min
+    aggregates) — pinned value-for-value by
+    tests/test_shingle_arrow_parity.py; every primitive is a textfrag
+    Python twin (norm_py/shingles_py/base_hash_py). Affine products stay
+    < 2^59, exact in int64 — same argument as affine_spark. A NULL text
+    normalizes to a single NULL shingle and all-NULL mins, exactly like
+    the expression chain (greatest(NULL-4,1)=1; min over NULLs is
+    NULL)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    nsig = NBANDS * NROWS
+    a = np.array([tf._affine_coef(i)[0] for i in range(nsig)], dtype=np.int64)
+    b = np.array([tf._affine_coef(i)[1] for i in range(nsig)], dtype=np.int64)
+    a_col = a[:, None]
+    b_col = b[:, None]
+    m31 = tf.MERSENNE31
+    k = SHINGLE_K
+    md5 = hashlib.md5
+    null_mh = [None] * nsig
+    for pdf in batches:
+        ids: list = []
+        shs: list = []
+        mhs: list = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                sh: list = [None]
+                mh: list = null_mh
+            else:
+                nrm = tf.norm_py(text)
+                if len(nrm) >= k:
+                    grams = dict.fromkeys(
+                        nrm[i : i + k] for i in range(len(nrm) - k + 1)
+                    )
+                else:
+                    grams = (nrm,)
+                sh = [
+                    int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                    for g in grams
+                ]
+                h = np.asarray(sh, dtype=np.int64)
+                mh = ((a_col * h[None, :] + b_col) % m31).min(axis=1).tolist()
+            ids.append(doc_id)
+            shs.append(sh)
+            mhs.append(mh)
+        yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<bigint>, mh: array<bigint>) — the memoized
+    shingle+digest+signature pass, ONE Arrow-batched Python scan per
+    dataset (guide §4.2: md5-per-shingle is C speed in hashlib, and the
+    32 affine mins fall out of the same numpy array for free, replacing
+    the explode + 32-aggregate shuffle the signature table used to
+    cost). At cluster scale this memo is the signature table you would
+    checkpoint to storage."""
+
+    def build() -> DataFrame:
+        docs = canonical_docs_parallel(spark, sf_dir).select("doc_id", "text")
+        return docs.mapInPandas(
+            _shingle_minhash_batches,
+            "doc_id bigint, sh array<bigint>, mh array<bigint>",
+        )
+
+    return memo(spark, "dedup_hashed_shingles", sf_dir, build)
+
+
+def canonical_docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical docs with at least session-parallelism partitions — an
+    opaque mapInPandas pass inherits its input partitioning, and the
+    memoized canonical table can come out of AQE with fewer partitions
+    than cores at test scale. Only rebalances when the input is UNDER
+    parallelism (tiny by definition); on a many-split cluster scan this
+    is a no-op, so the full corpus is never reshuffled just to feed the
+    Python pass."""
+    from floorist_spark.operators._canon import canonical_docs
+
+    docs = canonical_docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs
+
+
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<bigint>) — per-doc DISTINCT hashed char-5-gram
     sets, the root intermediate of the whole MinHash family (band
     signatures, candidate joins, Jaccard verifies all derive from it).
-    Memoized for the session: one shingle+digest pass per dataset, not per
-    catalog entry. At cluster scale this memo is the signature table you
-    would checkpoint to storage."""
-    return memo(
-        spark,
-        "dedup_hashed_shingles",
-        sf_dir,
-        lambda: _shingled_docs(spark, sf_dir).select(
-            "doc_id",
-            F.expr(
-                f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
-            ).alias("sh"),
-        ),
+    A projection of the memoized :func:`_shingle_rows` pass."""
+    return _shingle_rows(spark, sf_dir).select("doc_id", "sh")
+
+
+def _hashed_shingles_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retired JVM expression-chain implementation of
+    :func:`_hashed_shingles` (r12) — kept UNMEMOIZED as the reference
+    twin for the Arrow pass's bit-exactness pin
+    (tests/test_shingle_arrow_parity.py). Not used by any operator."""
+    return _shingled_docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct(sh), s -> {tf.base_hash_spark('s')})"
+        ).alias("sh"),
     )
 
 
 def _signature_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{B*R-1}): the MinHash signature table, memoized.
+    """(doc_id, mh0..mh{B*R-1}): the MinHash signature table — a
+    projection of the memoized :func:`_shingle_rows` pass (the mins are
+    computed in the same numpy scan that hashes the shingles; min is
+    invariant under distinct-vs-multiset shingles, so deriving from the
+    distinct hashed sets gives the same signatures as hashing every
+    position). The retired explode + 32-min-aggregate build is kept as
+    :func:`_signature_mins_expr` for the bit-exactness pin."""
+    rows = _shingle_rows(spark, sf_dir)
+    return rows.select(
+        "doc_id",
+        *[F.col("mh")[i].alias(f"mh{i}") for i in range(NBANDS * NROWS)],
+    )
 
-    Shape matters here: explode the cached hashed-shingle sets, then
-    compute all B*R MinHashes as ``min`` aggregates over the affine
-    transforms in a single groupBy(doc_id). Aggregates evaluate each
-    transform exactly once; putting them inside array lambdas instead
-    would re-run the digest pass once per hash function (higher-order-
-    function lambdas get no subexpression elimination). min is invariant
-    under distinct-vs-multiset shingles, so deriving from the distinct
-    hashed sets gives the same signatures as hashing every position. The
-    shuffle carries only (doc_id, B*R bigints) after map-side partial
-    agg."""
-    hashed = _hashed_shingles(spark, sf_dir)
 
-    def build() -> DataFrame:
-        ex = hashed.select("doc_id", F.explode("sh").alias("h"))
-        return ex.groupBy("doc_id").agg(
-            *[
-                F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
-                for i in range(NBANDS * NROWS)
-            ]
-        )
-
-    return memo(spark, "dedup_minhash_mins", sf_dir, build)
+def _signature_mins_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference twin of :func:`_signature_mins` (the pre-r12 explode +
+    min-aggregate chain over the hashed sets) for the parity pin. Not
+    used by any operator."""
+    ex = _hashed_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min({tf.affine_spark('h', i)})").alias(f"mh{i}")
+            for i in range(NBANDS * NROWS)
+        ]
+    )
 
 
 def _band_sigs_expr() -> str:

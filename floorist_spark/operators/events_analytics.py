@@ -180,6 +180,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e01 — tumbling window (1 hour)
 # ---------------------------------------------------------------------------
 
+def _sized_events_state(spark: SparkSession, sf_dir: str, *key_cols: str):
+    """Data-derived state-partition scope for a streaming query over
+    ``_events_stream`` (see streaming.tuning): every such query carries
+    the event_id ingest-dedup operator (one tiny state entry per event)
+    plus its own per-key operator state; ``key_cols`` are the SQL
+    expressions of that operator's key."""
+    from floorist_spark.streaming.tuning import (
+        DEDUP_KEY_BYTES,
+        STATE_KEY_BYTES,
+        batch_stats,
+        sized_state,
+    )
+
+    n_rows, n_keys = batch_stats(load_table(spark, sf_dir, "events"), *key_cols)
+    state_bytes = n_rows * DEDUP_KEY_BYTES + n_keys * STATE_KEY_BYTES
+    return sized_state(spark, state_bytes, n_rows)
+
+
 def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling counts + exact value sums per event type."""
     ev = _load_events(spark, sf_dir)
@@ -304,14 +322,15 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName("e04_stream_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _sized_events_state(spark, sf_dir, "date_trunc('hour', ts)", "event_type"):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("e04_stream_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("e04_stream_sink").orderBy("window_start", "event_type")
 
 
@@ -346,14 +365,15 @@ def e07_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName("e07_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _sized_events_state(spark, sf_dir, "date_trunc('hour', ts)", "event_type"):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("e07_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("e07_stream_sink").orderBy("window_start", "event_type")
 
 
@@ -399,14 +419,17 @@ def e08_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName("e08_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # per-user open sessions: user_id bounds the live keyspace (closed
+    # sessions drop their state as the watermark passes)
+    with _sized_events_state(spark, sf_dir, "user_id"):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("e08_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("e08_stream_sink").orderBy("user_id", "session_start")
 
 
@@ -994,18 +1017,20 @@ def e16_continuous_aggregate(
     store = os.path.join(work, "partials")
     ckpt = os.path.join(work, "ckpt")
 
-    query = (
-        _events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(
-            lambda batch_df, batch_id: _e16_write_partials(
-                batch_df, batch_id, store
+    # the only stateful operator here is the event_id ingest dedup
+    with _sized_events_state(spark, sf_dir, "event_id"):
+        query = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda batch_df, batch_id: _e16_write_partials(
+                    batch_df, batch_id, store
+                )
             )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     return (
         spark.read.parquet(store)
         .groupBy("window_start", "event_type")
@@ -1120,20 +1145,22 @@ def e18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"v_ts >= c_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
         ),
     )
-    query = (
-        joined.select(
-            F.col("c_user").alias("user_id"),
-            "view_id",
-            "click_id",
-            F.expr("unix_micros(c_ts) - unix_micros(v_ts)").alias("gap_us"),
+    # join state is per-user watermark-bounded view buffers
+    with _sized_events_state(spark, sf_dir, "user_id"):
+        query = (
+            joined.select(
+                F.col("c_user").alias("user_id"),
+                "view_id",
+                "click_id",
+                F.expr("unix_micros(c_ts) - unix_micros(v_ts)").alias("gap_us"),
+            )
+            .writeStream.format("memory")
+            .queryName("e18_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName("e18_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     return spark.table("e18_stream_sink").orderBy("user_id", "click_id", "view_id")
 
 

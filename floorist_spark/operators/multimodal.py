@@ -1274,6 +1274,10 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").alias("u"),
     )
     base = _payloads(spark, sf_dir, canon=True).select("doc_id")
+    # one projection (ADVICE r11): the ratio IFs test the raw aggregate
+    # c instead of the coalesced n_chunks — equivalent, because c IS NULL
+    # (no chunks: IF(NULL,..) takes the else branch → NULL ratio) exactly
+    # when coalesce(c,0) = 0, and when c > 0 both b and u are non-null
     return (
         base.join(per, "doc_id", "left")
         .select(
@@ -1282,21 +1286,12 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(coalesce(c, 0) AS BIGINT)").alias("n_chunks"),
             F.expr("CAST(coalesce(m, 0) AS BIGINT)").alias("max_chunk_len"),
             F.expr("CAST(coalesce(u, 0) AS BIGINT)").alias("n_unique_chunks"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            "n_chunks",
-            "max_chunk_len",
-            "n_unique_chunks",
-            F.expr(
-                "IF(n_chunks > 0, CAST(n_bytes AS DOUBLE) / n_chunks, NULL)"
-            ).alias("avg_chunk_len"),
-            F.expr(
-                "IF(n_chunks > 0, "
-                "CAST(n_chunks - n_unique_chunks AS DOUBLE) / n_chunks, "
-                "NULL)"
-            ).alias("dup_chunk_frac"),
+            F.expr("IF(c > 0, CAST(b AS DOUBLE) / c, NULL)").alias(
+                "avg_chunk_len"
+            ),
+            F.expr("IF(c > 0, CAST(c - u AS DOUBLE) / c, NULL)").alias(
+                "dup_chunk_frac"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -140,14 +140,21 @@ def d08_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName("d08_stream_sink")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from floorist_spark.streaming.tuning import STATE_KEY_BYTES, sized_state
+
+    # one stateful operator, keyed by digest: distinct digests <= the
+    # documents row count, which the parquet footers answer without a
+    # data scan (see the tuning module for the scale-safety argument)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    with sized_state(spark, n_docs * STATE_KEY_BYTES, n_docs, python_stateful=True):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName("d08_stream_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("d08_stream_sink").orderBy("keep_doc_id")
 
 
@@ -362,14 +369,26 @@ def e15_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName("e15_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from floorist_spark.streaming.tuning import (
+        DEDUP_KEY_BYTES,
+        STATE_KEY_BYTES,
+        batch_stats,
+        sized_state,
     )
-    query.awaitTermination()
+
+    # two stateful operators: the event_id ingest dedup (one tiny entry
+    # per event) and the per-user sessionizer state
+    n_rows, n_users = batch_stats(load_table(spark, sf_dir, "events"), "user_id")
+    state_bytes = n_rows * DEDUP_KEY_BYTES + n_users * STATE_KEY_BYTES
+    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName("e15_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return (
         spark.table("e15_stream_sink")
         .select(
@@ -557,14 +576,28 @@ def e26_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
-    query = (
-        kept.writeStream.format("memory")
-        .queryName("e26_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from floorist_spark.streaming.tuning import (
+        DEDUP_KEY_BYTES,
+        STATE_KEY_BYTES,
+        batch_stats,
+        sized_state,
     )
-    query.awaitTermination()
+
+    # two stateful operators: the event_id ingest dedup (one tiny entry
+    # per event) and the per-(user, event_type) throttle anchors
+    n_rows, n_keys = batch_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+    state_bytes = n_rows * DEDUP_KEY_BYTES + n_keys * STATE_KEY_BYTES
+    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+        query = (
+            kept.writeStream.format("memory")
+            .queryName("e26_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return (
         spark.table("e26_stream_sink")
         .select(
@@ -746,14 +779,26 @@ def e29_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    query = (
-        completions.writeStream.format("memory")
-        .queryName("e29_stream_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from floorist_spark.streaming.tuning import (
+        DEDUP_KEY_BYTES,
+        STATE_KEY_BYTES,
+        batch_stats,
+        sized_state,
     )
-    query.awaitTermination()
+
+    # two stateful operators: the event_id ingest dedup (one tiny entry
+    # per event) and the per-user partial funnel chains
+    n_rows, n_users = batch_stats(load_table(spark, sf_dir, "events"), "user_id")
+    state_bytes = n_rows * DEDUP_KEY_BYTES + n_users * STATE_KEY_BYTES
+    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+        query = (
+            completions.writeStream.format("memory")
+            .queryName("e29_stream_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return (
         spark.table("e29_stream_sink")
         .select(

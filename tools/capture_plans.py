@@ -5,7 +5,7 @@ Usage::
     python tools/capture_plans.py <suffix> <entry> [<entry> ...]
     python tools/capture_plans.py before d06_simhash_near_pairs x01_export
 
-Writes ``plans/r11/<entry>_<suffix>.txt`` — the optimization-round evidence
+Writes ``plans/<tag>/<entry>_<suffix>.txt`` (tag from $SPARK_GRAFT_PLANS_TAG, default r12) — the optimization-round evidence
 files the judge diffs against the prose claims in OPTIMIZATION_r11.md.
 Entries that drive the sink directly (x01/x02 exports) are captured via the
 DataFrame they export (q05b), tagged accordingly.
@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r12")
 )
 
 
