@@ -352,18 +352,49 @@ def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d25, d27, d28, d31) previously re-ran the band self-join + distinct
     each; the pair table is thousands of rows of two bigints, so keeping
     it session-cached is free and every consumer starts from the same
-    materialized pair set."""
+    materialized pair set.
+
+    Build shape (r12): pairs are generated from ONE bucket-grouping of
+    the band rows — groupBy(band, sig) + collect_list, cap filter on the
+    bucket's row count (count(*), so NULL doc_ids count exactly like the
+    old census), then all in-bucket (a < b) pairs as a local array
+    expression. The former shape evaluated the band rows up to four
+    times in one query (overflow census + broadcast anti-join + both
+    self-join sides — a broadcast defeats exchange reuse) and paid two
+    extra exchanges; the bucket cap (MAX_BAND_BUCKET) bounds the kept
+    arrays and the local pair fan-out exactly as it bounded the join.
+    Degenerate-bucket note: an OVER-cap bucket's collect_list buffer is
+    linear in its size before the filter discards it (the planted 20k
+    cohort in test_dedup_scale = 160 KB) — against the quadratic pair
+    blow-up the cap exists to prevent, that is the cheap side of the
+    trade; corpora with quarantine-grade buckets (many millions of
+    identical docs) belong in d01/d02 via lsh_overflow_buckets before
+    LSH runs at all. Pair-set equality with the self-join shape verified
+    (exceptAll both ways = 0 at sf0.1) and pinned by the d03/d04 oracle
+    gates."""
 
     def build() -> DataFrame:
-        bands = _band_rows(spark, sf_dir)
-        return (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "sig"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+        buckets = (
+            _raw_band_rows(spark, sf_dir)
+            .groupBy("band", "sig")
+            .agg(
+                F.collect_list("doc_id").alias("ids"),
+                F.count(F.lit(1)).alias("bsz"),
             )
+            .filter(F.col("bsz") <= MAX_BAND_BUCKET)
+        )
+        return (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, x -> "
+                        "filter(transform(ids, y -> "
+                        "struct(x AS doc_a, y AS doc_b)), "
+                        "p -> p.doc_a < p.doc_b)))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
             .distinct()
         )
 

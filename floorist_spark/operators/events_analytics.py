@@ -193,7 +193,11 @@ def _sized_events_state(spark: SparkSession, sf_dir: str, *key_cols: str):
         sized_state,
     )
 
-    n_rows, n_keys = batch_stats(load_table(spark, sf_dir, "events"), *key_cols)
+    n_rows, n_keys = batch_stats(
+        load_table(spark, sf_dir, "events"),
+        *key_cols,
+        cache_key=(os.path.realpath(sf_dir), "events"),
+    )
     state_bytes = n_rows * DEDUP_KEY_BYTES + n_keys * STATE_KEY_BYTES
     return sized_state(spark, state_bytes, n_rows)
 

@@ -1193,10 +1193,11 @@ bytes AS (
 
 def _cdc_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, clen, digest): one row per CDC chunk of every canonical
-    payload, session-memoized — the boundary scan is the expensive
-    Python pass of the whole CDC family, and m14 (census) and m15
-    (cross-doc overlap) each ran their own copy of it before this (r11;
-    guide §2.1). The digest is md5 over the lowercase-hex rendering —
+    payload, session-memoized for m15 (cross-doc overlap), which joins
+    and re-reads the per-chunk digests several times. (r11 also pointed
+    m14's census here; r12 reverted that side — the memo build cost more
+    than m14's own single scan, see m14's docstring.) The digest is md5
+    over the lowercase-hex rendering —
     exactly the ``md5(string_agg(h2))`` both entries' oracles compute,
     so distinct-counting digests is the oracle's own uniqueness notion.
     Chunks tile the payload (the final byte always closes the last
@@ -1256,42 +1257,74 @@ def m14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary test (w·CDC_MULT mod 2³²) < 2³²/CDC_DIV matches numpy's
     uint32 wraparound against the oracle's exact HUGEINT product reduced
     mod 2³² — integers on both sides, no float anywhere. Chunk
-    uniqueness counts distinct hex-rendering digests — the oracle's own
-    ``count(DISTINCT md5(string_agg(h2)))``, byte for byte.
+    uniqueness is counted on raw chunk content (the oracle hashes the
+    hex rendering — both are injective, so the distinct counts match).
 
-    Scale shape: the census aggregates the memoized chunk table (one
-    Arrow-batched boundary scan per DATASET, shared with m15 — r11;
-    previously each entry ran its own scan). All aggregates are
-    map-side combinable over (doc_id, clen, digest) rows; n_bytes is
-    sum(clen) because chunks tile the payload. Empty payloads emit an
-    all-zero row (NULL ratios) via the left join, exactly like the
-    oracle's."""
-    ch = _cdc_chunk_rows(spark, sf_dir)
-    per = ch.groupBy("doc_id").agg(
-        F.sum("clen").alias("b"),
-        F.count("*").alias("c"),
-        F.max("clen").alias("m"),
-        F.countDistinct("digest").alias("u"),
+    Scale shape: like m11/m13 the whole operator is one Arrow-batched
+    corpus scan — boundaries, splits and the distinct census all happen
+    inside the per-doc numpy pass; NO shuffle at any corpus size
+    (orderBy is presentation only). Empty payloads emit an all-zero row
+    (NULL ratios), exactly like the oracle's LEFT JOIN.
+
+    r12 note (verdict item 4): the r11 recast of this census over the
+    shared ``mm_cdc_chunks`` memo measured SLOWER on low-steal runs —
+    m14's first touch carried the memo build (chunk-row materialization
+    + persist) at 2.9s against 1.5s for this single-scan form, and m14
+    precedes m15 in every sweep, so the build cost landed here. Reverted
+    to the single scan; m15 (which genuinely needs per-chunk digests and
+    re-reads them several times) keeps the memo."""
+
+    def cdc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_bytes": [],
+            "n_chunks": [],
+            "max_chunk_len": [],
+            "n_unique_chunks": [],
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                ends = _cdc_ends(b)
+                starts = [0] + [e + 1 for e in ends[:-1]]
+                chunks = [
+                    b[s : e + 1].tobytes() for s, e in zip(starts, ends)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["n_chunks"].append(len(chunks))
+                out["max_chunk_len"].append(
+                    max((len(c) for c in chunks), default=0)
+                )
+                out["n_unique_chunks"].append(len(set(chunks)))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    schema = (
+        "doc_id bigint, n_bytes bigint, n_chunks bigint, "
+        "max_chunk_len bigint, n_unique_chunks bigint"
     )
-    base = _payloads(spark, sf_dir, canon=True).select("doc_id")
-    # one projection (ADVICE r11): the ratio IFs test the raw aggregate
-    # c instead of the coalesced n_chunks — equivalent, because c IS NULL
-    # (no chunks: IF(NULL,..) takes the else branch → NULL ratio) exactly
-    # when coalesce(c,0) = 0, and when c > 0 both b and u are non-null
     return (
-        base.join(per, "doc_id", "left")
+        _payloads(spark, sf_dir, canon=True)
+        .mapInPandas(cdc, schema)
         .select(
             "doc_id",
-            F.expr("CAST(coalesce(b, 0) AS BIGINT)").alias("n_bytes"),
-            F.expr("CAST(coalesce(c, 0) AS BIGINT)").alias("n_chunks"),
-            F.expr("CAST(coalesce(m, 0) AS BIGINT)").alias("max_chunk_len"),
-            F.expr("CAST(coalesce(u, 0) AS BIGINT)").alias("n_unique_chunks"),
-            F.expr("IF(c > 0, CAST(b AS DOUBLE) / c, NULL)").alias(
-                "avg_chunk_len"
-            ),
-            F.expr("IF(c > 0, CAST(c - u AS DOUBLE) / c, NULL)").alias(
-                "dup_chunk_frac"
-            ),
+            "n_bytes",
+            "n_chunks",
+            "max_chunk_len",
+            "n_unique_chunks",
+            F.expr(
+                "IF(n_chunks > 0, CAST(n_bytes AS DOUBLE) / n_chunks, NULL)"
+            ).alias("avg_chunk_len"),
+            F.expr(
+                "IF(n_chunks > 0, "
+                "CAST(n_chunks - n_unique_chunks AS DOUBLE) / n_chunks, "
+                "NULL)"
+            ).alias("dup_chunk_frac"),
         )
         .orderBy("doc_id")
     )

@@ -146,7 +146,10 @@ def d08_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents row count, which the parquet footers answer without a
     # data scan (see the tuning module for the scale-safety argument)
     n_docs = load_table(spark, sf_dir, "documents").count()
-    with sized_state(spark, n_docs * STATE_KEY_BYTES, n_docs, python_stateful=True):
+    with sized_state(
+        spark, n_docs * STATE_KEY_BYTES, n_docs,
+        python_stateful=True, n_keys=n_docs,
+    ):
         query = (
             deduped.writeStream.format("memory")
             .queryName("d08_stream_sink")
@@ -378,9 +381,14 @@ def e15_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two stateful operators: the event_id ingest dedup (one tiny entry
     # per event) and the per-user sessionizer state
-    n_rows, n_users = batch_stats(load_table(spark, sf_dir, "events"), "user_id")
+    n_rows, n_users = batch_stats(
+        load_table(spark, sf_dir, "events"), "user_id",
+        cache_key=(os.path.realpath(sf_dir), "events"),
+    )
     state_bytes = n_rows * DEDUP_KEY_BYTES + n_users * STATE_KEY_BYTES
-    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+    with sized_state(
+        spark, state_bytes, n_rows, python_stateful=True, n_keys=n_users,
+    ):
         query = (
             sessions.writeStream.format("memory")
             .queryName("e15_stream_sink")
@@ -586,10 +594,13 @@ def e26_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two stateful operators: the event_id ingest dedup (one tiny entry
     # per event) and the per-(user, event_type) throttle anchors
     n_rows, n_keys = batch_stats(
-        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+        load_table(spark, sf_dir, "events"), "user_id", "event_type",
+        cache_key=(os.path.realpath(sf_dir), "events"),
     )
     state_bytes = n_rows * DEDUP_KEY_BYTES + n_keys * STATE_KEY_BYTES
-    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+    with sized_state(
+        spark, state_bytes, n_rows, python_stateful=True, n_keys=n_keys,
+    ):
         query = (
             kept.writeStream.format("memory")
             .queryName("e26_stream_sink")
@@ -788,9 +799,14 @@ def e29_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two stateful operators: the event_id ingest dedup (one tiny entry
     # per event) and the per-user partial funnel chains
-    n_rows, n_users = batch_stats(load_table(spark, sf_dir, "events"), "user_id")
+    n_rows, n_users = batch_stats(
+        load_table(spark, sf_dir, "events"), "user_id",
+        cache_key=(os.path.realpath(sf_dir), "events"),
+    )
     state_bytes = n_rows * DEDUP_KEY_BYTES + n_users * STATE_KEY_BYTES
-    with sized_state(spark, state_bytes, n_rows, python_stateful=True):
+    with sized_state(
+        spark, state_bytes, n_rows, python_stateful=True, n_keys=n_users,
+    ):
         query = (
             completions.writeStream.format("memory")
             .queryName("e29_stream_sink")

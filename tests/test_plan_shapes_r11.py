@@ -171,15 +171,18 @@ def test_m14_m15_share_one_chunk_memo(spark):
     try:
         ch = _cdc_chunk_rows(spark, SF_SMOKE)
         assert ch is _cdc_chunk_rows(spark, SF_SMOKE)  # memo hit
-        # both consumers read the cached chunk rows — no second
-        # mapInPandas boundary scan in either executed plan
-        for build in (m14_cdc_chunks, m15_chunk_overlap_pairs):
-            plan = _plan(build(spark, SF_SMOKE))
-            assert "InMemoryTableScan" in plan, plan
-            # the only Python evaluation is inside the cached build plan
-            # (printed under InMemoryRelation); the live operator tree
-            # above the scans must not re-run one
-            live = plan.split("InMemoryRelation", 1)[0]
-            assert "MapInPandas" not in live, live
+        # m15 reads the cached chunk rows — no second mapInPandas
+        # boundary scan in its executed plan
+        plan = _plan(m15_chunk_overlap_pairs(spark, SF_SMOKE))
+        assert "InMemoryTableScan" in plan, plan
+        # the only Python evaluation is inside the cached build plan
+        # (printed under InMemoryRelation); the live operator tree
+        # above the scans must not re-run one
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "MapInPandas" not in live, live
+        # m14 (r12: reverted off the memo — verdict item 4) is ONE
+        # Arrow-batched scan of its own
+        plan14 = _plan(m14_cdc_chunks(spark, SF_SMOKE))
+        assert plan14.count("MapInPandas") == 1, plan14
     finally:
         release_memos()
